@@ -1,0 +1,50 @@
+"""Aggregates QUERIES/ORACLES from every operator module.
+
+Each module listed in ``_MODULES`` defines module-level ``QUERIES``
+(name → callable(spark, sf_dir) → DataFrame) and ``ORACLES`` (name →
+DuckDB SQL string). The driver-facing ``__spark_entry__.py`` pulls the
+merged dicts from here. Imports are unconditional so a broken module
+fails loudly instead of silently dropping its queries.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_PKG = "automated_dow30_earnings_reports_spark"
+
+# Grows as operator modules land (SURVEY.md §7 build order).
+_MODULES = [
+    f"{_PKG}.plans.relational",
+]
+
+
+def _iter_modules():
+    for dotted in _MODULES:
+        yield importlib.import_module(dotted)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from automated_dow30_earnings_reports_spark.plans import flagship
+
+    out: dict[str, QueryFn] = {"flagship_revenue_by_nation": flagship.revenue_by_nation}
+    for mod in _iter_modules():
+        dup = set(out) & set(mod.QUERIES)
+        if dup:
+            raise ValueError(f"duplicate query names from {mod.__name__}: {dup}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from automated_dow30_earnings_reports_spark.plans import flagship
+
+    out: dict[str, str] = {"flagship_revenue_by_nation": flagship.FLAGSHIP_ORACLE}
+    for mod in _iter_modules():
+        out.update(mod.ORACLES)
+    return out
