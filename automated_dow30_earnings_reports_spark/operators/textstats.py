@@ -1,0 +1,247 @@
+"""Text-analysis operators (SURVEY.md §2.11; generalizes A7/A8 keyword
+scoring, ref find_IR_pgs_v1.py:98-112 and enhanced_selenium_scraper.py:641-679).
+
+Everything is built from JVM builtins over the token array — no Python
+in the hot path. At 100 TB each of these is a single narrow scan with
+map-side aggregation: no shuffles except the final small groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Stopword indicator sets per language (n-gram-heuristic lang-ID).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "une"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def marker_score(toks: Column, markers: list[str]) -> Column:
+    """A7-style boolean-indicator sum: how many marker words appear."""
+    score = F.lit(0)
+    for m in markers:
+        score = score + F.when(F.array_contains(toks, m), 1).otherwise(0)
+    return score
+
+
+def _marker_score_sql(markers: list[str]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END)" for m in markers
+    )
+
+
+@_register(
+    "text_lang_id",
+    f"""
+    WITH t AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             {_marker_score_sql(LANG_MARKERS["en"])} AS s_en,
+             {_marker_score_sql(LANG_MARKERS["de"])} AS s_de,
+             {_marker_score_sql(LANG_MARKERS["es"])} AS s_es,
+             {_marker_score_sql(LANG_MARKERS["fr"])} AS s_fr
+      FROM t
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-indicator scores,
+    argmax with a fixed tie-break order, confusion matrix vs the label."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scored = d.select(
+        "lang",
+        marker_score(toks, LANG_MARKERS["en"]).alias("s_en"),
+        marker_score(toks, LANG_MARKERS["de"]).alias("s_de"),
+        marker_score(toks, LANG_MARKERS["es"]).alias("s_es"),
+        marker_score(toks, LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    predicted = (
+        F.when(F.greatest("s_en", "s_de", "s_es", "s_fr") == 0, "unknown")
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@_register(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks, length(text) AS n_chars
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             1.0 * ({_marker_score_sql(EN_STOPWORDS)}) / {len(EN_STOPWORDS)} AS stop_frac,
+             1.0 * n_chars / len(toks) AS avg_word_len
+      FROM t
+    ),
+    scored AS (
+      SELECT CAST(least(floor(
+               (0.5 * least(n_words / 50.0, 1.0)
+                + 0.3 * stop_frac
+                + 0.2 * least(avg_word_len / 8.0, 1.0)) * 10), 9) AS INT) AS decile
+      FROM feat
+    )
+    SELECT decile, COUNT(*) AS n FROM scored GROUP BY decile ORDER BY decile
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword coverage, and mean word length
+    folded into a [0,1) score, bucketed into deciles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    feat = d.select(
+        F.size(toks).alias("n_words"),
+        (marker_score(toks, EN_STOPWORDS) / F.lit(len(EN_STOPWORDS))).alias("stop_frac"),
+        (F.length("text") / F.size(toks)).alias("avg_word_len"),
+    )
+    score = (
+        0.5 * F.least(F.col("n_words") / 50.0, F.lit(1.0))
+        + 0.3 * F.col("stop_frac")
+        + 0.2 * F.least(F.col("avg_word_len") / 8.0, F.lit(1.0))
+    )
+    return (
+        feat.select(F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"))
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "text_token_count",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+             AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))), 4)
+             AS avg_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single symbols) — the budget estimator for LLM-pipeline inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+    return (
+        d.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1 ORDER BY keeper_doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint: md5 over the sorted distinct
+    token set — catches token-order-shuffled duplicates that exact
+    hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col("text")))), " ").cast(
+            "binary"
+        )
+    )
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+KEYWORDS = ["spark", "query", "join", "table"]
+
+
+@_register(
+    "keyword_score",
+    f"""
+    WITH t AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT lang, {_marker_score_sql(KEYWORDS)} AS score FROM t
+    )
+    SELECT lang, CAST(score AS INT) AS score, COUNT(*) AS n
+    FROM scored GROUP BY lang, score ORDER BY lang, score
+    """,
+)
+def keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 keyword scoring (ref enhanced_selenium_scraper.py:668-672):
+    indicator sum over a keyword list, histogrammed per language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return (
+        d.select("lang", marker_score(toks, KEYWORDS).cast("int").alias("score"))
+        .groupBy("lang", "score")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "score")
+    )

@@ -22,6 +22,9 @@ _PKG = "automated_dow30_earnings_reports_spark"
 _MODULES = [
     f"{_PKG}.plans.relational",
     f"{_PKG}.functions.scalars",
+    f"{_PKG}.operators.dedup",
+    f"{_PKG}.operators.similarity",
+    f"{_PKG}.operators.textstats",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Benchmark runner (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (collect) so the number includes the
+whole plan, not just job submission.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (star join, wide agg, window,
+# broadcast join, the four dedup tiers, the three similarity paths,
+# text analysis, regex extraction).
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "topk_per_group",
+    "enrichment_left_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_top_pairs",
+    "similarity_top_pairs_blocked",
+    "similarity_ann_lsh_buckets",
+    "text_token_count",
+    "text_lang_id",
+    "extract_year_quarter",
+]
+
+
+def main() -> int:
+    from automated_dow30_earnings_reports_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("dow30-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen paths outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        out = qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = len(out)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
