@@ -1,0 +1,52 @@
+"""S2 key-value text scan / S7 text sink.
+
+The reference serializes DocumentLink records as one ``key='value'``
+line per record (src/orchestrator.py:77-81) and re-parses them with
+regexes (src/orchestrator.py:111-125, src/download_reports.py:302-347).
+Here both directions are declarative: the scan is `spark.read.text` +
+one `regexp_extract` per column (a narrow projection Catalyst fuses
+into the scan), the sink a `concat_ws` projection + `write.text`.
+
+Multi-line values: the reference's full_html fields can contain
+newlines, which its own regex parser silently mis-parses (each line is
+parsed independently). We parse line-oriented records and treat
+records whose href is missing as the dead-letter channel instead of
+guessing — same observable behavior for well-formed data, explicit
+failure channel for the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.functions.scalars import extract_kv
+from automated_dow30_earnings_reports_spark.schemas import DOCUMENT_LINKS
+
+_KV_COLUMNS = [f.name for f in DOCUMENT_LINKS.fields]
+
+
+def parse_kv_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse key='value' record lines into DOCUMENT_LINKS columns."""
+    cols = [extract_kv(F.col(value_col), name).alias(name) for name in _KV_COLUMNS]
+    return lines.select(*cols)
+
+
+def read_document_links(spark: SparkSession, path: str) -> DataFrame:
+    """S2 scan: links file → typed rows. Rows without an href go to the
+    dead-letter frame (access via .filter('href IS NULL'))."""
+    return parse_kv_lines(spark.read.text(path))
+
+
+def to_kv_lines(df: DataFrame) -> DataFrame:
+    """Serialize DOCUMENT_LINKS-shaped rows to the reference's record
+    line format (column order fixed by the schema)."""
+    parts = []
+    for name in _KV_COLUMNS:
+        parts.append(F.concat(F.lit(f"{name}='"), F.coalesce(F.col(name), F.lit("")), F.lit("'")))
+    return df.select(F.concat_ws(" ", *parts).alias("value"))
+
+
+def write_document_links(df: DataFrame, path: str) -> None:
+    """S7 sink: one record line per row (ref orchestrator.py:73-84)."""
+    to_kv_lines(df).write.mode("overwrite").text(path)

@@ -1,0 +1,148 @@
+"""Event-time windowing (SURVEY.md §2.9 — streaming surface).
+
+The reference is pure batch (weekly cron, README.md:171-177); the
+engine adds the Structured Streaming operators a crawl/events pipeline
+needs. Each transformation here is written against a plain DataFrame so
+the SAME function body runs in batch mode (for the DuckDB oracle gate)
+and on a ``readStream`` DataFrame (exercised with availableNow triggers
+in tests/test_streaming.py). Watermarking is applied only when the
+input is actually streaming — ``withWatermark`` is a no-op-but-allowed
+on batch frames, so we always attach it for plan parity.
+
+Scale notes: event-time windows shuffle on (window, key) with map-side
+partial aggregation; session windows additionally require a sort within
+the key partition. State-store size at 100 TB is bounded by the
+watermark horizon — 10 minutes here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window: count + value sum per (window, type)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding window (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user (gap-based). Emits one row per session."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@_register(
+    "window_tumbling",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev).orderBy("window_start", "event_type")
+
+
+@_register(
+    "window_sliding",
+    f"""
+    WITH expanded AS (
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - k * 1800) AS window_start,
+             event_type
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start, event_type, COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev).orderBy("window_start", "event_type")
+
+
+@_register(
+    "window_session",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 300
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev).orderBy("user_id", "session_start")

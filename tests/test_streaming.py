@@ -1,0 +1,58 @@
+"""Structured Streaming parity: the window transformations produce the
+same results on a readStream source (availableNow trigger) as on the
+batch DataFrame that the DuckDB oracle already validates."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.streaming.windows import (
+    sliding_counts,
+    tumbling_counts,
+)
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory, sf_smoke):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _read_events_stream(spark, path):
+    # Streaming file source needs an explicit schema; ts arrives as
+    # TIMESTAMP(NANOS) so read it as long (nanosAsLong) and truncate to
+    # micros exactly as tables.load_table does for batch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@pytest.mark.parametrize(
+    "name,transform",
+    [("tumbling", tumbling_counts), ("sliding", sliding_counts)],
+)
+def test_stream_matches_batch(spark, sf_smoke, events_stream_dir, name, transform):
+    batch = transform(load_table(spark, sf_smoke, "events")).collect()
+
+    stream_df = transform(_read_events_stream(spark, events_stream_dir))
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(f"win_{name}")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM win_{name}").collect()
+
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
