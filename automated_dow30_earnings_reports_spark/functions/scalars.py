@@ -154,15 +154,18 @@ def url_protocol(url: Column | str) -> Column:
 
 def resolve_url(base: Column, href: Column) -> Column:
     """urljoin for the crawl's common cases, builtin-only (F7):
-    absolute stays; '//h/p' inherits scheme; '/p' is host-rooted;
-    otherwise resolve against the base's directory."""
+    scheme-prefixed stays (http://…, mailto:, javascript: — urljoin
+    keeps non-relative refs intact); '//h/p' inherits scheme; '/p' is
+    host-rooted; '#frag' appends to base; otherwise resolve against
+    the base's directory."""
     scheme = url_protocol(base)
     host = url_host(base)
     base_dir = F.regexp_replace(base, r"[^/]*$", "")
     return (
-        F.when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        F.when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)
         .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
+        .when(href.startswith("#"), F.concat(base, href))
         .otherwise(F.concat(base_dir, href))
         .alias("resolved_url")
     )

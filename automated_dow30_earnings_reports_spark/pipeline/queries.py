@@ -1,0 +1,202 @@
+"""Driver-facing queries for the effectful pipeline stages.
+
+Each query runs a real ``mapInPandas`` stage with its deterministic
+fake effect so the *plumbing* (schema coercion, dead-letter channel,
+per-partition setup, idempotent sink commit) is exercised end-to-end
+and — where the fake's logic is regex/arithmetic — oracle-checked
+against DuckDB. The BFS crawl is iterative (driver loop) and gets the
+rows-only check, as allowed for non-SQL-expressible ops.
+
+Synthetic inputs are built from the ``documents`` table with pure SQL
+expressions so the oracle can rebuild byte-identical inputs. Digits of
+doc_id are transliterated to letters inside URLs so an id like 2045
+can never collide with the year regex.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.pipeline.crawl import bfs_crawl
+from automated_dow30_earnings_reports_spark.pipeline.download import download_stage, fake_transport
+from automated_dow30_earnings_reports_spark.pipeline.fetch import fake_ir_site_fetcher
+from automated_dow30_earnings_reports_spark.pipeline.llm_extract import (
+    fake_llm_extractor,
+    llm_extract_stage,
+)
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared synthetic links-file construction (Spark + DuckDB twins).
+# One key='value' record line per document; every third doc is a PDF
+# report whose URL carries quarter/year/category markers.
+# ---------------------------------------------------------------------------
+
+
+def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    safe_id = F.translate(F.col("doc_id").cast("string"), "0123456789", "abcdefghij")
+    q = (F.col("doc_id") % 4 + 1).cast("int")
+    y = (F.col("doc_id") % 7 + 2019).cast("int")
+    suffix = F.when(F.col("doc_id") % 2 == 0, "-earnings").otherwise("-supplemental")
+    pdf_line = F.format_string(
+        "title='Report %s' url='https://ir.example.com/files/doc-%s-q%d-%d%s.pdf'",
+        F.col("doc_id").cast("string"),
+        safe_id,
+        q,
+        y,
+        suffix,
+    )
+    page_line = F.format_string(
+        "title='Page %s' url='https://ir.example.com/page-%s.html'",
+        F.col("doc_id").cast("string"),
+        safe_id,
+    )
+    return d.select(
+        F.concat(F.lit("co_"), (F.col("doc_id") % 50).cast("string")).alias("company"),
+        F.when(F.col("doc_id") % 3 == 0, pdf_line).otherwise(page_line).alias("line"),
+    )
+
+
+_DOC_LINES_SQL = """
+    SELECT 'co_' || CAST(doc_id % 50 AS VARCHAR) AS company,
+           CASE WHEN doc_id % 3 = 0 THEN
+             'title=''Report ' || CAST(doc_id AS VARCHAR)
+               || ''' url=''https://ir.example.com/files/doc-'
+               || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+               || '-q' || CAST(doc_id % 4 + 1 AS VARCHAR)
+               || '-'  || CAST(doc_id % 7 + 2019 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '-earnings' ELSE '-supplemental' END
+               || '.pdf'''
+           ELSE
+             'title=''Page ' || CAST(doc_id AS VARCHAR)
+               || ''' url=''https://ir.example.com/page-'
+               || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+               || '.html'''
+           END AS line
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1 — LLM-extraction UDTF: grouped links text → exploded report rows.
+# The mapInPandas stage runs for real; the fake extractor's regexes are
+# mirrored 1:1 in the oracle (patterns = functions/scalars.py _Y4/_Q).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "llm_extract_udtf",
+    f"""
+    WITH lines AS ({_DOC_LINES_SQL}),
+    hits AS (
+      SELECT company,
+             line,
+             regexp_extract(line, 'url=''([^'']*\\.pdf)''', 1) AS url
+      FROM lines
+    )
+    SELECT company,
+           regexp_extract(line, 'title=''([^'']*)''', 1)        AS title,
+           CASE WHEN contains(lower(url), 'earnings')
+                THEN 'Earnings Release' ELSE 'Financial Document' END AS category,
+           url,
+           CAST(NULLIF(regexp_extract(url, '(19[0-9]{{2}}|20[0-9]{{2}})', 1), '') AS INTEGER)
+                                                                 AS year,
+           CAST(NULLIF(regexp_extract(url, '(?i)q\\s*-?\\s*([1-4])', 1), '') AS INTEGER)
+                                                                 AS quarter
+    FROM hits
+    WHERE url <> ''
+    """,
+)
+def llm_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inputs = (
+        _doc_lines(spark, sf_dir)
+        .groupBy("company")
+        .agg(F.concat_ws("\n", F.collect_list("line")).alias("links_text"))
+    )
+    out = llm_extract_stage(inputs, fake_llm_extractor)
+    return out.filter(F.col("extract_error").isNull()).select(
+        "company", "title", "category", "url", "year", "quarter"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10/X3 — download sink: fake transport writes real files (temp-path +
+# atomic rename), stage returns metadata rows. file_size is derived from
+# the URL alone (1024 + 37*len) so the oracle recomputes it in SQL.
+# ---------------------------------------------------------------------------
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch", "downloads")
+
+
+@_register(
+    "download_ledger",
+    f"""
+    WITH lines AS ({_DOC_LINES_SQL}),
+    urls AS (
+      SELECT DISTINCT regexp_extract(line, 'url=''([^'']*\\.pdf)''', 1) AS url
+      FROM lines
+      WHERE line LIKE '%.pdf''%'
+    )
+    SELECT url,
+           regexp_extract(url, '/([^/?#]+)$', 1)        AS filename,
+           CAST(1024 + 37 * length(url) AS BIGINT)      AS file_size,
+           'application/pdf'                            AS content_type,
+           TRUE                                         AS success
+    FROM urls
+    """,
+)
+def download_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _doc_lines(spark, sf_dir)
+    urls = (
+        lines.select(F.regexp_extract("line", r"url='([^']*\.pdf)'", 1).alias("url"))
+        .filter(F.col("url") != "")
+        .distinct()
+    )
+    out = download_stage(urls, _SCRATCH, fake_transport)
+    return out.select("url", "filename", "file_size", "content_type", "success")
+
+
+# ---------------------------------------------------------------------------
+# X5 — BFS crawl over the deterministic fake IR site (iterative driver
+# loop → rows-only check; correctness is pinned by tests/test_pipeline.py).
+# ---------------------------------------------------------------------------
+
+
+@_register("crawl_bfs")
+def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    seeds = nation.select(
+        F.col("n_name").alias("company"),
+        F.concat(
+            F.lit("https://ir."),
+            F.lower(F.regexp_replace("n_name", "[^A-Za-z]", "")),
+            F.lit(".example.com/investors"),
+        ).alias("url"),
+    )
+    docs = bfs_crawl(spark, seeds, fake_ir_site_fetcher, max_depth=2, top_k=3)
+    return (
+        docs.groupBy("company")
+        .agg(
+            F.count("*").cast("bigint").alias("n_documents"),
+            F.countDistinct("source_url").cast("bigint").alias("n_source_pages"),
+        )
+        .orderBy("company")
+    )

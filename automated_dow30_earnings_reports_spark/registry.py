@@ -26,6 +26,7 @@ _MODULES = [
     f"{_PKG}.operators.similarity",
     f"{_PKG}.operators.textstats",
     f"{_PKG}.streaming.windows",
+    f"{_PKG}.pipeline.queries",
 ]
 
 
