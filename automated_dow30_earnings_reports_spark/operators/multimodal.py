@@ -1,0 +1,322 @@
+"""Multimodal binary-column operators (SURVEY §2.11).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata —
+the generalization of the reference's downloaded-PDF handling, where
+binary content stays out of the row and only derived metadata (MD5,
+size, type) enters the data model (simple_metadata_collector.py:132-145,
+download_reports.py:519-521 magic-byte checks).
+
+Since the synthetic testdata has no media files, blobs are derived
+deterministically from ``documents.text`` (pure ASCII, verified) with
+an ASCII format header, so every byte-level computation has an exact
+string-side DuckDB oracle. The *plumbing* is the real thing:
+
+  - BinaryType columns end-to-end (encode → binary ops → hex/md5);
+  - decode / feature-extract run as ``mapInPandas`` over Arrow-batched
+    binary columns — the exact shape a real PIL/librosa decode takes.
+    The real decoders are stubbed (this container has no media libs):
+    ``decode_image_real`` raises NotImplementedError, the fake parses
+    the header + deterministic arithmetic;
+  - frame sampling is JVM-side (sequence + explode + binary substring),
+    no Python in the hot path.
+
+Scale: blobs never shuffle — every operator projects metadata first
+and aggregates/joins on the *derived* columns; a real deployment reads
+blobs via ``spark.read.format("binaryFile")`` with the same operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Typed-blob construction: documents.text → binary with a 6-byte ASCII
+# format header. media kind cycles image/audio/video by doc_id.
+# ---------------------------------------------------------------------------
+
+_HEADERS = {"image": "IMGv1:", "audio": "AUDv1:", "video": "VIDv1:"}
+
+
+def media_kind(doc_id: Column) -> Column:
+    return (
+        F.when(doc_id % 3 == 0, "image")
+        .when(doc_id % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_kind")
+    )
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_kind, blob binary, byte_len)."""
+    kind = media_kind(F.col("doc_id"))
+    header = (
+        F.when(kind == "image", _HEADERS["image"])
+        .when(kind == "audio", _HEADERS["audio"])
+        .otherwise(_HEADERS["video"])
+    )
+    blob = F.encode(F.concat(header, F.col("text")), "UTF-8")
+    return docs.select(
+        "doc_id",
+        kind,
+        blob.alias("blob"),
+        F.length(blob).cast("bigint").alias("byte_len"),
+    )
+
+
+_BLOB_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_kind,
+           CASE WHEN doc_id % 3 = 0 THEN 'IMGv1:'
+                WHEN doc_id % 3 = 1 THEN 'AUDv1:'
+                ELSE 'VIDv1:' END || text AS payload,
+           CAST(6 + length(text) AS BIGINT) AS byte_len
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Metadata extraction: magic-byte type detection (P9 generalized),
+# byte length, MD5 — all on the binary column, JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_metadata",
+    f"""
+    WITH blobs AS ({_BLOB_SQL})
+    SELECT doc_id,
+           CASE WHEN payload LIKE 'IMGv1:%' THEN 'image'
+                WHEN payload LIKE 'AUDv1:%' THEN 'audio'
+                WHEN payload LIKE 'VIDv1:%' THEN 'video'
+                ELSE 'unknown' END AS detected_kind,
+           byte_len,
+           md5(payload) AS checksum
+    FROM blobs
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniffing on the blob itself (not the kind column):
+    decode the first 6 bytes and match the format header — the binary
+    twin of the reference's %PDF check (download_reports.py:519-521)."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents"))
+    magic = F.decode(F.substring(F.col("blob"), 1, 6), "UTF-8")
+    return blobs.select(
+        "doc_id",
+        F.when(magic == _HEADERS["image"], "image")
+        .when(magic == _HEADERS["audio"], "audio")
+        .when(magic == _HEADERS["video"], "video")
+        .otherwise("unknown")
+        .alias("detected_kind"),
+        "byte_len",
+        F.md5(F.col("blob")).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image decode + resize — mapInPandas over Arrow-batched binary.
+# ---------------------------------------------------------------------------
+
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mode", StringType(), True),
+        StructField("resized_w", IntegerType(), True),
+        StructField("resized_h", IntegerType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def decode_image_real(data: bytes) -> tuple[int, int, str]:
+    """Real decoder hook (PIL.Image.open). Media libs are not in this
+    container; a deployment overrides this."""
+    raise NotImplementedError("image decode requires PIL; inject a decoder")
+
+
+def decode_image_fake(data: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in: dimensions from payload size (the bytes
+    after the 6-byte header), mirroring what a real decode returns."""
+    if not data.startswith(b"IMGv1:"):
+        raise ValueError("not an IMGv1 blob")
+    n = len(data) - 6
+    return (n % 640 + 16, n % 480 + 16, "RGB")
+
+
+def image_decode_stage(
+    blobs: DataFrame, decoder=decode_image_fake, target: int = 64
+) -> DataFrame:
+    """Decode + aspect-preserving resize plan over binary batches.
+    Failures land in ``decode_error`` (dead-letter), never task-fail."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    w, h, mode = decoder(bytes(data))
+                    rw, rh = target, max(1, (h * target) // w)
+                    out.append((doc_id, w, h, mode, rw, rh, None))
+                except Exception as exc:
+                    out.append((doc_id, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_DECODE_SCHEMA.fields])
+
+    return blobs.select("doc_id", "blob").mapInPandas(run, schema=IMAGE_DECODE_SCHEMA)
+
+
+@_register(
+    "multimodal_image_decode",
+    f"""
+    WITH blobs AS ({_BLOB_SQL}),
+    dims AS (
+      SELECT doc_id,
+             CAST((byte_len - 6) % 640 + 16 AS INTEGER) AS width,
+             CAST((byte_len - 6) % 480 + 16 AS INTEGER) AS height
+      FROM blobs WHERE media_kind = 'image'
+    )
+    SELECT doc_id, width, height, 'RGB' AS mode,
+           CAST(64 AS INTEGER) AS resized_w,
+           CAST(GREATEST(1, (height * 64) // width) AS INTEGER) AS resized_h
+    FROM dims
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = with_blob(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_kind") == "image"
+    )
+    out = image_decode_stage(blobs)
+    return out.filter(F.col("decode_error").isNull()).drop("decode_error")
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling — JVM-side: sequence/explode + binary substring.
+# ---------------------------------------------------------------------------
+
+_FRAME_STRIDE = 256
+_MAX_FRAMES = 4
+
+
+@_register(
+    "multimodal_frame_sample",
+    f"""
+    WITH blobs AS ({_BLOB_SQL}),
+    vids AS (
+      SELECT doc_id, payload, byte_len,
+             LEAST({_MAX_FRAMES}, 1 + byte_len // {_FRAME_STRIDE}) AS n_frames
+      FROM blobs WHERE media_kind = 'video'
+    )
+    SELECT doc_id,
+           CAST(f.frame_idx AS INTEGER)                AS frame_idx,
+           CAST(f.frame_idx * {_FRAME_STRIDE} AS BIGINT) AS frame_offset,
+           upper(hex(substring(payload, f.frame_idx * {_FRAME_STRIDE} + 1, 8))) AS frame_sig
+    FROM vids, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER))) AS frame_idx
+    ) f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample up to 4 'frames' (8-byte signatures every 256 bytes) per
+    video blob — the frame-sample plan shape with zero Python."""
+    vids = with_blob(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_kind") == "video"
+    )
+    n_frames = F.least(F.lit(_MAX_FRAMES), 1 + (F.col("byte_len") / _FRAME_STRIDE).cast("int"))
+    frames = vids.select(
+        "doc_id",
+        "blob",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"))).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("bigint") * _FRAME_STRIDE).alias("frame_offset"),
+        F.upper(
+            F.hex(F.expr(f"substring(blob, frame_idx * {_FRAME_STRIDE} + 1, 8)"))
+        ).alias("frame_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction — vectorized numpy over Arrow binary batches.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("energy", LongType(), True),  # Σ byte values
+        StructField("peak", IntegerType(), True),  # max byte value
+    ]
+)
+
+
+def audio_feature_stage(blobs: DataFrame) -> DataFrame:
+    """Per-blob byte-level features via numpy (the librosa stand-in):
+    real vectorized decode-side compute, deterministic output."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                arr = np.frombuffer(bytes(data), dtype=np.uint8)
+                out.append((doc_id, len(arr), int(arr.sum()), int(arr.max())))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return blobs.select("doc_id", "blob").mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+@_register(
+    "multimodal_audio_features",
+    f"""
+    WITH blobs AS ({_BLOB_SQL}),
+    chars AS (
+      SELECT doc_id, byte_len, ascii(c.ch) AS byte_val
+      FROM blobs, LATERAL (SELECT unnest(string_split(payload, '')) AS ch) c
+      WHERE media_kind = 'audio'
+    )
+    SELECT doc_id,
+           byte_len                         AS n_bytes,
+           CAST(SUM(byte_val) AS BIGINT)    AS energy,
+           CAST(MAX(byte_val) AS INTEGER)   AS peak
+    FROM chars
+    GROUP BY doc_id, byte_len
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = with_blob(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_kind") == "audio"
+    )
+    return audio_feature_stage(blobs)

@@ -25,6 +25,7 @@ _MODULES = [
     f"{_PKG}.operators.dedup",
     f"{_PKG}.operators.similarity",
     f"{_PKG}.operators.textstats",
+    f"{_PKG}.operators.multimodal",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
 ]
