@@ -17,18 +17,30 @@ failure channel for the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_dow30_earnings_reports_spark.functions.scalars import extract_kv
 from automated_dow30_earnings_reports_spark.schemas import DOCUMENT_LINKS
 
 _KV_COLUMNS = [f.name for f in DOCUMENT_LINKS.fields]
 
+# Schema field -> serialized key. The reference writes DocumentLink.href
+# as url='…' and link_type as type='…' (orchestrator.py:77-81; see
+# ir_links/financial_links_3M.txt:1), so the scan maps keys back.
+_FIELD_TO_KEY = {"href": "url", "link_type": "type"}
+
+
+def _extract_field(line: Column, field: str) -> Column:
+    """Boundary-anchored key='value' capture: (?:^|\\s)key=' so that
+    type=' never matches inside document_type='…'."""
+    key = _FIELD_TO_KEY.get(field, field)
+    pat = rf"(?:^|\s){key}='([^']*)'"
+    return F.nullif(F.regexp_extract(line, pat, 1), F.lit(""))
+
 
 def parse_kv_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse key='value' record lines into DOCUMENT_LINKS columns."""
-    cols = [extract_kv(F.col(value_col), name).alias(name) for name in _KV_COLUMNS]
+    cols = [_extract_field(F.col(value_col), name).alias(name) for name in _KV_COLUMNS]
     return lines.select(*cols)
 
 
@@ -40,10 +52,12 @@ def read_document_links(spark: SparkSession, path: str) -> DataFrame:
 
 def to_kv_lines(df: DataFrame) -> DataFrame:
     """Serialize DOCUMENT_LINKS-shaped rows to the reference's record
-    line format (column order fixed by the schema)."""
+    line format (column order fixed by the schema, field names mapped
+    to the reference's serialized keys)."""
     parts = []
     for name in _KV_COLUMNS:
-        parts.append(F.concat(F.lit(f"{name}='"), F.coalesce(F.col(name), F.lit("")), F.lit("'")))
+        key = _FIELD_TO_KEY.get(name, name)
+        parts.append(F.concat(F.lit(f"{key}='"), F.coalesce(F.col(name), F.lit("")), F.lit("'")))
     return df.select(F.concat_ws(" ", *parts).alias("value"))
 
 
