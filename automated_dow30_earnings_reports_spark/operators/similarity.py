@@ -237,6 +237,94 @@ def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_COS = 0.45  # synthetic embeddings max out ~0.51; no pair near the boundary
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a="a.emb", b="b.emb")} AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_b                            AS dup_id,
+           CAST(MIN(id_a) AS BIGINT)       AS keeper_id,
+           ROUND(MAX(cos), 6)              AS max_cosine
+    FROM pairs WHERE cos >= {NEARDUP_COS}
+    GROUP BY id_b ORDER BY dup_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (the dedup-family member over
+    vectors): every vector with cosine ≥ τ to a lower-id vector is a
+    duplicate; its keeper is the smallest such partner. Runs on the
+    blocked-matrix-multiply scale path (same as
+    similarity_top_pairs_blocked) with a threshold filter instead of
+    top-N — per-task work stays bounded by block size at any corpus
+    size, and the τ filter prunes inside the BLAS kernel's output
+    before anything is emitted to Spark."""
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = 8
+    tau = NEARDUP_COS
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocked = e.withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+        order = np.argsort(ids)
+        return pd.DataFrame(
+            [{"block": int(pdf["block"].iloc[0]), "n": len(ids),
+              "ids": ids[order].tobytes(), "mat": mat[order].tobytes()}]
+        )
+
+    packed = blocked.groupBy("block").applyInPandas(pack, "block int, n int, ids binary, mat binary")
+    a = packed.select(
+        F.col("block").alias("ba"), F.col("n").alias("na_"),
+        F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("bb"), F.col("n").alias("nb_"),
+        F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"),
+    )
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def score(it):
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for r in pdf.itertuples(index=False):
+                ids_a = np.frombuffer(r.ids_a, dtype=np.int64)
+                ids_b = np.frombuffer(r.ids_b, dtype=np.int64)
+                A = np.frombuffer(r.mat_a, dtype=np.float64).reshape(r.na_, -1)
+                B = np.frombuffer(r.mat_b, dtype=np.float64).reshape(r.nb_, -1)
+                C = A @ B.T
+                if r.ba == r.bb:
+                    C = np.triu(C, k=1) - np.tril(np.ones_like(C))
+                for i, j in zip(*np.nonzero(C >= tau)):
+                    ia, ib = int(ids_a[i]), int(ids_b[j])
+                    if ia == ib:
+                        continue
+                    out_a.append(min(ia, ib))
+                    out_b.append(max(ia, ib))
+                    out_c.append(float(C[i, j]))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    hits = pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+    return (
+        hits.groupBy(F.col("id_b").alias("dup_id"))
+        .agg(
+            F.min("id_a").alias("keeper_id"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+        .orderBy("dup_id")
+    )
+
+
 def _plane_component(p: int, i: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in {-6..6}/6 —
     pure arithmetic so both engines generate identical planes."""

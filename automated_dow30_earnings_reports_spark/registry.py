@@ -28,6 +28,7 @@ _MODULES = [
     f"{_PKG}.operators.multimodal",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
+    f"{_PKG}.sources.html_table",
 ]
 
 

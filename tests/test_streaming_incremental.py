@@ -1,0 +1,128 @@
+"""Incremental-crawl streaming surface: streaming dedup, foreachBatch
+crawl with replay-safe sink, applyInPandasWithState visited-set."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.pipeline.fetch import fake_ir_site_fetcher
+from automated_dow30_earnings_reports_spark.streaming.incremental import (
+    dedup_links_stream,
+    new_links_stateful,
+    start_incremental_crawl,
+)
+
+LINKS_SCHEMA = "ts timestamp, company string, href string"
+
+
+def _write_links_file(spark, d, rows):
+    spark.createDataFrame(rows, LINKS_SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+
+
+def test_dedup_links_stream(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "links"
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    _write_links_file(
+        spark,
+        src,
+        [
+            (t0, "A", "https://a/x.pdf"),
+            (t0, "A", "https://a/x.pdf"),  # dup within batch
+            (t0, "A", "https://a/y.pdf"),
+        ],
+    )
+    stream = spark.readStream.schema(LINKS_SCHEMA).parquet(str(src))
+    q = (
+        dedup_links_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_links")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.href for r in spark.sql("SELECT * FROM dedup_links").collect()}
+    assert got == {"https://a/x.pdf", "https://a/y.pdf"}
+    assert spark.sql("SELECT * FROM dedup_links").count() == 2
+
+
+def test_incremental_crawl_and_replay_safety(spark, tmp_path):
+    seeds = tmp_path / "seeds"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    seeds.mkdir()
+    (seeds / "batch1.txt").write_text("ACME,https://ir.acme.example.com\n")
+
+    q = start_incremental_crawl(
+        spark, str(seeds), str(out), str(ckpt), fake_ir_site_fetcher
+    )
+    q.awaitTermination(180)
+    first = spark.read.parquet(str(out))
+    n1 = first.count()
+    assert n1 > 0
+    assert first.filter(F.col("company") == "ACME").count() == n1
+    # no (company, href) dups
+    assert first.dropDuplicates(["company", "href"]).count() == n1
+
+    # second run: same seed again + one new seed; committed links must
+    # not be re-appended (anti-join replay safety), new company adds rows
+    (seeds / "batch2.txt").write_text(
+        "ACME,https://ir.acme.example.com\nZETA,https://ir.zeta.example.com\n"
+    )
+    q2 = start_incremental_crawl(
+        spark, str(seeds), str(out), str(ckpt), fake_ir_site_fetcher
+    )
+    q2.awaitTermination(180)
+    second = spark.read.parquet(str(out))
+    assert second.dropDuplicates(["company", "href"]).count() == second.count()
+    assert second.filter(F.col("company") == "ACME").count() == n1  # unchanged
+    assert second.filter(F.col("company") == "ZETA").count() > 0
+
+
+def test_new_links_stateful_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "links2"
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    _write_links_file(
+        spark,
+        src,
+        [(t0, "A", "https://a/1.pdf"), (t0, "A", "https://a/2.pdf"), (t0, "B", "https://b/1.pdf")],
+    )
+    stream = spark.readStream.schema(LINKS_SCHEMA).parquet(str(src)).drop("ts")
+    q = (
+        new_links_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("fresh_links")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM fresh_links").count() >= 3:
+                break
+            time.sleep(1)
+        assert spark.sql("SELECT * FROM fresh_links").count() == 3
+
+        # batch 2: one repeat (state hit) + one new
+        _write_links_file(
+            spark, src, [(t0, "A", "https://a/1.pdf"), (t0, "A", "https://a/3.pdf")]
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM fresh_links").count() >= 4:
+                break
+            time.sleep(1)
+        rows = {(r.company, r.href) for r in spark.sql("SELECT * FROM fresh_links").collect()}
+        assert ("A", "https://a/3.pdf") in rows
+        assert len(rows) == 4  # the repeat was filtered by state
+    finally:
+        q.stop()
