@@ -246,8 +246,14 @@ def _minhash_oracle() -> str:
 @_register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection: shingle → 12-wide signature →
-    6 bands of 2 → bucket self-join → exact-jaccard verification ≥ 0.8."""
-    shd = doc_shingles(spark, sf_dir)
+    6 bands of 2 → bucket self-join → exact-jaccard verification ≥ 0.8.
+
+    The shingle set feeds four plan branches (signatures, both probe
+    sides of the verification join, sizes); persist() materializes the
+    explode once instead of four times — on a cluster this is the
+    difference between one and four full scans of the corpus.
+    ContextCleaner frees the blocks once the query's RDDs are GC'd."""
+    shd = doc_shingles(spark, sf_dir).persist()
     sig = minhash_signatures(shd)
     cand = lsh_candidates(lsh_band_keys(sig))
     return (
@@ -285,8 +291,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram jaccard ≥ 0.5 through an inverted-index
     self-join (no LSH approximation — the recall baseline the LSH tier
-    is judged against)."""
-    shd = doc_shingles(spark, sf_dir)
+    is judged against). shd persisted: three plan branches."""
+    shd = doc_shingles(spark, sf_dir).persist()
     sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (

@@ -21,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (star join, wide agg, window,
-# broadcast join, the four dedup tiers, the three similarity paths,
-# text analysis, regex extraction).
+# broadcast join, the five dedup tiers, the three similarity paths,
+# text analysis, regex extraction, UDTF/sink/crawl pipeline stages,
+# multimodal binary ops, HTML scan/clean).
 HEADLINE = [
     "flagship_revenue_by_nation",
     "pricing_summary",
@@ -32,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_top_pairs",
     "similarity_top_pairs_blocked",
@@ -39,6 +41,14 @@ HEADLINE = [
     "text_token_count",
     "text_lang_id",
     "extract_year_quarter",
+    "llm_extract_udtf",
+    "download_ledger",
+    "crawl_bfs",
+    "multimodal_metadata",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "html_table_scan",
+    "html_clean",
 ]
 
 
