@@ -160,12 +160,17 @@ def resolve_url(base: Column, href: Column) -> Column:
     the base's directory."""
     scheme = url_protocol(base)
     host = url_host(base)
-    base_dir = F.regexp_replace(base, r"[^/]*$", "")
+    # a path-less base (https://x.com) resolves relative refs against
+    # the host root, not against a stripped "https://" prefix
+    base_dir = F.when(
+        base.rlike(r"(?i)^[a-z][a-z0-9+.-]*://[^/]*$"), F.concat(base, F.lit("/"))
+    ).otherwise(F.regexp_replace(base, r"[^/]*$", ""))
     return (
         F.when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)
         .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
         .when(href.startswith("#"), F.concat(base, href))
+        .when(href.startswith("?"), F.concat(F.regexp_replace(base, r"\?.*$", ""), href))
         .otherwise(F.concat(base_dir, href))
         .alias("resolved_url")
     )

@@ -237,6 +237,99 @@ def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8  # coarse-quantizer cells (deterministic seed centroids)
+
+
+def _ivf_oracle() -> str:
+    cos_vc = _COS_SQL.format(a="v.emb", b="c.ce")
+    cos_qn = _COS_SQL.format(a="q.qe", b="n.emb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_vc} DESC, c.cid) AS rn
+      FROM e v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    q AS (
+      SELECT e.vec_id AS query_id, e.emb AS qe, cells.cell
+      FROM e JOIN cells ON cells.vec_id = e.vec_id
+      WHERE e.vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id, {cos_qn} AS cos
+      FROM q
+      JOIN cells nc ON nc.cell = q.cell AND nc.vec_id <> q.query_id
+      JOIN e n ON n.vec_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@_register("similarity_ann_ivf", _ivf_oracle())
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic coarse quantizer (the
+    first K vectors, the k-means-free stand-in for trained centroids)
+    partitions the corpus into cells by nearest centroid; queries probe
+    only their own cell (nprobe=1).
+
+    Scale shape: assignment is one broadcast of K centroids + an
+    O(N·K) map (no shuffle); search joins query-cells to corpus-cells
+    on the cell id — the candidate set per query is N/K instead of N,
+    and the join shuffles on the cell key exactly like a partitioned
+    index probe. Recall/latency trades via K and nprobe."""
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "norm",
+        "cid",
+        (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
+    )
+    q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = cells.join(F.broadcast(q), "cell").where(F.col("vec_id") != F.col("query_id"))
+    scored_q = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored_q.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
 NEARDUP_COS = 0.45  # synthetic embeddings max out ~0.51; no pair near the boundary
 
 

@@ -38,6 +38,7 @@ HEADLINE = [
     "similarity_top_pairs",
     "similarity_top_pairs_blocked",
     "similarity_ann_lsh_buckets",
+    "similarity_ann_ivf",
     "text_token_count",
     "text_lang_id",
     "extract_year_quarter",
