@@ -1,0 +1,155 @@
+"""The reference's full pipeline (SURVEY §3.1) as one composed Spark flow.
+
+orchestrator.main's thread-pool fan-out over companies becomes a single
+DataFrame pipeline — partitioning replaces threading:
+
+  companies (S1 dim) ──BFS crawl (X5: fetch S9 → extract/classify P2 →
+  top-k T1 → set algebra U1/U2)──> document_links
+  ──serialize S7 / UDTF X1 (LLM extract over per-company links text)──>
+  reports ──J1 broadcast enrichment join──> enriched reports
+  ──download sink S10/X3──> file_metadata ──A11 collect_list rollup──>
+  company_run_metadata ──S3 JSON sink
+
+Each stage is the already-tested operator; this module only wires them.
+The per-stage text-file handoffs of the reference become in-plan
+DataFrames (cached where reused); the ledger sink is the only
+materialization, mirroring metadata/*.json.
+
+Scale: the crawl partitions by company; the download stage by URL
+(companies skew 1-409 links, SURVEY §4 — URL-level round-robin beats
+company partitioning there); the rollup shuffles once on company.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.pipeline.crawl import bfs_crawl
+from automated_dow30_earnings_reports_spark.pipeline.download import (
+    TransportFactory,
+    download_stage,
+    fake_transport,
+)
+from automated_dow30_earnings_reports_spark.pipeline.fetch import (
+    FetcherFactory,
+    fake_ir_site_fetcher,
+)
+from automated_dow30_earnings_reports_spark.pipeline.llm_extract import (
+    ExtractorFactory,
+    fake_llm_extractor,
+    llm_extract_stage,
+)
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    companies: DataFrame,
+    out_dir: str,
+    fetcher_factory: FetcherFactory = fake_ir_site_fetcher,
+    extractor_factory: ExtractorFactory = fake_llm_extractor,
+    transport_factory: TransportFactory = fake_transport,
+    max_depth: int = 1,
+    top_k: int = 3,
+) -> DataFrame:
+    """companies (company, url) → per-company run ledger rows.
+
+    Returns the COMPANY_RUN_METADATA-shaped rollup (minus wall-clock
+    timestamps — those are sink-side concerns, not data)."""
+    # Stage 1 — crawl (X5). Cached: feeds both the UDTF input and J1.
+    links = bfs_crawl(
+        spark, companies, fetcher_factory, max_depth=max_depth, top_k=top_k
+    ).persist()
+
+    # Stage 2 — LLM extraction (X1) over the serialized links text
+    # (the reference hands a key-value text file to the LLM; same
+    # payload here, built in-plan: one line per link).
+    line = F.format_string("title='%s' url='%s'", F.col("title"), F.col("href"))
+    per_company = links.groupBy("company").agg(
+        F.concat_ws("\n", F.collect_list(line)).alias("links_text"),
+        F.count("*").alias("urls_found"),
+        F.countDistinct("source_url").alias("urls_visited"),
+    )
+    extracted = llm_extract_stage(per_company, extractor_factory).persist()
+    reports = extracted.filter(F.col("extract_error").isNull())
+
+    # Stage 2b — J1 enrichment: report URL → crawl metadata (broadcast
+    # left join + empty-string default, J5).
+    link_meta = links.select(
+        F.col("href"), F.col("source_url"), F.col("file_extension")
+    ).dropDuplicates(["href"])
+    enriched = reports.drop("extract_error").join(
+        F.broadcast(link_meta), reports.url == link_meta.href, "left"
+    ).drop("href").withColumn("source_url", F.coalesce("source_url", F.lit("")))
+
+    # Stage 3 — download sink (S10/X3), URL-partitioned.
+    dl = download_stage(
+        enriched.select("company", "url", "title", "year", "quarter", "file_extension"),
+        out_dir,
+        transport_factory,
+    )
+    results = enriched.join(dl, "url", "left")
+
+    # Finalize — A11 rollup to the nested ledger + error-channel counts.
+    per_file = F.struct(
+        F.col("title"),
+        F.col("file_size").alias("size"),
+        F.col("checksum"),
+        F.col("quarter").cast("string").alias("quarter"),
+        F.col("year").cast("string").alias("year"),
+        F.col("url"),
+        F.col("source_url").alias("source_page"),
+        F.col("file_extension").alias("file_type"),
+    )
+    counts = per_company.select("company", "urls_found", "urls_visited")
+    ledger = (
+        results.groupBy("company")
+        .agg(
+            F.collect_list(F.when(F.col("success"), per_file)).alias("downloaded_files"),
+            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
+        )
+        .join(counts, "company", "left")
+        .withColumn(
+            "status", F.when(F.col("n_failed") == 0, "completed").otherwise("partial")
+        )
+    )
+    return ledger.select(
+        "company", "status", "urls_visited", "urls_found", "n_failed", "downloaded_files"
+    )
+
+
+def _scratch_dir() -> str:
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, ".scratch", "pipeline_downloads")
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only: the BFS stage is iterative): the whole
+    §3.1 pipeline over nation-derived companies with fake effects."""
+    nation = load_table(spark, sf_dir, "nation")
+    companies = nation.select(
+        F.col("n_name").alias("company"),
+        F.concat(
+            F.lit("https://ir."),
+            F.lower(F.regexp_replace("n_name", "[^A-Za-z]", "")),
+            F.lit(".example.com/investors"),
+        ).alias("url"),
+    )
+    ledger = run_pipeline(spark, companies, _scratch_dir())
+    return ledger.select(
+        "company",
+        "status",
+        "urls_visited",
+        "urls_found",
+        "n_failed",
+        F.size("downloaded_files").alias("n_downloaded"),
+    ).orderBy("company")
+
+
+QUERIES["pipeline_end_to_end"] = pipeline_end_to_end

@@ -26,8 +26,10 @@ _MODULES = [
     f"{_PKG}.operators.similarity",
     f"{_PKG}.operators.textstats",
     f"{_PKG}.operators.multimodal",
+    f"{_PKG}.operators.skew",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
+    f"{_PKG}.pipeline.orchestrate",
     f"{_PKG}.sources.html_table",
 ]
 

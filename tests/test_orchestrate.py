@@ -1,0 +1,68 @@
+"""End-to-end pipeline composition (SURVEY §3.1): crawl → extract →
+enrich → download → ledger, all fake effects, deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.pipeline.download import failing_transport
+from automated_dow30_earnings_reports_spark.pipeline.orchestrate import run_pipeline
+
+
+def _companies(spark):
+    return spark.createDataFrame(
+        [
+            ("ACME", "https://ir.acme.example.com/investors"),
+            ("ZETA", "https://ir.zeta.example.com/investors"),
+        ],
+        ["company", "url"],
+    )
+
+
+def test_pipeline_end_to_end_shape(spark, tmp_path):
+    ledger = run_pipeline(spark, _companies(spark), str(tmp_path / "dl")).cache()
+    rows = {r.company: r for r in ledger.collect()}
+    assert set(rows) == {"ACME", "ZETA"}
+    for r in rows.values():
+        assert r.status == "completed" and r.n_failed == 0
+        assert r.urls_found > 0 and r.urls_visited > 0
+        assert len(r.downloaded_files) > 0
+        f = r.downloaded_files[0]
+        # ledger keeps year/quarter as strings (reference type quirk,
+        # SURVEY §1.4) and carries source_page + checksum per file
+        assert isinstance(f.year, str) and isinstance(f.quarter, str)
+        assert f.checksum and len(f.checksum) == 32
+        assert f.url.endswith(".pdf")
+
+
+def test_pipeline_deterministic(spark, tmp_path):
+    a = run_pipeline(spark, _companies(spark), str(tmp_path / "d1"))
+    b = run_pipeline(spark, _companies(spark), str(tmp_path / "d2"))
+    ka = sorted((r.company, r.urls_found, len(r.downloaded_files)) for r in a.collect())
+    kb = sorted((r.company, r.urls_found, len(r.downloaded_files)) for r in b.collect())
+    assert ka == kb
+
+
+def test_pipeline_partial_failure_channel(spark, tmp_path):
+    # every download fails -> status 'partial', files empty, counts intact
+    ledger = run_pipeline(
+        spark,
+        _companies(spark),
+        str(tmp_path / "dl"),
+        transport_factory=lambda: failing_transport("example.com"),
+    )
+    for r in ledger.collect():
+        assert r.status == "partial" and r.n_failed > 0
+        assert len(r.downloaded_files) == 0
+        assert r.urls_found > 0  # crawl unaffected
+
+
+def test_pipeline_ledger_roundtrips_json(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.sources.json_ledger import write_ledger
+
+    ledger = run_pipeline(spark, _companies(spark), str(tmp_path / "dl"))
+    out = str(tmp_path / "ledger")
+    write_ledger(ledger, out)
+    back = spark.read.json(out)
+    assert back.count() == 2
+    assert back.filter(F.size("downloaded_files") > 0).count() == 2
