@@ -85,6 +85,21 @@ def test_llm_extract_truncation_and_model(spark):
     assert out2[0].model_used == "model-large-context"
 
 
+def test_llm_extract_rate_limiter(spark):
+    """Partition-local token bucket: 3 calls at >=0.4s spacing in one
+    partition must take >=0.8s wall (the reference's 30s lock-file gap,
+    scaled down; SURVEY §7 hard (a))."""
+    import time
+
+    rows = [(f"C{i}", "url='https://x.com/q1-2024.pdf'") for i in range(3)]
+    df = spark.createDataFrame(rows, ["company", "links_text"]).coalesce(1)
+    t0 = time.time()
+    out = llm_extract_stage(df, fake_llm_extractor, min_interval=0.4).collect()
+    elapsed = time.time() - t0
+    assert len(out) == 3
+    assert elapsed >= 0.8, f"throttle not applied: {elapsed:.2f}s"
+
+
 def test_download_stage_idempotent_and_dead_letter(spark, tmp_path):
     out_dir = str(tmp_path / "dl")
     df = spark.createDataFrame(
