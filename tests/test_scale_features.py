@@ -1,0 +1,90 @@
+"""Scale-feature verifications: partition pruning, column pruning,
+sketch-based distinct, stream-static broadcast enrichment."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    """Hive-style partition layout + a partition-key filter must show up
+    as PartitionFilters on the scan (no data read outside the key)."""
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_smoke, "events").write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:800]
+    # and values survive the round trip
+    expected = (
+        load_table(spark, sf_smoke, "events").filter(F.col("event_type") == "click").count()
+    )
+    assert df.count() == expected
+
+
+def test_column_pruning_reaches_scan(spark, sf_correctness):
+    """A two-column projection over lineitem must scan two columns, not
+    sixteen (ReadSchema shows the pruned struct)."""
+    li = load_table(spark, sf_correctness, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = _plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:800]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_correctness):
+    """A3 at scale: the HLL sketch must land within 5% of exact (the
+    approx variant is what a 100 TB distinct-users query runs)."""
+    e = load_table(spark, sf_correctness, "events")
+    exact = e.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = e.select(F.approx_count_distinct("user_id", 0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """J1 in streaming form: a stream of report rows enriched by a
+    static broadcast dim — the incremental version of the reference's
+    url->metadata probe (orchestrator.py:145-156)."""
+    src = tmp_path / "reports_stream"
+    spark.createDataFrame(
+        [("https://x.com/a.pdf", "ACME"), ("https://x.com/b.pdf", "ZETA")],
+        "url string, company string",
+    ).coalesce(1).write.parquet(str(src))
+
+    dim = spark.createDataFrame(
+        [("https://x.com/a.pdf", "https://ir.acme.com", "pdf")],
+        "href string, source_url string, file_extension string",
+    )
+    stream = spark.readStream.schema("url string, company string").parquet(str(src))
+    enriched = stream.join(
+        F.broadcast(dim), stream.url == dim.href, "left"
+    ).select("url", "company", F.coalesce("source_url", F.lit("")).alias("source_url"))
+
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.url: r.source_url for r in spark.sql("SELECT * FROM enriched_stream").collect()}
+    assert rows == {
+        "https://x.com/a.pdf": "https://ir.acme.com",
+        "https://x.com/b.pdf": "",
+    }
