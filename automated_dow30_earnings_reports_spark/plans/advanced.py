@@ -1,0 +1,195 @@
+"""Relational breadth beyond the reference's literal surface: the
+standard analytics shapes a 100 TB warehouse query mix hits daily —
+rollup hierarchies, exact percentiles, range-predicate joins, ordered
+window analytics (lag/delta/running sums), conditional pivots. All
+pure JVM plans with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "rollup_flag_status",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(COUNT(*) AS BIGINT)   AS n,
+           ROUND(SUM(l_quantity), 2)  AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass (flag, flag+status, grand total)
+    — Spark expands the grouping sets before the shuffle, so it stays
+    a single exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. At 100 TB the same
+    query swaps percentile() for approx_percentile() — the sketch
+    variant's tolerance is pinned in tests/test_scale_features.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "range_join_ship_window",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_shipped_in_window
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (ship within 60 days of order):
+    Catalyst keeps the equi-key as the shuffle key and evaluates the
+    range residual post-probe — the scalable shape for bounded-window
+    temporal joins (the as-of-join family's building block)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 60)),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_shipped_in_window"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "user_event_deltas",
+    """
+    WITH s AS (
+      -- floor to whole seconds: Spark's unix_timestamp truncates,
+      -- DuckDB's epoch() keeps the fractional part
+      SELECT user_id, event_id, value, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, value,
+             es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS running_value
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)            AS n_events,
+           ROUND(AVG(gap_s), 4)                AS avg_gap_s,
+           ROUND(MAX(running_value), 2)        AS total_value
+    FROM w GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id
+    """,
+)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytics per user: lag-based inter-event gaps and a
+    running sum — one shuffle on user_id serves both window frames and
+    the final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    enriched = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+        F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_value"),
+    )
+    return (
+        enriched.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.max("running_value"), 2).alias("total_value"),
+        )
+        .where(F.col("n_events") >= 3)
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "lang_source_pivot",
+    """
+    SELECT lang,
+           CAST(COUNT(*) FILTER (source = 'web')    AS BIGINT) AS web,
+           CAST(COUNT(*) FILTER (source = 'pdf')    AS BIGINT) AS pdf,
+           CAST(COUNT(*) FILTER (source NOT IN ('web','pdf')) AS BIGINT) AS other
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (stable column set, unlike
+    df.pivot's data-driven columns): one shuffle, map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).cast("bigint").alias("web"),
+            F.sum(F.when(F.col("source") == "pdf", 1).otherwise(0)).cast("bigint").alias("pdf"),
+            F.sum(F.when(~F.col("source").isin("web", "pdf"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("other"),
+        )
+        .orderBy("lang")
+    )

@@ -21,6 +21,7 @@ _PKG = "automated_dow30_earnings_reports_spark"
 # Grows as operator modules land (SURVEY.md §7 build order).
 _MODULES = [
     f"{_PKG}.plans.relational",
+    f"{_PKG}.plans.advanced",
     f"{_PKG}.functions.scalars",
     f"{_PKG}.operators.dedup",
     f"{_PKG}.operators.similarity",
