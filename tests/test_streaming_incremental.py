@@ -85,6 +85,52 @@ def test_incremental_crawl_and_replay_safety(spark, tmp_path):
     assert second.filter(F.col("company") == "ZETA").count() > 0
 
 
+def test_tumbling_append_mode_watermark_semantics(spark, tmp_path):
+    """Late-data contract of the windowed aggs: in append mode a window
+    emits only once the watermark (max ts - 10 min) passes its end, and
+    events older than the watermark are dropped, not re-aggregated."""
+    import datetime as dt
+
+    from automated_dow30_earnings_reports_spark.streaming.windows import tumbling_counts
+
+    src = tmp_path / "ev"
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    schema = "ts timestamp, event_type string, value double"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return [tuple(r) for r in spark.read.parquet(sink).collect()]
+        except Exception:  # sink still empty -> no parquet files yet
+            return []
+
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+    # batch 1: two events in the 10:00 window -> nothing finalized yet
+    out1 = run_batch([(t(10, 5), "click", 1.0), (t(10, 20), "click", 2.0)])
+    assert out1 == []
+    # batch 2: 12:00 event advances watermark to 11:50 -> 10:00 window emits
+    out2 = run_batch([(t(12, 0), "click", 4.0)])
+    assert ("2025-01-01 10:00:00", "click", 2, 3.0) in out2
+    # batch 3: a too-late event (10:30 < watermark) must be dropped;
+    # 14:00 advances the watermark past the 12:00 window
+    out3 = run_batch([(t(10, 30), "click", 100.0), (t(14, 0), "click", 8.0)])
+    assert ("2025-01-01 12:00:00", "click", 1, 4.0) in out3
+    # the dropped late event never surfaces in any 10:00-window row
+    assert not any(r[0] == "2025-01-01 10:00:00" and r[3] != 3.0 for r in out3)
+
+
 def test_new_links_stateful_across_batches(spark, tmp_path):
     import datetime as dt
 
