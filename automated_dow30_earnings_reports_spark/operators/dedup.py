@@ -315,6 +315,113 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster assignment — connected components over near-dup pair edges.
+# The step after pair detection in a real dedup pipeline: each document
+# gets a cluster id (the component's min doc_id) so one keeper per
+# cluster survives. Iterative min-label propagation in Spark; the oracle
+# is exact via DuckDB's recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id_a, id_b) undirected edges → (doc_id, cluster_id=min reachable
+    id). Driver-loop label propagation: each round every node adopts the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds. Lineage cut per round (localCheckpoint) — the
+    iterative-algorithm pattern shared with the BFS crawl."""
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias(
+                    "new_cluster_id"
+                ),
+                "cluster_id",
+            )
+        )
+        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).isEmpty()
+        labels = updated.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+        if changed:
+            break
+    return labels
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHD_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
+      FROM shd sa JOIN shd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes za ON za.doc_id = id_a
+      JOIN sizes zb ON zb.doc_id = id_b
+      WHERE 1.0 * i / (za.sz + zb.sz - i) >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT node                          AS doc_id,
+           CAST(MIN(label) AS BIGINT)    AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
+@_register("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: jaccard ≥ 0.5 pairs (tier-3 edges) → connected
+    components → (doc_id, cluster_id). The oracle computes the same
+    components with a recursive CTE, so the iterative Spark loop is
+    value-checked, not just row-counted."""
+    shd = doc_shingles(spark, sf_dir).persist()
+    sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    edges = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .where(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(edges).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Tier 4 — SimHash (64-bit, md5-nibble construction)
 # ---------------------------------------------------------------------------
 

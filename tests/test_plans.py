@@ -27,7 +27,7 @@ PYTHON_STAGE_QUERIES = {
 
 # Iterative driver loops: building the DataFrame executes jobs
 # (localCheckpoint); excluded here, covered by their own tests.
-ITERATIVE_QUERIES = {"crawl_bfs", "pipeline_end_to_end"}
+ITERATIVE_QUERIES = {"crawl_bfs", "pipeline_end_to_end", "dedup_clusters"}
 
 _PYTHON_NODES = re.compile(r"EvalPython|MapInPandas|FlatMapGroupsInPandas|PythonUDF")
 
