@@ -50,7 +50,6 @@ def fetch_stage(
 ) -> DataFrame:
     """Fetch every row's ``url_col``; append FETCH_RESULT_FIELDS."""
     out_schema = StructType(list(df.schema.fields) + FETCH_RESULT_FIELDS)
-    in_cols = [f.name for f in df.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()  # one session per partition

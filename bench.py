@@ -50,6 +50,11 @@ HEADLINE = [
     "multimodal_frame_sample",
     "html_table_scan",
     "html_clean",
+    "dedup_clusters",
+    "rollup_flag_status",
+    "range_join_ship_window",
+    "user_event_deltas",
+    "salted_skew_agg",
 ]
 
 
