@@ -245,3 +245,170 @@ def keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation operators: repetition detection, rule-based
+# quality gates (Gopher-style), deterministic dataset splits. These are
+# the filters an LLM data pipeline runs between dedup and tokenization.
+# ---------------------------------------------------------------------------
+
+
+def shingles3(text: Column) -> Column:
+    """Word 3-shingles array (same construction as operators/dedup)."""
+    t = tokens_col(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.array_join(F.slice(t, i, 3), " "),
+    )
+    return F.when(F.size(t) >= 3, make).otherwise(F.array().cast("array<string>"))
+
+
+@_register(
+    "text_repetition",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+                  THEN [array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                        FOR i IN range(1, len(string_split_regex(trim(text), '\\s+')) - 1)]
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT)                                   AS n_shingles,
+           ROUND(1.0 - 1.0 * len(list_distinct(s)) / len(s), 4)     AS dup_frac
+    FROM sh WHERE len(s) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicate 3-shingles —
+    the repetition quality rule (high dup_frac = boilerplate/spam).
+    Array-local computation: zero shuffles, zero explodes."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles3(F.col("text"))
+    out = d.select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.round(
+            1.0 - F.size(F.array_distinct(sh)) / F.size(sh), 4
+        ).alias("dup_frac"),
+    )
+    return out.where(F.col("n_shingles") > 0).orderBy("doc_id")
+
+
+_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END)" for m in EN_STOPWORDS
+)
+
+
+@_register(
+    "quality_filter_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             1.0 * length(text) / len(toks) AS avg_wlen,
+             {_STOP_SQL} AS n_stop,
+             1.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text)
+               AS sym_frac
+      FROM t
+    ),
+    rules AS (
+      SELECT doc_id,
+             (n_words BETWEEN 20 AND 100000)  AS pass_len,
+             (avg_wlen BETWEEN 2 AND 12)      AS pass_avg_wlen,
+             (n_stop >= 2)                    AS pass_stopwords,
+             (sym_frac < 0.1)                 AS pass_symbols
+      FROM feat
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
+           CAST(COUNT(*) FILTER (pass_len) AS BIGINT)                 AS n_pass_len,
+           CAST(COUNT(*) FILTER (pass_avg_wlen) AS BIGINT)            AS n_pass_avg_wlen,
+           CAST(COUNT(*) FILTER (pass_stopwords) AS BIGINT)           AS n_pass_stopwords,
+           CAST(COUNT(*) FILTER (pass_symbols) AS BIGINT)             AS n_pass_symbols,
+           CAST(COUNT(*) FILTER (pass_len AND pass_avg_wlen AND pass_stopwords
+                                 AND pass_symbols) AS BIGINT)         AS n_pass_all
+    FROM rules
+    """,
+)
+def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality gates (length band, mean word length,
+    stopword floor, symbol ceiling) + the conjunction — the keep/drop
+    decision a curation pipeline applies per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    feat = d.select(
+        F.size(toks).alias("n_words"),
+        (F.length("text") / F.size(toks)).alias("avg_wlen"),
+        marker_score(toks, EN_STOPWORDS).alias("n_stop"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text")
+        ).alias("sym_frac"),
+    )
+    rules = feat.select(
+        F.col("n_words").between(20, 100000).alias("pass_len"),
+        F.col("avg_wlen").between(2, 12).alias("pass_avg_wlen"),
+        (F.col("n_stop") >= 2).alias("pass_stopwords"),
+        (F.col("sym_frac") < 0.1).alias("pass_symbols"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+    return rules.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt("pass_len").alias("n_pass_len"),
+        cnt("pass_avg_wlen").alias("n_pass_avg_wlen"),
+        cnt("pass_stopwords").alias("n_pass_stopwords"),
+        cnt("pass_symbols").alias("n_pass_symbols"),
+        F.sum(
+            F.when(
+                F.col("pass_len")
+                & F.col("pass_avg_wlen")
+                & F.col("pass_stopwords")
+                & F.col("pass_symbols"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass_all"),
+    )
+
+
+@_register(
+    "deterministic_split",
+    """
+    WITH h AS (
+      SELECT lang,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS p
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN p < 80 THEN 'train' WHEN p < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM h GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test assignment: the split is a pure
+    function of the document id (md5-derived), so it is stable across
+    runs, machines, and data re-partitioning — no rand(), no seed
+    drift. 80/10/10 by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    p = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(p < 80, "train").when(p < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select("lang", split)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
