@@ -3,7 +3,11 @@
 Four tiers, all built from JVM builtins (no Python UDFs), each with a
 DuckDB oracle. Hash functions are md5-based because md5 is bit-identical
 across engines; minhashing uses the *lexicographic* min of
-md5(seed || shingle), which is a valid min-wise hash family.
+md5(seed || shingle), which is a valid min-wise hash family
+(Broder 1997, "On the resemblance and containment of documents";
+banding analysis per Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch.3). SimHash follows Charikar 2002 ("Similarity estimation
+techniques from rounding algorithms").
 
 Scale design (100 TB):
   - exact dedup: hash-groupBy — one shuffle on the digest, map-side

@@ -16,6 +16,12 @@ Three operators over `embeddings.embedding` (array<float>, 64-dim):
 All math stays JVM-side: `F.zip_with`/`F.aggregate` fold the arrays in
 document order, matching DuckDB's list_dot_product evaluation. Cosines
 are rounded to 6 decimals in outputs to absorb last-ulp divergence.
+
+ANN structure follows the public literature: random-hyperplane LSH per
+Charikar 2002; IVF coarse quantization per Jégou et al. 2011 ("Product
+quantization for nearest neighbor search" — the IVF part, without PQ
+residual coding); blocked GEMM top-k is the standard exact-baseline
+formulation for unit-normalized vectors.
 """
 
 from __future__ import annotations
@@ -311,6 +317,97 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     cand = cells.join(F.broadcast(q), "cell").where(F.col("vec_id") != F.col("query_id"))
+    scored_q = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored_q.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+IVF_NPROBE = 2
+
+
+def _ivf_probe2_oracle() -> str:
+    cos_vc = _COS_SQL.format(a="v.emb", b="c.ce")
+    cos_qn = _COS_SQL.format(a="q.emb", b="n.emb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_vc} DESC, c.cid) AS rn
+      FROM e v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM assign
+      WHERE vec_id < {N_QUERY_VECS} AND rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT qp.query_id, n.vec_id AS neighbor_id, {cos_qn} AS cos
+      FROM qprobe qp
+      JOIN e q ON q.vec_id = qp.query_id
+      JOIN cells nc ON nc.cell = qp.cell AND nc.vec_id <> qp.query_id
+      JOIN e n ON n.vec_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@_register("similarity_ann_ivf_probe2", _ivf_probe2_oracle())
+def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): queries search their two nearest
+    cells, trading 2x candidates for recall — the standard IVF recall
+    knob. Same broadcast-assignment plan as nprobe=1; the probe list is
+    just the top-2 rows of the assignment ranking."""
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "norm",
+        "cid",
+        (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    ranked_cells = scored.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked_cells.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cell"), "emb", "norm"
+    )
+    qprobe = ranked_cells.where(
+        (F.col("vec_id") < N_QUERY_VECS) & (F.col("rn") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    qvec = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    probes = qprobe.join(F.broadcast(qvec), "query_id")
+    cand = cells.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
     scored_q = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -4,6 +4,12 @@ scoring, ref find_IR_pgs_v1.py:98-112 and enhanced_selenium_scraper.py:641-679).
 Everything is built from JVM builtins over the token array — no Python
 in the hot path. At 100 TB each of these is a single narrow scan with
 map-side aggregation: no shuffles except the final small groupBy.
+
+The curation rules at the bottom follow the public LLM-data-pipeline
+literature: repetition and hard quality gates per Gopher (Rae et al.
+2021, "Scaling Language Models", §A1.1) and C4-style heuristics
+(Raffel et al. 2020); content-addressed splits are the standard
+hash-mod-100 scheme.
 """
 
 from __future__ import annotations

@@ -1,0 +1,33 @@
+"""connected_components unit semantics: multi-hop convergence, multiple
+components, isolated pair symmetry."""
+
+from __future__ import annotations
+
+from automated_dow30_earnings_reports_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+
+
+def test_chain_converges_across_iterations(spark):
+    # path 1-2-3-4-5: label 1 must propagate 4 hops
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_edge_direction_irrelevant(spark):
+    # min id on the b-side: cluster id is still the component min
+    got = _cc(spark, [(5, 1), (5, 9)])
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_cycle(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got == {1: 1, 2: 1, 3: 1}
