@@ -1,0 +1,284 @@
+"""Training-data curation at corpus scale: benchmark-contamination
+detection, sequence packing, stratified sampling, and embedding-column
+maintenance (centroids, int8 quantization).
+
+These extend the reference's keyword-scoring / dedup surface
+(`src/enhanced_selenium_scraper.py:641-679`, `:112-120`) to the
+operations a 100 TB LLM data pipeline runs between cleaning and
+tokenization. Everything here is built-in-function Spark (zero Python
+UDFs) so the whole module stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.operators.textstats import tokens_col
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingle array (generalizes textstats.shingles3)."""
+    t = tokens_col(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def split_bucket(key: Column) -> Column:
+    """0-99 content-addressed bucket (same construction as
+    textstats.deterministic_split): stable across runs/partitioning."""
+    h = F.md5(key.cast("string"))
+    return (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+
+
+# DuckDB twins of the helpers above (kept adjacent so drift is obvious).
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_BUCKET = (
+    "(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100"
+)
+
+
+@_register(
+    "contamination_ngram",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             {_SQL_BUCKET} AS bucket,
+             CASE WHEN len({_SQL_TOKS}) >= 5
+                  THEN [array_to_string({_SQL_TOKS}[i:i+4], ' ')
+                        FOR i IN range(1, len({_SQL_TOKS}) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE bucket >= 90
+    ),
+    train AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE bucket < 80
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: train-split documents sharing any
+    word 5-gram with the held-out test split, with the count of
+    distinct leaked shingles. The test-side distinct shingle set is
+    orders of magnitude smaller than the corpus, so Catalyst/AQE
+    broadcasts it and the scan side never shuffles its text."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        split_bucket(F.col("doc_id")).alias("bucket"),
+        word_shingles(F.col("text"), 5).alias("s"),
+    )
+    bench = (
+        sh.where(F.col("bucket") >= 90)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    train = sh.where(F.col("bucket") < 80).select(
+        "doc_id", F.explode("s").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: documents are laid out in a
+    deterministic order and cut into 2048-token training bins by
+    running-offset division — the streaming-friendly packing strategy
+    (vs. first-fit, which is inherently sequential). Partitioned by
+    lang so the ordering window parallelizes per shard instead of
+    collapsing to one partition."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "lang",
+            F.floor((F.col("cum") - F.col("n_tok")) / 2048).cast("bigint").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT lang, source, {_SQL_BUCKET} AS bucket FROM documents
+    ),
+    r AS (
+      SELECT lang, source, bucket,
+             CASE WHEN source = 'web' THEN 25
+                  WHEN source = 'pdf' THEN 50
+                  ELSE 100 END AS rate
+      FROM b
+    )
+    SELECT lang,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (bucket < rate) AS BIGINT) AS n_sampled
+    FROM r GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (domain mixing): each
+    source gets its own keep-rate, membership is content-addressed
+    (md5 bucket < rate), so the sample is reproducible under
+    re-partitioning and incremental appends — no rand() seeds. Single
+    map-side pass + one tiny aggregate shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "web", 25)
+        .when(F.col("source") == "pdf", 50)
+        .otherwise(100)
+    )
+    b = d.select(
+        "lang",
+        "source",
+        split_bucket(F.col("doc_id")).alias("bucket"),
+        rate.alias("rate"),
+    )
+    return (
+        b.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_register(
+    "embedding_centroid",
+    """
+    SELECT label,
+           i AS dim,
+           ROUND(AVG(embedding[i]), 6) AS c
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (the reduce step of
+    k-means / class prototypes). posexplode + groupBy(label, dim) keeps
+    the aggregation map-side-combinable and never materializes a
+    per-label vector list — the formulation that survives labels with
+    billions of members."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .orderBy("label", "dim")
+    )
+
+
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qv
+      FROM (
+        SELECT label, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings
+      )
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)          AS n_vecs,
+           CAST(SUM(list_sum(qv)) AS BIGINT) AS sum_q,
+           CAST(MAX(list_max(qv)) AS BIGINT) AS max_q
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling, the
+    standard ANN-index compression): array-local transform, zero
+    shuffles until the audit aggregate. floor(x+0.5) rounding is used
+    on both engines because round()'s half-tie rule differs between
+    them."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x * F.lit(127.0) / F.col("m") + F.lit(0.5)).cast("bigint"),
+    )
+    q = e.select("label", m.alias("m"), "embedding").select(
+        "label", qv.alias("qv")
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_q"),
+            F.max(F.array_max("qv")).cast("bigint").alias("max_q"),
+        )
+        .orderBy("label")
+    )

@@ -28,6 +28,8 @@ _MODULES = [
     f"{_PKG}.operators.textstats",
     f"{_PKG}.operators.multimodal",
     f"{_PKG}.operators.skew",
+    f"{_PKG}.operators.asof",
+    f"{_PKG}.operators.curation",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
     f"{_PKG}.pipeline.orchestrate",

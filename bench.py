@@ -52,6 +52,9 @@ HEADLINE = [
     "html_clean",
     "dedup_clusters",
     "rollup_flag_status",
+    "asof_join_prior_click",
+    "contamination_ngram",
+    "sequence_packing",
     "range_join_ship_window",
     "user_event_deltas",
     "salted_skew_agg",
