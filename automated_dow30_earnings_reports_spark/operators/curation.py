@@ -88,11 +88,13 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude smaller than the corpus, so Catalyst/AQE
     broadcasts it and the scan side never shuffles its text."""
     d = load_table(spark, sf_dir, "documents")
+    # Shingle arrays feed both the bench-side distinct and the train-side
+    # explode; persist() tokenizes the corpus once, not twice.
     sh = d.select(
         "doc_id",
         split_bucket(F.col("doc_id")).alias("bucket"),
         word_shingles(F.col("text"), 5).alias("s"),
-    )
+    ).persist()
     bench = (
         sh.where(F.col("bucket") >= 90)
         .select(F.explode("s").alias("g"))

@@ -333,9 +333,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     min label among itself and its neighbors; converges in O(component
     diameter) rounds. Lineage cut per round (localCheckpoint) — the
     iterative-algorithm pattern shared with the BFS crawl."""
-    both = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    both = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        # Materialize the edge list ONCE. Edge generation upstream is the
+        # expensive part (e.g. a shingle self-join); without this cut every
+        # iteration's join would re-run that whole subplan.
+        .localCheckpoint(eager=True)
+    )
     labels = (
         both.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -357,12 +364,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ),
                 "cluster_id",
             )
+            .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).isEmpty()
-        labels = updated.select(
-            "doc_id", F.col("new_cluster_id").alias("cluster_id")
-        ).localCheckpoint(eager=True)
-        if changed:
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).isEmpty():
             break
     return labels
 
