@@ -284,3 +284,83 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_register(
+    "pii_redact",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           regexp_replace(c_name, '#\\d{7}', '#*******') AS masked_name,
+           substr(md5(c_name), 1, 12) AS pseudonym,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing triple over an identity-bearing table: mask (regex
+    blanks all but the last 2 digits of the customer id embedded in the
+    name), pseudonymize (md5-derived stable token, so joins across
+    scrubbed datasets still line up), generalize (account balance into
+    1000-unit bands, k-anonymity style). All three are row-local builtin
+    expressions — a pure map stage with zero shuffles, so the scrub pass
+    streams through 100 TB at scan speed."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.regexp_replace("c_name", r"#\d{7}", "#*******").alias("masked_name"),
+        F.substring(F.md5(F.col("c_name").cast("binary")), 1, 12).alias("pseudonym"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+    ).orderBy("c_custkey")
+
+
+@_register(
+    "domain_mixture_weights",
+    f"""
+    WITH t AS (
+      SELECT source, len({_SQL_TOKS}) AS ntok FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT)  AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND((SELECT 1.0 * sum(n_tokens) FROM per)
+                 / (SELECT count(*) FROM per) / n_tokens, 6) AS weight
+    FROM per ORDER BY source
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token counts and the sampling
+    weight that would equalize every source's token share (weight =
+    uniform target share / actual share). The per-source aggregate is
+    one map-side-combined shuffle; the corpus totals are a one-row
+    aggregate broadcast back — the scalar-subquery-as-broadcast-join
+    pattern, no second pass over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens_col(F.col("text"))).alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("corpus_tokens"), F.count("*").alias("n_sources")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("corpus_tokens") / F.col("n_sources") / F.col("n_tokens"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -31,7 +31,7 @@ tier; near-dup tiers are the BASELINE.json mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_dow30_earnings_reports_spark.tables import load_table
@@ -372,8 +372,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def _clusters_oracle() -> str:
-    return f"""
+_COMPONENTS_SQL = f"""
     WITH RECURSIVE {_SHD_SQL},
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     inter AS (
@@ -396,20 +395,26 @@ def _clusters_oracle() -> str:
       SELECT src, src FROM und
       UNION
       SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (
+      SELECT node                       AS doc_id,
+             CAST(MIN(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
     )
-    SELECT node                          AS doc_id,
-           CAST(MIN(label) AS BIGINT)    AS cluster_id
-    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    {_COMPONENTS_SQL}
+    SELECT doc_id, cluster_id FROM comp ORDER BY doc_id
     """
 
 
-@_register("dedup_clusters", _clusters_oracle())
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: jaccard ≥ 0.5 pairs (tier-3 edges) → connected
-    components → (doc_id, cluster_id). The oracle computes the same
-    components with a recursive CTE, so the iterative Spark loop is
-    value-checked, not just row-counted."""
-    shd = doc_shingles(spark, sf_dir).persist()
+def _ngram_edges(shd: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Tier-3 near-dup pair edges: inverted-index self-join + exact
+    jaccard ≥ threshold (the shared edge generator for clustering and
+    retention)."""
     sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -421,13 +426,130 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
     za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    edges = (
+    return (
         inter.join(za, "id_a")
         .join(zb, "id_b")
-        .where(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")) >= 0.5)
+        .where(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")) >= threshold)
         .select("id_a", "id_b")
     )
-    return connected_components(edges).orderBy("doc_id")
+
+
+@_register("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: jaccard ≥ 0.5 pairs (tier-3 edges) → connected
+    components → (doc_id, cluster_id). The oracle computes the same
+    components with a recursive CTE, so the iterative Spark loop is
+    value-checked, not just row-counted."""
+    shd = doc_shingles(spark, sf_dir).persist()
+    return connected_components(_ngram_edges(shd)).orderBy("doc_id")
+
+
+@_register(
+    "dedup_cluster_canonical",
+    f"""
+    {_COMPONENTS_SQL}
+    SELECT doc_id,
+           cluster_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY d.n_chars DESC, doc_id ASC) = 1
+                AS BIGINT) AS is_keeper
+    FROM comp JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy on near-dup clusters: within each connected
+    component, keep the highest-quality member (longest text, ties to
+    the lowest doc_id) and flag the rest for dropping — the decision
+    step a dedup pipeline runs after clustering. The quality join and
+    per-cluster ranking are one broadcast-or-shuffle join plus one
+    window over cluster_id; cluster cardinalities are tiny, so the
+    window never skews."""
+    shd = doc_shingles(spark, sf_dir).persist()
+    labels = connected_components(_ngram_edges(shd))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn(
+            "is_keeper", (F.row_number().over(w) == 1).cast("bigint")
+        )
+        .select("doc_id", "cluster_id", "is_keeper")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3b — document-frequency-capped candidate generation (the 100 TB
+# form of the inverted-index join). A shingle appearing in d documents
+# contributes O(d^2) candidate pairs; past a cap it cannot indicate
+# near-duplication (it is boilerplate), so production dedup pipelines
+# drop it BEFORE the self-join. Verification stays exact over the FULL
+# shingle sets, so precision is unchanged — the cap only bounds the
+# quadratic term.
+# ---------------------------------------------------------------------------
+
+MAX_SHINGLE_DF = 20
+
+
+@_register(
+    "dedup_ngram_dfcap",
+    f"""
+    WITH {_SHD_SQL},
+    rare AS (
+      SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+      FROM shd sa
+      JOIN rare r ON r.shingle = sa.shingle
+      JOIN shd sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.id_a
+      JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(1.0 * i / (za.sz + zb.sz - i), 3) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE 1.0 * i / (za.sz + zb.sz - i) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped exact near-dup: candidates come only from shingles in
+    ≤ {MAX_SHINGLE_DF} documents (bounding the self-join blowup), then
+    exact jaccard over full shingle sets ≥ 0.5. The oracle applies the
+    identical cap, so the scale-path semantics themselves are
+    value-checked — not just asserted to approximate the uncapped
+    tier."""
+    shd = doc_shingles(spark, sf_dir).persist()
+    rare = (
+        shd.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sa = shd.join(rare, "shingle").select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        verified_jaccard(cand, shd)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------

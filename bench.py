@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_dfcap",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
@@ -58,6 +59,8 @@ HEADLINE = [
     "range_join_ship_window",
     "user_event_deltas",
     "salted_skew_agg",
+    "pii_redact",
+    "domain_mixture_weights",
 ]
 
 

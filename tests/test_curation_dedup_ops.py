@@ -1,0 +1,90 @@
+"""Property tests for the PII scrub, mixture weights, DF-capped
+near-dup, and cluster-canonical retention operators (sf0.001 inputs).
+
+Oracle value-parity is covered by driver_sim / the driver; these pin
+the semantic invariants the oracles alone don't state explicitly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.operators.curation import (
+    domain_mixture_weights,
+    pii_redact,
+)
+from automated_dow30_earnings_reports_spark.operators.dedup import (
+    dedup_cluster_canonical,
+    dedup_ngram_dfcap,
+    dedup_ngram_jaccard,
+)
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_masks_all_but_last_two_digits(spark):
+    rows = pii_redact(spark, SF).collect()
+    n_customers = load_table(spark, SF, "customer").count()
+    assert len(rows) == n_customers
+    for r in rows[:50]:
+        assert re.fullmatch(r"Customer#\*{7}\d{2}", r.masked_name)
+        assert len(r.pseudonym) == 12
+        assert r.acctbal_band % 1000 == 0
+
+
+def test_pii_redact_pseudonym_is_stable_and_distinct(spark):
+    out = pii_redact(spark, SF)
+    # deterministic: same input -> same pseudonym on a second run
+    a = {r.c_custkey: r.pseudonym for r in out.collect()}
+    b = {r.c_custkey: r.pseudonym for r in pii_redact(spark, SF).collect()}
+    assert a == b
+    # distinct names -> distinct pseudonyms (md5 prefix, no collisions here)
+    assert len(set(a.values())) == len(a)
+
+
+def test_mixture_weights_equalize_token_shares(spark):
+    rows = domain_mixture_weights(spark, SF).collect()
+    total = sum(r.n_tokens for r in rows)
+    k = len(rows)
+    target = total / k
+    for r in rows:
+        # weight * actual tokens ≈ uniform share (round(…,6) tolerance)
+        assert abs(r.weight * r.n_tokens - target) < target * 1e-4
+
+
+def test_dfcap_pairs_subset_of_exact_with_same_jaccard(spark):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard for r in dedup_ngram_jaccard(spark, SF).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard for r in dedup_ngram_dfcap(spark, SF).collect()
+    }
+    # DF-capping only prunes candidates; verification is identical, so
+    # every surviving pair must appear in the exact tier with the same
+    # jaccard value.
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j == exact[pair]
+
+
+def test_cluster_canonical_one_keeper_per_cluster(spark):
+    rows = dedup_cluster_canonical(spark, SF).collect()
+    assert rows, "sf0.001 documents contain near-dup clusters"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.is_keeper == 1]
+        assert len(keepers) == 1
+        keeper = keepers[0]
+        best = max(chars[m.doc_id] for m in members)
+        assert chars[keeper.doc_id] == best
+        # cluster id is the component's min doc_id and a member
+        assert cid == min(m.doc_id for m in members)
