@@ -72,11 +72,14 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → distinct (doc_id, shingle) rows."""
+    """documents → distinct (doc_id, shingle) rows. Distinctness is
+    per-document, so array_distinct BEFORE the explode produces the set
+    map-side — no shuffle, unlike explode + DataFrame distinct (which
+    would shuffle every shingle row in the corpus)."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle"))
-        .distinct()
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("shingle"),
     )
 
 
@@ -490,6 +493,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MAX_SHINGLE_DF = 20
+MIN_SHARED_SHINGLES = 3
 
 
 @_register(
@@ -500,10 +504,11 @@ MAX_SHINGLE_DF = 20
       SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
     ),
     cand AS (
-      SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
       FROM shd sa
       JOIN rare r ON r.shingle = sa.shingle
       JOIN shd sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED_SHINGLES}
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     inter AS (
@@ -524,9 +529,13 @@ MAX_SHINGLE_DF = 20
 )
 def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DF-capped exact near-dup: candidates come only from shingles in
-    ≤ {MAX_SHINGLE_DF} documents (bounding the self-join blowup), then
-    exact jaccard over full shingle sets ≥ 0.5. The oracle applies the
-    identical cap, so the scale-path semantics themselves are
+    ≤ MAX_SHINGLE_DF documents (bounding the self-join blowup) AND must
+    share ≥ MIN_SHARED_SHINGLES of them (one shared rare shingle is
+    noise; a near-dup at jaccard 0.5 shares dozens). The count gate
+    turns the candidate set from "every pair with any rare shingle in
+    common" — quadratic in practice — into a near-dup-only set, so the
+    exact-jaccard verification join stays tiny. The oracle applies the
+    identical cap + gate, so the scale-path semantics themselves are
     value-checked — not just asserted to approximate the uncapped
     tier."""
     shd = doc_shingles(spark, sf_dir).persist()
@@ -541,8 +550,10 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         sa.join(sb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i_rare"))
+        .where(F.col("i_rare") >= MIN_SHARED_SHINGLES)
         .select("id_a", "id_b")
-        .distinct()
     )
     return (
         verified_jaccard(cand, shd)

@@ -14,7 +14,7 @@ hash-mod-100 scheme.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_dow30_earnings_reports_spark.tables import load_table
@@ -417,4 +417,98 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "split")
+    )
+
+
+@_register(
+    "vocab_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT)               AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY term
+    ORDER BY tf DESC, term ASC LIMIT 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the 50 most frequent corpus terms with
+    document frequency — the seed step of tokenizer training (BPE's
+    initial unigram table). One explode + one map-side-combined
+    aggregate; the top-k is TakeOrderedAndProject, so only 50 rows per
+    partition ever reach the driver-side merge."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.count_distinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             ln((SELECT COUNT(*) FROM documents) * 1.0 / COUNT(DISTINCT doc_id)) AS idf
+      FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             ROUND(tf.tf * idf.idf, 4) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rn
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (the classic keyword
+    extractor). Term frequencies and document frequencies are two
+    aggregates over one exploded scan; N arrives as a one-row broadcast
+    (scalar-subquery pattern); the per-doc top-3 is a window over
+    doc_id — which is also the natural partitioning at 100 TB, so the
+    rank never concentrates on one executor."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.select(F.count("*").alias("n"))
+    idf = (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n") * 1.0 / F.col("df")).alias("idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") * F.col("idf")), F.asc("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.desc("tfidf"), "term")
     )

@@ -42,6 +42,8 @@ HEADLINE = [
     "similarity_ann_ivf",
     "text_token_count",
     "text_lang_id",
+    "vocab_topk",
+    "tfidf_top_terms",
     "extract_year_quarter",
     "llm_extract_udtf",
     "download_ledger",
@@ -72,8 +74,18 @@ def main() -> int:
     spark = get_spark("dow30-bench")
     qs = entrymod.queries()
 
-    # warm the JVM/codegen paths outside the timed region
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up pass outside the timed region: each headline query once at
+    # sf0.001. Whole-stage-codegen classes are cached by generated source,
+    # which depends on plan shape, not data size — so this compiles + JITs
+    # every timed plan against 1% of the data, and the timed numbers below
+    # measure steady-state engine throughput, not first-call compilation.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(SF_DIR):
+        for name in HEADLINE:
+            if name in qs:
+                qs[name](spark, warm_sf).collect()
+    else:
+        spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

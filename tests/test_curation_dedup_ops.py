@@ -88,3 +88,27 @@ def test_cluster_canonical_one_keeper_per_cluster(spark):
         assert chars[keeper.doc_id] == best
         # cluster id is the component's min doc_id and a member
         assert cid == min(m.doc_id for m in members)
+
+
+def test_vocab_topk_sorted_and_bounded(spark):
+    from automated_dow30_earnings_reports_spark.operators.textstats import vocab_topk
+
+    rows = vocab_topk(spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    tfs = [r.tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert all(r.df <= r.tf for r in rows)
+
+
+def test_tfidf_top3_per_doc(spark):
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    rows = tfidf_top_terms(spark, SF).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.tfidf)
+    assert all(len(v) <= 3 for v in per_doc.values())
+    # within a doc the scores are non-increasing
+    assert all(v == sorted(v, reverse=True) for v in per_doc.values())

@@ -27,7 +27,12 @@ PYTHON_STAGE_QUERIES = {
 
 # Iterative driver loops: building the DataFrame executes jobs
 # (localCheckpoint); excluded here, covered by their own tests.
-ITERATIVE_QUERIES = {"crawl_bfs", "pipeline_end_to_end", "dedup_clusters"}
+ITERATIVE_QUERIES = {
+    "crawl_bfs",
+    "pipeline_end_to_end",
+    "dedup_clusters",
+    "dedup_cluster_canonical",
+}
 
 _PYTHON_NODES = re.compile(r"EvalPython|MapInPandas|FlatMapGroupsInPandas|PythonUDF")
 

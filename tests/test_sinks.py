@@ -80,3 +80,20 @@ def test_links_text_sink_roundtrip(spark, tmp_path):
     assert " link_type='" not in line
     back = parse_kv_lines(raw)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_orc_roundtrip_documents(spark, tmp_path):
+    # ORC is the third columnar format the engine round-trips (with
+    # parquet and the reference's CSV/JSON/text); schema and values
+    # must survive unchanged.
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = {r.doc_id: r.n_chars for r in src.select("doc_id", "n_chars").collect()}
+    b = {r.doc_id: r.n_chars for r in back.select("doc_id", "n_chars").collect()}
+    assert a == b
