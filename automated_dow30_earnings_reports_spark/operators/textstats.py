@@ -14,6 +14,8 @@ hash-mod-100 scheme.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -512,3 +514,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+@_register(
+    "length_mad_udaf",
+    """
+    WITH m AS (
+      SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT)                  AS n_docs,
+           ROUND(median(abs(d.n_chars - m.med)), 1)  AS mad_chars
+    FROM documents d JOIN m USING (source)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def length_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of document length per source — the
+    robust spread statistic quality pipelines use for outlier gates.
+    Implemented as a TRUE Pandas UDAF (grouped-agg pandas_udf): medians
+    are holistic (not partial-aggregatable), so Spark ships each
+    group's column to Python as one Arrow batch and the UDAF reduces it
+    with numpy. This completes the §2.10 surface: scalar pandas UDFs,
+    mapInPandas UDTFs, applyInPandas blocks, and a grouped-agg UDAF.
+    At 100 TB the same query bounds per-group batch size by
+    pre-bucketing or switches to approx_percentile — the tolerance
+    pattern pinned in tests/test_scale_features.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        import numpy as np
+
+        a = v.to_numpy(dtype="float64")
+        return float(np.median(np.abs(a - np.median(a))))
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    mads = d.groupBy("source").agg(
+        F.round(mad(F.col("n_chars")), 1).alias("mad_chars")
+    )
+    return counts.join(mads, "source").orderBy("source")

@@ -193,3 +193,101 @@ def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "event_value_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                            AS n,
+           ROUND(AVG(value), 4)                                AS avg_value,
+           ROUND(stddev_samp(value), 4)                        AS sd_value,
+           ROUND(corr(value, floor(epoch(ts))), 4)             AS corr_value_time
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per group: sample stddev and the
+    value-vs-time correlation (drift detector). All three are
+    single-pass partial-aggregatable — Spark computes (n, Σx, Σx²,
+    Σxy) map-side and merges, so the shuffle carries one tiny struct
+    per (partition, group)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev("value"), 4).alias("sd_value"),
+            F.round(
+                F.corr("value", F.unix_timestamp("ts").cast("double")), 4
+            ).alias("corr_value_time"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "gapfill_daily_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, SUM(value) AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    filled AS (
+      SELECT g.user_id, g.day,
+             COALESCE(d.n, 0) AS n_events,
+             last_value(d.tot IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d')   AS day,
+           CAST(n_events AS BIGINT)    AS n_events,
+           ROUND(carried, 2)           AS carried_total
+    FROM filled ORDER BY user_id, day
+    """,
+)
+def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily grid (sequence +
+    explode — no driver loop), zero-filled counts, and
+    last-observation-carried-forward totals via last(ignorenulls) over
+    an ordered window. The grid explode is linear in users × days and
+    partitions by user_id, the same key the window needs — one
+    shuffle end to end."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.last("tot", ignorenulls=True).over(w), 2).alias(
+                "carried_total"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )

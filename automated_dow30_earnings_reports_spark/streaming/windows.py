@@ -146,3 +146,68 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_stats(ev).orderBy("user_id", "session_start")
+
+
+def interval_join_attribution(
+    views: DataFrame, clicks: DataFrame, horizon_sec: int = 900
+) -> DataFrame:
+    """Stream-stream interval join: each click attributed to every view
+    by the same user in the preceding ``horizon_sec`` seconds. The
+    time-range condition bounds BOTH event-time columns, which is what
+    lets Structured Streaming expire join state at the watermark —
+    state per key never exceeds the horizon. The same body runs in
+    batch (the oracle path) and on two readStream inputs
+    (tests/test_streaming.py)."""
+    v = views.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")),
+        "inner",
+    )
+
+
+@_register(
+    "click_attribution_15m",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts
+      FROM events
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM s v
+    JOIN s c ON c.user_id = v.user_id
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 900 SECOND
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def click_attribution_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the interval join: per-user count of (view, click)
+    pairs within 15 minutes. Timestamps are truncated to whole seconds
+    on both engines so boundary pairs can't flip on sub-second
+    precision differences (events.parquet is nanos; Spark loads micros).
+    The join shuffles once on user_id; the range predicate is a
+    post-probe residual, exactly like range_join_ship_window."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    views = e.where(F.col("event_type") == "view")
+    clicks = e.where(F.col("event_type") == "click")
+    return (
+        interval_join_attribution(views, clicks)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_attributed"))
+        .orderBy("user_id")
+    )

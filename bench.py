@@ -44,6 +44,7 @@ HEADLINE = [
     "text_lang_id",
     "vocab_topk",
     "tfidf_top_terms",
+    "length_mad_udaf",
     "extract_year_quarter",
     "llm_extract_udtf",
     "download_ledger",
@@ -60,6 +61,9 @@ HEADLINE = [
     "sequence_packing",
     "range_join_ship_window",
     "user_event_deltas",
+    "event_value_stats",
+    "gapfill_daily_locf",
+    "click_attribution_15m",
     "salted_skew_agg",
     "pii_redact",
     "domain_mixture_weights",

@@ -23,6 +23,7 @@ PYTHON_STAGE_QUERIES = {
     "multimodal_audio_features",
     "similarity_top_pairs_blocked",
     "dedup_embedding_cosine",
+    "length_mad_udaf",
 }
 
 # Iterative driver loops: building the DataFrame executes jobs
@@ -67,7 +68,10 @@ def test_python_stage_queries_are_arrow_batched(name, spark, sf_correctness):
     plan = _plan_of(e.queries()[name](spark, sf_correctness))
     # batched Arrow nodes only — never row-at-a-time BatchEvalPython
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
-    assert re.search(r"MapInPandas|FlatMapGroupsInPandas", plan), name
+    assert re.search(
+        r"MapInPandas|FlatMapGroupsInPandas|AggregateInPandas|ArrowAggregatePython",
+        plan,
+    ), name
 
 
 def test_flagship_plan_is_broadcast_only_with_pushdown(spark, sf_correctness):

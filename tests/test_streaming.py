@@ -56,3 +56,33 @@ def test_stream_matches_batch(spark, sf_smoke, events_stream_dir, name, transfor
 
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_stream_dir):
+    from automated_dow30_earnings_reports_spark.streaming.windows import (
+        interval_join_attribution,
+    )
+
+    e = load_table(spark, sf_smoke, "events")
+    batch = interval_join_attribution(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+    ).collect()
+
+    s = _read_events_stream(spark, events_stream_dir)
+    joined = interval_join_attribution(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssjoin").collect()
+
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
