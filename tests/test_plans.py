@@ -89,3 +89,37 @@ def test_enrichment_join_broadcasts(spark, sf_correctness):
 
     plan = _plan_of(e.queries()["enrichment_left_join"](spark, sf_correctness))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_scan_prunes_to_id_and_text(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["tfidf_top_terms"](spark, sf_correctness))
+    # both branches (tf and idf) must read only the two columns they use
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l and "documents" not in l]
+    assert any("doc_id:bigint,text:string" in l for l in reads), reads
+    assert not any("lang" in l or "source" in l or "n_chars" in l for l in reads)
+
+
+def test_attribution_join_pushes_type_filters_and_prunes(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["click_attribution_15m"](spark, sf_correctness))
+    # event-type filters reach the parquet scans; no full-width read
+    assert re.search(r"PushedFilters:.*event_type.*view", plan) or re.search(
+        r"PushedFilters:.*EqualTo\(event_type,view\)", plan
+    ), "view filter not pushed"
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,click\)", plan), (
+        "click filter not pushed"
+    )
+    assert "value:double" not in plan  # unused column never scanned
+
+
+def test_pii_redact_is_map_only(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["pii_redact"](spark, sf_correctness))
+    # a scrub pass must stream at scan speed: no aggregate, no join, and
+    # the only exchange is the final presentation orderBy's range part
+    assert "HashAggregate" not in plan and "Join" not in plan
+    assert plan.count("Exchange") <= 4  # rangepartitioning for orderBy (tree+detail)
