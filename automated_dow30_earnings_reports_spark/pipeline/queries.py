@@ -200,3 +200,67 @@ def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("company")
     )
+
+
+# ---------------------------------------------------------------------------
+# P7 — URL skip patterns (reference: src/scrapers/find_IR_pgs_v1.py:63-81):
+# redirect targets landing on login/SSO/error pages are dropped before
+# any fetch. Negative rlike is a map-side filter, so at 100 TB the
+# frontier never carries dead URLs into the (expensive) fetch stage.
+# ---------------------------------------------------------------------------
+
+SKIP_URL_PATTERN = r"login\.|signin\.|auth\.|oauth|saml|404|not-found|error"
+
+
+@_register(
+    "url_skip_filter",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://ir.example.com/' ||
+             CASE doc_id % 11
+               WHEN 0 THEN 'login.aspx'
+               WHEN 1 THEN 'signin.page'
+               WHEN 2 THEN 'oauth/callback'
+               WHEN 3 THEN 'saml/sso'
+               WHEN 4 THEN 'e/404'
+               WHEN 5 THEN 'not-found'
+               ELSE 'reports/r' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(url, '{SKIP_URL_PATTERN}', 0) = ''
+                  THEN 'kept'
+                  ELSE regexp_extract(url, '{SKIP_URL_PATTERN}', 0) END AS reason
+      FROM u
+    )
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tagged GROUP BY reason ORDER BY reason
+    """,
+)
+def url_skip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-pattern gate over a synthesized redirect-target column:
+    every URL is tagged with the first skip marker it matches ('kept'
+    when clean) and counted per reason — the observability histogram a
+    crawler emits alongside the filter itself."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ir.example.com/"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("login.aspx"))
+        .when(F.col("doc_id") % 11 == 1, F.lit("signin.page"))
+        .when(F.col("doc_id") % 11 == 2, F.lit("oauth/callback"))
+        .when(F.col("doc_id") % 11 == 3, F.lit("saml/sso"))
+        .when(F.col("doc_id") % 11 == 4, F.lit("e/404"))
+        .when(F.col("doc_id") % 11 == 5, F.lit("not-found"))
+        .otherwise(F.concat(F.lit("reports/r"), F.col("doc_id").cast("string"))),
+    )
+    matched = F.regexp_extract(url, SKIP_URL_PATTERN, 0)
+    reason = F.when(matched == "", "kept").otherwise(matched)
+    return (
+        d.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("reason")
+    )

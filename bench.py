@@ -48,6 +48,7 @@ HEADLINE = [
     "extract_year_quarter",
     "llm_extract_udtf",
     "download_ledger",
+    "url_skip_filter",
     "crawl_bfs",
     "multimodal_metadata",
     "multimodal_audio_features",
