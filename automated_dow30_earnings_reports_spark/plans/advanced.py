@@ -291,3 +291,53 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@_register(
+    "full_outer_reconcile",
+    """
+    WITH li AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             ROUND(SUM(l_extendedprice), 2) AS lines_total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lines_only'
+                WHEN li.l_orderkey IS NULL THEN 'order_only'
+                ELSE 'matched' END       AS status,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           CAST(COALESCE(SUM(li.n_lines), 0) AS BIGINT) AS total_lines
+    FROM orders o FULL OUTER JOIN li ON li.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit via FULL OUTER join: orders with no
+    lineitems, lineitems with no order, and matched pairs, counted per
+    status. The warehouse reconciliation pattern — at 100 TB both
+    sides shuffle on the key once (full outer can't broadcast), and the
+    pre-aggregation of lineitem to one row per order shrinks the
+    probe side ~4× before the join."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("lines_total"),
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "lines_only")
+        .when(F.col("l_orderkey").isNull(), "order_only")
+        .otherwise("matched")
+    )
+    return (
+        j.select(status.alias("status"), "n_lines")
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias("total_lines"),
+        )
+        .orderBy("status")
+    )

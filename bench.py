@@ -29,6 +29,7 @@ HEADLINE = [
     "pricing_summary",
     "topk_per_group",
     "enrichment_left_join",
+    "full_outer_reconcile",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
