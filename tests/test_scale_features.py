@@ -88,3 +88,31 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         "https://x.com/a.pdf": "https://ir.acme.com",
         "https://x.com/b.pdf": "",
     }
+
+
+def test_ivf_recall_vs_exact_topk(spark, sf_correctness):
+    # The ANN scale path must stay a faithful approximation: recall@k
+    # against the exact brute-force top-k, and multi-probe can only
+    # improve it (it is a superset of the nprobe=1 candidate set).
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    def neighbor_sets(name):
+        out = {}
+        for r in qs[name](spark, sf_correctness).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = neighbor_sets("similarity_cosine_topk")
+    assert exact
+
+    def mean_recall(name):
+        ann = neighbor_sets(name)
+        recs = [len(ann.get(q, set()) & ex) / len(ex) for q, ex in exact.items()]
+        return sum(recs) / len(recs)
+
+    r1 = mean_recall("similarity_ann_ivf")
+    r2 = mean_recall("similarity_ann_ivf_probe2")
+    assert r1 >= 0.7, f"nprobe=1 recall collapsed: {r1:.3f}"
+    assert r2 >= r1, f"multi-probe lost recall: {r2:.3f} < {r1:.3f}"
