@@ -165,11 +165,28 @@ def lsh_band_keys(sig: DataFrame, bands: int = LSH_BANDS, r: int = LSH_R) -> Dat
     ).select("doc_id", "e.band_id", "e.band_key")
 
 
-def lsh_candidates(bandkeys: DataFrame) -> DataFrame:
+LSH_BUCKET_CAP = 50
+
+
+def lsh_candidates(bandkeys: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
-    The self-join shuffles on (band_id, band_key) — the LSH scale trick."""
-    a = bandkeys.alias("a")
-    b = bandkeys.alias("b")
+    The self-join shuffles on (band_id, band_key) — the LSH scale trick.
+
+    Buckets larger than ``bucket_cap`` are dropped before pairing: a
+    band key shared by B documents emits B² pairs, and a bucket that
+    hot is a degenerate hash region (boilerplate corpus), not a
+    near-dup signal. This bounds per-bucket work the same way the
+    shingle DF cap bounds the tier-3 join — and the oracle applies the
+    identical cap, so the scale semantics stay value-checked."""
+    sized = bandkeys.join(
+        bandkeys.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= bucket_cap)
+        .select("band_id", "band_key"),
+        ["band_id", "band_key"],
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
     return (
         a.join(
             b,
@@ -226,11 +243,19 @@ def _minhash_oracle() -> str:
     bandkeys AS (
       {band_rows}
     ),
+    smallbuckets AS (
+      SELECT band_id, band_key FROM bandkeys
+      GROUP BY band_id, band_key HAVING count(*) <= {LSH_BUCKET_CAP}
+    ),
+    sized AS (
+      SELECT bk.doc_id, bk.band_id, bk.band_key
+      FROM bandkeys bk JOIN smallbuckets USING (band_id, band_key)
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandkeys a
-      JOIN bandkeys b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id
+      FROM sized a
+      JOIN sized b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     inter AS (
