@@ -177,13 +177,17 @@ def lsh_candidates(bandkeys: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Dat
     hot is a degenerate hash region (boilerplate corpus), not a
     near-dup signal. This bounds per-bucket work the same way the
     shingle DF cap bounds the tier-3 join — and the oracle applies the
-    identical cap, so the scale semantics stay value-checked."""
-    sized = bandkeys.join(
-        bandkeys.groupBy("band_id", "band_key")
-        .agg(F.count("*").alias("bsz"))
+    identical cap, so the scale semantics stay value-checked.
+
+    The size gate is a window count over the same (band_id, band_key)
+    partitioning the self-join shuffles on anyway — one shuffle total,
+    no extra aggregate+join round trip."""
+    sized = (
+        bandkeys.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+        )
         .where(F.col("bsz") <= bucket_cap)
-        .select("band_id", "band_key"),
-        ["band_id", "band_key"],
+        .drop("bsz")
     )
     a = sized.alias("a")
     b = sized.alias("b")
