@@ -668,3 +668,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("th"))
     sums = th.groupBy("doc_id").agg(*_simhash_bit_sums_spark())
     return sums.select("doc_id", _simhash_hex_spark()).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tier 6 — corpus-wide chunk dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 10  # words per non-overlapping chunk
+
+
+def _chunk_dedup_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest([{{'pos': i - 1,
+                       'chunk': array_to_string(
+                         t[(i - 1) * {CHUNK_W} + 1 : (i - 1) * {CHUNK_W} + {CHUNK_W}],
+                         ' ')}}
+                     FOR i IN range(1, CAST(ceil(len(t) / {CHUNK_W}.0) AS BIGINT) + 1)])
+               AS u
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, (u).pos AS pos, (u).chunk AS chunk FROM ch),
+    keep AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ex
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+           CAST(COUNT(*) AS BIGINT)            AS n_kept
+    FROM keep WHERE rn = 1
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("chunk_dedup_reconstruct", _chunk_dedup_oracle())
+def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact chunk dedup with document reconstruction
+    (the Lee et al. 2022 "Deduplicating Training Data" shape at chunk
+    granularity): split each doc into non-overlapping 10-word chunks,
+    keep only the globally-first occurrence of each distinct chunk
+    (min (doc_id, pos)), then rebuild every document from its surviving
+    chunks in order. Docs whose text is entirely boilerplate vanish.
+
+    Scale: two shuffles, both inherent — one on the chunk value for
+    the global first-occurrence window (at 100 TB, partition on a
+    chunk digest instead of the raw string to bound key width), one
+    back on doc_id for reassembly. Chunking itself is map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col(F.col("text"))
+    n_chunks = F.ceil(F.size(t) / CHUNK_W).cast("int")
+    chunks = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(t, i * CHUNK_W + 1, CHUNK_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    first = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    keep = (
+        ex.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.array_join(ordered, " ").alias("kept_text"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -555,3 +555,28 @@ def length_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mad(F.col("n_chars")), 1).alias("mad_chars")
     )
     return counts.join(mads, "source").orderBy("source")
+
+
+@_register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT)             AS n_docs,
+           ROUND(AVG(n_chars), 2)               AS avg_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus-shape
+    diagnostic run before choosing packing/truncation lengths. Pure
+    map-side arithmetic plus one tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return (
+        d.groupBy(F.floor(F.log2("n_chars")).cast("bigint").alias("log2_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("log2_bucket")
+    )

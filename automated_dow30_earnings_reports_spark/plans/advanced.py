@@ -341,3 +341,220 @@ def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 versioning, rolling range-frame windows, profiling, Z-order layout
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scd2_event_type",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id, event_type, es,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    v AS (
+      SELECT user_id, event_type, es,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY es, event_id) AS version
+      FROM c
+    ),
+    g AS (
+      SELECT user_id, version, event_type,
+             MIN(es) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM v GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           n_events
+    FROM g ORDER BY user_id, version
+    """,
+)
+def scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event log: collapse
+    consecutive runs of the tracked attribute into versioned rows with
+    [valid_from, valid_to) intervals (lag → change flag → running sum →
+    per-version min/lead). The CDC-to-dimension pattern: one shuffle on
+    user_id serves every window frame and the final rollup.
+
+    Ordering uses whole-second timestamps plus event_id on BOTH engines
+    so ns-vs-us precision can't flip ties."""
+    e = load_table(spark, sf_dir, "events")
+    es = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("event_type").over(w)
+    versions = (
+        e.select("user_id", "event_id", "event_type", es.alias("es"))
+        .withColumn(
+            "chg",
+            (prev.isNull() | (F.col("event_type") != prev)).cast("int"),
+        )
+        .withColumn("version", F.sum("chg").over(w).cast("bigint"))
+    )
+    g = versions.groupBy("user_id", "version", "event_type").agg(
+        F.min("es").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return g.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "version")
+
+
+@_register(
+    "rolling_30d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+           CAST(COUNT(*) OVER w AS BIGINT)    AS n_orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 30-day rolling spend via a RANGE frame ordered by
+    day number — the time-decayed-feature shape. RANGE (not ROWS)
+    makes same-day orders frame-identical, so the result is
+    deterministic under any intra-day order; one shuffle on o_custkey
+    serves both windows."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.datediff("o_orderdate", F.lit("1970-01-01"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-29, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count("*").over(w).cast("bigint").alias("n_orders_30d"),
+    ).orderBy("o_orderkey")
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        if numeric:
+            mn = f"ROUND(MIN(CAST({c} AS DOUBLE)), 6)"
+            mx = f"ROUND(MAX(CAST({c} AS DOUBLE)), 6)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {mn} AS min_val, {mx} AS max_val
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@_register("data_profile", _profile_oracle())
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (null count, exact distinct count,
+    numeric min/max) unpivoted to one row per column — the data-quality
+    sweep every ingest runs before training. All measures share a
+    single aggregate job; the multi-distinct is Catalyst's Expand
+    (at 100 TB swap count_distinct for approx_count_distinct and the
+    Expand disappears — tolerance pinned in test_scale_features)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        if numeric:
+            aggs.append(F.round(F.min(F.col(c).cast("double")), 6).alias(f"{c}__min"))
+            aggs.append(F.round(F.max(F.col(c).cast("double")), 6).alias(f"{c}__max"))
+    row = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, "
+        + (f"{c}__min, {c}__max" if numeric else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+        for c, numeric in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("column_name")
+
+
+def _zkey_sql(xcol: str, ycol: str, duck: bool) -> str:
+    """16-bit Morton (Z-order) key: interleave 8 bits of x and y.
+    Same arithmetic on both engines; only integer-division syntax
+    differs (Spark DIV vs DuckDB //)."""
+    div = "//" if duck else "DIV"
+    terms = []
+    for i in range(8):
+        terms.append(f"(({xcol} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    zkey = _zkey_sql("x", "y", duck=True)
+    return f"""
+    WITH q AS (
+      SELECT user_id % 256 AS x,
+             CAST(floor(value) AS BIGINT) % 256 AS y,
+             value
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    z AS (SELECT ({zkey}) AS zkey, value FROM q)
+    SELECT CAST(zkey // 256 AS BIGINT)      AS zbucket,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           ROUND(SUM(value), 2)             AS sum_value
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """
+
+
+@_register("zorder_cluster", _zorder_oracle())
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two quantized dimensions,
+    rolled up per 256-key bucket. Writing sorted by zkey co-locates
+    rows close in BOTH dimensions into the same files, so 2-D range
+    predicates prune most of a 100 TB table's files on min/max stats —
+    the Delta/Iceberg OPTIMIZE ZORDER layout, computed here as pure
+    JVM integer arithmetic inside codegen."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.where(F.col("value").isNotNull() & (F.col("value") >= 0)).select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor("value").cast("bigint") % 256).alias("y"),
+        "value",
+    )
+    z = q.selectExpr(f"({_zkey_sql('x', 'y', duck=False)}) AS zkey", "value")
+    return (
+        z.groupBy((F.col("zkey") / 256).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("zbucket")
+    )

@@ -69,6 +69,11 @@ HEADLINE = [
     "salted_skew_agg",
     "pii_redact",
     "domain_mixture_weights",
+    "chunk_dedup_reconstruct",
+    "scd2_event_type",
+    "rolling_30d_spend",
+    "data_profile",
+    "zorder_cluster",
 ]
 
 
