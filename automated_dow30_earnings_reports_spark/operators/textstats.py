@@ -580,3 +580,84 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+PMI_TOP_N = 20
+
+
+def _pmi_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    big AS (
+      SELECT (u).w1 AS w1, (u).w2 AS w2 FROM (
+        SELECT unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                       FOR i IN range(1, len(t))]) AS u
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    uc AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+    nu AS (SELECT COUNT(*) AS total_uni FROM uni),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+    nb AS (SELECT COUNT(*) AS total_big FROM big)
+    SELECT w1, w2, CAST(cb AS BIGINT) AS n_pairs,
+           ROUND(ln((1.0 * cb / total_big) /
+                    ((1.0 * a.cu / total_uni) * (1.0 * b.cu / total_uni))), 3)
+             AS pmi
+    FROM bc
+    JOIN uc a ON a.tok = w1
+    JOIN uc b ON b.tok = w2
+    CROSS JOIN nu CROSS JOIN nb
+    QUALIFY row_number() OVER (ORDER BY cb DESC, w1, w2) <= {PMI_TOP_N}
+    ORDER BY n_pairs DESC, w1, w2
+    """
+
+
+@_register("pmi_bigrams", _pmi_oracle())
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of the corpus's
+    top bigrams (phrase discovery for tokenizer/vocab induction).
+    Bigrams are built MAP-SIDE by zipping each token array with its
+    own tail — no window, no per-doc shuffle; the only shuffles are
+    the two count aggregates. Unigram totals ride in as broadcast
+    scalars. Top-N is tie-broken on (count, w1, w2) so the cutoff is
+    deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    big = (
+        d.where(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = d.select(F.explode(t).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    total_uni = uni.agg(F.count("*").alias("total_uni"))
+    total_big = big.agg(F.count("*").alias("total_big"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.col("total_big"))
+            / ((F.col("a.cu") / F.col("total_uni")) * (F.col("b.cu") / F.col("total_uni")))
+        ),
+        3,
+    )
+    return (
+        bc.join(F.broadcast(uc.alias("a")), F.col("w1") == F.col("a.tok"))
+        .join(F.broadcast(uc.alias("b")), F.col("w2") == F.col("b.tok"))
+        .crossJoin(F.broadcast(total_uni))
+        .crossJoin(F.broadcast(total_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("bigint").alias("n_pairs"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(PMI_TOP_N)
+    )

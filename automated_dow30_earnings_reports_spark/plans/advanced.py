@@ -558,3 +558,180 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# product-analytics shapes: funnel, cohort retention, anomalies, binning
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    u1 AS (SELECT user_id, MIN(es) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT ev.user_id, MIN(es) AS t2 FROM ev JOIN u1 USING (user_id)
+           WHERE event_type = 'click' AND es >= t1 GROUP BY ev.user_id),
+    u3 AS (SELECT ev.user_id, MIN(es) AS t3 FROM ev JOIN u2 USING (user_id)
+           WHERE event_type = 'purchase' AND es >= t2 GROUP BY ev.user_id)
+    SELECT 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+    UNION ALL
+    SELECT 'view>click', CAST(COUNT(*) AS BIGINT) FROM u2
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM u3
+    ORDER BY step
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): each stage
+    is the earliest qualifying event AFTER the previous stage's
+    timestamp, so out-of-order conversions don't count. Stage frontiers
+    are one row per user — every chained join broadcasts, so the only
+    shuffles are the three per-user MIN aggregates regardless of event
+    volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+    )
+    u1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t1"))
+    )
+    u2 = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(u1), "user_id")
+        .where(F.col("es") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t2"))
+    )
+    u3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(u2), "user_id")
+        .where(F.col("es") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t3"))
+    )
+    count = lambda df, step: df.agg(  # noqa: E731
+        F.lit(step).alias("step"), F.count("*").cast("bigint").alias("n_users")
+    ).select("step", "n_users")
+    return (
+        count(u1, "view")
+        .unionByName(count(u2, "view>click"))
+        .unionByName(count(u3, "view>click>purchase"))
+        .orderBy("step")
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id)
+    SELECT cohort_week,
+           wk - cohort_week            AS week_offset,
+           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+    FROM ev JOIN cohort USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = epoch-week of the
+    user's first event; cells count distinct users active k weeks
+    later. Epoch-week integer math (not date_trunc) so both engines
+    bucket identically. The cohort map is one row per user —
+    broadcast — leaving the distinct-count aggregate as the only real
+    shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts")).cast("bigint") / 604800)
+        .cast("bigint")
+        .alias("wk"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@_register(
+    "event_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - mu) / sd, 3) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((value - mu) / sd) > 2.5
+    ORDER BY event_id
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: two-pass (tiny stats
+    aggregate, broadcast back over the stream) rather than a window —
+    at 100 TB a window over event_type would shuffle the whole fact
+    table into a handful of giant partitions; the broadcast join keeps
+    the scan pipelined with no shuffle at all."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "ntile_value_buckets",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 2)     AS lo,
+           ROUND(MAX(value), 2)     AS hi
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning per group (feature bucketizer):
+    ntile over a deterministic total order (value, event_id) so bucket
+    boundaries are identical across engines. At 100 TB the exact
+    total-order sort gives way to approx_percentile boundaries; the
+    sketch variant's tolerance is pinned in test_scale_features."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

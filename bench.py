@@ -74,6 +74,9 @@ HEADLINE = [
     "rolling_30d_spend",
     "data_profile",
     "zorder_cluster",
+    "funnel_conversion",
+    "retention_cohorts",
+    "pmi_bigrams",
 ]
 
 
