@@ -123,3 +123,40 @@ def test_pii_redact_is_map_only(spark, sf_correctness):
     # the only exchange is the final presentation orderBy's range part
     assert "HashAggregate" not in plan and "Join" not in plan
     assert plan.count("Exchange") <= 4  # rangepartitioning for orderBy (tree+detail)
+
+
+def test_anomaly_zscore_is_broadcast_two_pass(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["event_anomaly_zscore"](spark, sf_correctness))
+    # the fact-table side must NOT shuffle: stats come back via broadcast,
+    # there is no window over event_type (giant-partition hazard)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_funnel_stage_frontiers_broadcast(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["funnel_conversion"](spark, sf_correctness))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_bigrams_has_no_window(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    # bigrams are built map-side by zipping the token array with its
+    # tail — a lead() window would shuffle every token on doc_id
+    plan = _plan_of(e.queries()["pmi_bigrams"](spark, sf_correctness))
+    assert "Window" not in plan
+
+
+def test_zorder_key_is_pure_arithmetic_single_shuffle(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["zorder_cluster"](spark, sf_correctness))
+    assert "Join" not in plan and "Window" not in plan
+    # one agg exchange + the presentation orderBy (tree+detail doubles)
+    assert plan.count("Exchange") <= 4

@@ -116,3 +116,30 @@ def test_ivf_recall_vs_exact_topk(spark, sf_correctness):
     r2 = mean_recall("similarity_ann_ivf_probe2")
     assert r1 >= 0.7, f"nprobe=1 recall collapsed: {r1:.3f}"
     assert r2 >= r1, f"multi-probe lost recall: {r2:.3f} < {r1:.3f}"
+
+
+def test_approx_percentile_within_tolerance(spark, sf_correctness):
+    """The 100 TB form of value_percentiles / ntile_value_buckets swaps
+    the exact total-order percentile for the KLL-style sketch; pin the
+    sketch's error so the swap stays a faithful approximation."""
+    from pyspark.sql import functions as F
+
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    e = load_table(spark, sf_correctness, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact"),
+            F.percentile_approx(
+                "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+            ).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for ex, ap in zip(r["exact"], r["approx"]):
+            # approx returns a member of the dataset; exact interpolates
+            # between neighbors — at sf0.01 group sizes the gap is tiny
+            assert abs(ap - ex) <= max(1.0, 0.02 * abs(ex)), (r["event_type"], ex, ap)
