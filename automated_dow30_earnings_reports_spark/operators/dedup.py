@@ -139,11 +139,26 @@ LSH_BANDS = MINHASH_H // LSH_R
 NEARDUP_THRESHOLD = 0.8
 
 
+# Universal-hash family over a 28-bit digest: h_i(x) = (A_i*H + B_i) mod P.
+# One md5 per shingle (instead of one per shingle PER SEED) + 12 integer
+# multiply-adds — ~12x less hashing in the hottest loop. Products stay
+# under 2^59 (A_i < 2^31, H < 2^28), so bigint arithmetic is exact and
+# identical on both engines. Min-wise validity per Carter-Wegman
+# universal hashing; min of h_i over the set is the MinHash estimator.
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_A = [2 * i * 1_000_003 + 12_345 for i in range(1, MINHASH_H + 1)]
+MINHASH_B = [i * 97_911 + 7 for i in range(MINHASH_H)]
+
+
 def minhash_signatures(shd: DataFrame, h: int = MINHASH_H) -> DataFrame:
-    """One column per hash fn: min of md5('<seed>|' || shingle). Single
-    groupBy — signature width is columns, not rows."""
+    """One column per hash fn: min of (A_i*H + B_i) mod P where H is a
+    28-bit integer from the shingle's md5. Single groupBy — signature
+    width is columns, not rows."""
+    H = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"m{i}")
+        F.min((H * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
         for i in range(h)
     ]
     return shd.groupBy("doc_id").agg(*aggs)
@@ -228,21 +243,33 @@ def verified_jaccard(cand: DataFrame, shd: DataFrame) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # 28-bit digest from the first 7 md5 nibbles (== Spark's
+    # conv(substring(md5, 1, 7), 16, 10)), then the same
+    # Carter-Wegman mixes as minhash_signatures.
+    nib = "(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1)"
+    h_expr = " + ".join(
+        f"{nib.format(p=p)} * {16 ** (7 - p)}" for p in range(1, 8)
+    )
     mins = ",\n             ".join(
-        f"min(md5(CAST('{i}|' AS VARCHAR) || shingle)) AS m{i}" for i in range(MINHASH_H)
+        f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(MINHASH_H)
     )
     band_rows = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(m{b * LSH_R}"
-        + "".join(f" || ',' || m{b * LSH_R + j}" for j in range(1, LSH_R))
+        f"SELECT doc_id, {b} AS band_id, "
+        + "md5("
+        + " || ',' || ".join(
+            f"CAST(m{b * LSH_R + j} AS VARCHAR)" for j in range(LSH_R)
+        )
         + ") AS band_key FROM sig"
         for b in range(LSH_BANDS)
     )
     return f"""
     WITH {_SHD_SQL},
+    hsh AS (SELECT doc_id, shingle, {h_expr} AS h FROM shd),
     sig AS (
       SELECT doc_id,
              {mins}
-      FROM shd GROUP BY doc_id
+      FROM hsh GROUP BY doc_id
     ),
     bandkeys AS (
       {band_rows}
