@@ -122,3 +122,46 @@ def asof_join_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("since_click_s"),
     ).orderBy("event_id")
+
+
+ASOF_TOLERANCE_S = 3600
+
+
+@_register(
+    "asof_join_tolerance",
+    f"""
+    WITH e AS (SELECT * FROM events),
+    p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           ROUND(p.value, 4) AS purchase_value,
+           CAST(CASE WHEN c.ts IS NULL THEN NULL
+                WHEN floor(epoch(p.ts)) - floor(epoch(c.ts)) > {ASOF_TOLERANCE_S}
+                  THEN NULL
+                ELSE floor(epoch(p.ts)) - floor(epoch(c.ts)) END AS BIGINT)
+             AS since_click_s
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match window: a prior click only attributes a
+    purchase if it happened within the last hour — older matches
+    become null, exactly like pandas merge_asof(tolerance=...). Same
+    single-shuffle union+window plan as the unbounded variant; the
+    tolerance is a post-window predicate, not a second join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts", payload=["ts"])
+    gap = (_floor_epoch(F.col("ts")) - _floor_epoch(F.col("asof_ts"))).cast("bigint")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.when(gap <= ASOF_TOLERANCE_S, gap).alias("since_click_s"),
+    ).orderBy("event_id")

@@ -364,3 +364,62 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+N_SHARDS = 16
+
+
+@_register(
+    "shard_assignment",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST((
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             ) % {N_SHARDS} AS BIGINT) AS shard,
+             len({_SQL_TOKS}) AS n_tok
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, n_tok,
+             row_number() OVER w                        AS pos,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS token_offset
+      FROM t WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+    )
+    SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos,
+           CAST(token_offset AS BIGINT) AS token_offset
+    FROM p ORDER BY doc_id
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: shard = content-addressed
+    hash of the doc key (md5 byte, portable across engines and runs —
+    never Spark's partition-dependent hash()), position and cumulative
+    token offset within the shard via ordered windows. This is the
+    manifest a dataloader needs to seek straight to a document. One
+    shuffle on shard; writing then uses
+    df.repartition("shard").write.partitionBy("shard")."""
+    d = load_table(spark, sf_dir, "documents")
+    byte0 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+    t = d.select(
+        "doc_id",
+        (byte0.cast("bigint") % N_SHARDS).alias("shard"),
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        t.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            (F.sum("n_tok").over(cum) - F.col("n_tok"))
+            .cast("bigint")
+            .alias("token_offset"),
+        )
+        .orderBy("doc_id")
+    )

@@ -775,3 +775,90 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 7 — incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+# Deterministic, SF-independent batch split: every 5th doc is "new".
+INCR_NEW_PRED_SQL = "doc_id % 5 = 4"
+
+
+def _incremental_oracle() -> str:
+    base = _minhash_oracle()
+    # reuse the shared CTE prefix up to the bandkeys stage, then swap
+    # the self-join for a new-vs-existing join.
+    prefix = base.split("smallbuckets AS")[0].rstrip().rstrip(",")
+    return f"""{prefix},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bandkeys n
+      JOIN bandkeys o ON n.band_id = o.band_id AND n.band_key = o.band_key
+      WHERE n.{INCR_NEW_PRED_SQL} AND NOT (o.{INCR_NEW_PRED_SQL})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.new_id
+      JOIN shd sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+      GROUP BY c.new_id, c.old_id
+    )
+    SELECT new_id, old_id,
+           ROUND(1.0 * i / (za.sz + zb.sz - i), 3) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = new_id
+    JOIN sizes zb ON zb.doc_id = old_id
+    WHERE 1.0 * i / (za.sz + zb.sz - i) >= {NEARDUP_THRESHOLD}
+    ORDER BY new_id, old_id
+    """
+
+
+@_register("dedup_incremental_batch", _incremental_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: an arriving batch (here: every 5th doc)
+    is checked against the already-ingested corpus WITHOUT re-pairing
+    the corpus against itself — the production shape, where the
+    existing side's band keys are a precomputed index and the join is
+    new x old instead of a quadratic self-join. Per-batch cost scales
+    with batch size, not corpus size.
+
+    The verification join still computes exact jaccard against the
+    matched old docs only."""
+    is_new = F.col("doc_id") % 5 == 4
+    shd = doc_shingles(spark, sf_dir).persist()
+    bk = lsh_band_keys(minhash_signatures(shd))
+    new_keys = bk.where(is_new)
+    old_keys = bk.where(~is_new)
+    cand = (
+        new_keys.alias("n")
+        .join(
+            old_keys.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shd.select(F.col("doc_id").alias("new_id"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("old_id"), "shingle")
+    inter = (
+        cand.join(sa, "new_id")
+        .join(sb, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("old_id"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(za, "new_id")
+        .join(zb, "old_id")
+        .where(jac >= NEARDUP_THRESHOLD)
+        .select("new_id", "old_id", F.round(jac, 3).alias("jaccard"))
+        .orderBy("new_id", "old_id")
+    )

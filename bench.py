@@ -77,6 +77,8 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "pmi_bigrams",
+    "dedup_incremental_batch",
+    "shard_assignment",
 ]
 
 
