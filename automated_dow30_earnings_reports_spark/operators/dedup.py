@@ -862,3 +862,60 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "old_id", F.round(jac, 3).alias("jaccard"))
         .orderBy("new_id", "old_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 8 — blocked edit-distance fuzzy match
+# ---------------------------------------------------------------------------
+
+FUZZY_BLOCK_CHARS = 20
+FUZZY_CMP_CHARS = 60
+FUZZY_MAX_DIST = 15
+
+
+@_register(
+    "fuzzy_match_blocked",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, {FUZZY_CMP_CHARS}),
+                            substr(b.text, 1, {FUZZY_CMP_CHARS})) AS BIGINT)
+             AS edit_dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, {FUZZY_CMP_CHARS}),
+                      substr(b.text, 1, {FUZZY_CMP_CHARS})) <= {FUZZY_MAX_DIST}
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match with prefix blocking: docs only compare
+    within equal-prefix blocks, then levenshtein over a bounded slice
+    decides. The blocked-record-linkage pattern — O(n²) only within a
+    block, never corpus-wide, and the O(m²) DP cost per comparison is
+    bounded by the 60-char slice. One shuffle on the block key; skewed
+    blocks (a boilerplate prefix) are the hazard the LSH bucket cap
+    handles in tier 2 — same cap applies here at scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_CMP_CHARS).alias("head"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -735,3 +735,56 @@ def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+DEBOUNCE_GAP_S = 5
+
+
+@_register(
+    "event_debounce",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, es,
+             lag(es) OVER (PARTITION BY user_id, event_type
+                           ORDER BY es, event_id) AS prev
+      FROM s
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN prev IS NULL OR es - prev > {DEBOUNCE_GAP_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND es - prev <= {DEBOUNCE_GAP_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: an event is a bounce if the same
+    (user, type) fired within the previous 5 seconds — lag-based, so
+    each event is judged against its immediate predecessor (the
+    streaming dedup window's batch analog). One shuffle on
+    (user_id, event_type) serves the window and feeds the tiny
+    per-type rollup."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    l = e.withColumn("prev", F.lag("es").over(w))
+    bounce = F.col("prev").isNotNull() & (
+        (F.col("es") - F.col("prev")) <= DEBOUNCE_GAP_S
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.sum((~bounce).cast("bigint")).alias("n_kept"),
+            F.sum(bounce.cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
