@@ -160,3 +160,22 @@ def test_zorder_key_is_pure_arithmetic_single_shuffle(spark, sf_correctness):
     assert "Join" not in plan and "Window" not in plan
     # one agg exchange + the presentation orderBy (tree+detail doubles)
     assert plan.count("Exchange") <= 4
+
+
+def test_scd2_is_single_shuffle(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    # change-flag window, version running-sum window, per-version
+    # rollup, and the valid_to lead window all ride ONE hash exchange:
+    # HashPartitioning(user_id) satisfies every downstream clustering
+    # that includes user_id. Only the presentation orderBy adds a range
+    # exchange. (tree+detail doubles the count.)
+    plan = _plan_of(e.queries()["scd2_event_type"](spark, sf_correctness))
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_rolling_window_is_single_shuffle(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["rolling_30d_spend"](spark, sf_correctness))
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
