@@ -562,3 +562,95 @@ def similarity_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("bucket")
     )
+
+
+KMEANS_ROUNDS = 2
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast K centroids, O(N*K) map,
+    per-vector argmax — no shuffle on the corpus."""
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "norm",
+        "cid",
+        (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
+    )
+
+
+def _update_centroids(cells: DataFrame) -> DataFrame:
+    """Lloyd update: element-wise mean per cell (spherical k-means —
+    cosine against an unnormalized mean equals cosine against the
+    normalized one). Explode is on K*N rows of scalars but aggregates
+    map-side to K*D partial sums before the shuffle."""
+    by_dim = (
+        cells.select("cell", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+    )
+    rebuilt = (
+        by_dim.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("ce")
+        )
+        .select(F.col("cell").alias("cid"), "ce")
+        .withColumn("cnorm", F.sqrt(dot(F.col("ce"), F.col("ce"))))
+    )
+    return rebuilt
+
+
+@_register("similarity_ann_ivf_kmeans")  # iterative — rows-only check
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a trained coarse quantizer: seed centroids (first K
+    vectors) refined by KMEANS_ROUNDS Lloyd iterations before the
+    probe — the production IVF build step (Jegou et al. 2011 train
+    their quantizer; the seed-only variant above is the k-means-free
+    stand-in). Iterative, so no SQL oracle; recall against exact
+    top-k is pinned in test_scale_features.
+
+    Scale: each round is one broadcast assignment (no corpus shuffle)
+    plus a K*D-wide mean — the classic Spark k-means loop.
+    localCheckpoint keeps round lineage flat."""
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    for _ in range(KMEANS_ROUNDS):
+        cells = _assign_cells(e, cents)
+        cents = _update_centroids(cells).localCheckpoint(eager=False)
+    cells = _assign_cells(e, cents)
+    q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = cells.join(F.broadcast(q), "cell").where(F.col("vec_id") != F.col("query_id"))
+    scored_q = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored_q.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -116,6 +116,11 @@ def test_ivf_recall_vs_exact_topk(spark, sf_correctness):
     r2 = mean_recall("similarity_ann_ivf_probe2")
     assert r1 >= 0.7, f"nprobe=1 recall collapsed: {r1:.3f}"
     assert r2 >= r1, f"multi-probe lost recall: {r2:.3f} < {r1:.3f}"
+    # Lloyd-refined quantizer: rebalanced cells may shift individual
+    # queries' boundaries, but recall must stay in the same band
+    rk = mean_recall("similarity_ann_ivf_kmeans")
+    assert rk >= 0.7, f"k-means IVF recall collapsed: {rk:.3f}"
+    assert rk >= r1 - 0.05, f"refinement lost recall: {rk:.3f} vs {r1:.3f}"
 
 
 def test_approx_percentile_within_tolerance(spark, sf_correctness):
