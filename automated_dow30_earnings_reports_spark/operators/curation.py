@@ -423,3 +423,24 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def write_training_shards(manifest: DataFrame, docs: DataFrame, path: str) -> None:
+    """Emit the packed training corpus: join the shard manifest
+    (shard_assignment's output) back to the documents and write one
+    parquet directory per shard, rows ordered by in-shard position.
+
+    repartition("shard") puts each shard's rows in exactly one task
+    (write-side shuffle = the only shuffle), sortWithinPartitions keeps
+    the dataloader's seek order physical, and partitionBy layers the
+    shard=N directory layout a 100 TB corpus needs for per-shard
+    reads. mode=overwrite is idempotent under task retries because the
+    committer swaps the whole directory."""
+    (
+        manifest.join(docs, "doc_id")
+        .repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

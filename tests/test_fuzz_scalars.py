@@ -144,3 +144,38 @@ def test_resolve_url_matches_urljoin(spark):
         if got[(b, h)] != expected:
             mismatches.append((b, h, got[(b, h)], expected))
     assert not mismatches, mismatches
+
+
+def test_levenshtein_parity_with_python(spark):
+    """fuzzy_match_blocked leans on F.levenshtein == DuckDB
+    levenshtein; pin both against a plain-Python DP twin."""
+    import duckdb
+
+    rng = random.Random(11)
+    alphabet = "abcde "
+    cases = []
+    for _ in range(150):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        cases.append((a, b))
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(cases, ["a", "b"])
+    got = {
+        (r.a, r.b): r.d
+        for r in df.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        expected = lev(a, b)
+        assert got[(a, b)] == expected, (a, b)
+        duck = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert duck == expected, (a, b)

@@ -179,3 +179,13 @@ def test_rolling_window_is_single_shuffle(spark, sf_correctness):
 
     plan = _plan_of(e.queries()["rolling_30d_spend"](spark, sf_correctness))
     assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_fuzzy_match_scan_prunes_columns(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["fuzzy_match_blocked"](spark, sf_correctness))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "lang" not in l and "source" not in l and "n_chars" not in l for l in reads
+    ), reads

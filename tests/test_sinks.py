@@ -97,3 +97,41 @@ def test_orc_roundtrip_documents(spark, tmp_path):
     a = {r.doc_id: r.n_chars for r in src.select("doc_id", "n_chars").collect()}
     b = {r.doc_id: r.n_chars for r in back.select("doc_id", "n_chars").collect()}
     assert a == b
+
+
+def test_training_shard_write_roundtrip(spark, sf_smoke, tmp_path):
+    """shard_assignment manifest -> partitioned parquet corpus: every
+    shard directory exists, per-shard rows keep pos order, and the
+    total doc count survives the round trip."""
+    from pyspark.sql import functions as F
+
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        shard_assignment,
+        write_training_shards,
+        N_SHARDS,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    manifest = shard_assignment(spark, sf_smoke)
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(manifest, docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    shards = {r.shard for r in back.select("shard").distinct().collect()}
+    assert shards <= set(range(N_SHARDS)) and len(shards) > 1
+    # partition pruning: reading one shard directory touches one partition
+    one = spark.read.parquet(out).where(F.col("shard") == sorted(shards)[0])
+    assert one.count() == back.where(F.col("shard") == sorted(shards)[0]).count()
+    # in-file ordering matches the manifest's pos order per shard
+    s0 = sorted(shards)[0]
+    got = [r.doc_id for r in one.orderBy("pos").select("doc_id").collect()]
+    want = [
+        r.doc_id
+        for r in manifest.where(F.col("shard") == s0)
+        .orderBy("pos")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == want
