@@ -788,3 +788,108 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "cube_priority_status",
+    """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           ROUND(SUM(o_totalprice), 2)   AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions: all four grouping sets (both, each,
+    grand total) from a single Expand + one shuffle — the OLAP
+    cross-tab companion to rollup_flag_status."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+@_register(
+    "rank_functions",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6)     AS prnk,
+           ROUND(cume_dist()    OVER w, 6)     AS cdist
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface (rank / dense_rank /
+    percent_rank / cume_dist) over one deterministic window — tie
+    semantics value-checked in one pass. One shuffle serves all four
+    frames."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "skew_report",
+    """
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    t AS (SELECT SUM(c) AS total, COUNT(*) AS n_keys FROM k)
+    SELECT user_id,
+           CAST(c AS BIGINT)                   AS n_rows,
+           ROUND(1.0 * c / total, 6)           AS share,
+           ROUND(1.0 * c * n_keys / total, 3)  AS skew_factor
+    FROM k CROSS JOIN t
+    QUALIFY row_number() OVER (ORDER BY c DESC, user_id) <= 10
+    ORDER BY n_rows DESC, user_id
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the top hot keys with their share
+    of all rows and skew factor (key rows / mean rows-per-key) — the
+    report that decides whether a join needs salting or AQE skew
+    handling. One aggregate over the key + a broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    t = k.agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            F.col("c").cast("bigint").alias("n_rows"),
+            F.round(F.col("c") / F.col("total"), 6).alias("share"),
+            F.round(F.col("c") * F.col("n_keys") / F.col("total"), 3).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(10)
+    )
