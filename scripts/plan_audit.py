@@ -1,0 +1,69 @@
+"""Dump a physical-plan audit table for every bench headline query.
+
+For each query: number of logical exchanges (formatted explain prints
+tree + detail, so raw counts are halved), whether any Python eval node
+appears, whether a parquet scan carries pushed filters, and the set of
+tables scanned with column counts — the at-a-glance evidence that
+plans stay shuffle-minimal, JVM-side, and pruned.
+
+Usage: python scripts/plan_audit.py [sf_dir] > audit.md
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from automated_dow30_earnings_reports_spark.session import get_spark
+
+    import bench
+    import __spark_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    qs = entrymod.queries()
+
+    print("| query | exchanges | python nodes | pushed filters | read cols |")
+    print("|---|---|---|---|---|")
+    for name in bench.HEADLINE:
+        try:
+            plan = plan_of(qs[name](spark, sf_dir))
+        except Exception as exc:  # iterative queries execute while building
+            print(f"| {name} | (iterative: {type(exc).__name__}) | | | |")
+            continue
+        n_exchange = plan.count("Exchange") // 2
+        python_nodes = sorted(
+            set(re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas|ArrowAggregatePython", plan))
+        )
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)) // 2
+        read_cols = sorted(
+            {
+                str(s.count(",") + 1)
+                for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+                if s
+            }
+        )
+        print(
+            f"| {name} | {n_exchange} | {','.join(python_nodes) or '—'} |"
+            f" {pushed} | {','.join(read_cols) or '—'} |"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
