@@ -130,3 +130,17 @@ def new_links_stateful(links: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_links_within_watermark(
+    links: DataFrame, ts_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming dedup (Spark 3.5+
+    ``dropDuplicatesWithinWatermark``): a key's state lives only until
+    the watermark passes its event time + delay, after which the same
+    href is re-admitted. Unlike ``dedup_links_stream`` (plain
+    dropDuplicates, whose state for keys that never recur can only be
+    dropped wholesale at the watermark), this gives every key an
+    explicit TTL — the form you run over an unbounded crawl where
+    re-seeing a URL after a day SHOULD re-fetch it."""
+    return links.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["href"])

@@ -172,3 +172,53 @@ def test_new_links_stateful_across_batches(spark, tmp_path):
         assert len(rows) == 4  # the repeat was filtered by state
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_ttl_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates inside the
+    TTL are suppressed; once the watermark passes first-sight + delay,
+    the key's state is evicted and the same href re-admits."""
+    import datetime as dt
+
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        dedup_links_within_watermark,
+    )
+
+    src = tmp_path / "links"
+    ckpt = str(tmp_path / "ck2")
+    sink = str(tmp_path / "sink2")
+    schema = "ts timestamp, href string"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_links_within_watermark(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return [(r.ts, r.href) for r in spark.read.parquet(sink).collect()]
+        except Exception:
+            return []
+
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+    out1 = run_batch([(t(10, 0), "a")])
+    assert [h for _, h in out1] == ["a"]
+    # duplicate within the 10-minute TTL -> suppressed; new key passes
+    out2 = run_batch([(t(10, 5), "a"), (t(10, 6), "b")])
+    assert sorted(h for _, h in out2) == ["a", "b"]
+    # advance the watermark past 10:00 + 10min -> a's state evicts
+    out3 = run_batch([(t(11, 0), "c")])
+    assert sorted(h for _, h in out3) == ["a", "b", "c"]
+    # same href after eviction -> re-admitted (the TTL difference vs
+    # plain dropDuplicates)
+    out4 = run_batch([(t(10, 55), "a")])
+    assert sorted(h for _, h in out4) == ["a", "a", "b", "c"]
