@@ -1,0 +1,25 @@
+"""Driver-contract robustness: the probes scripts/driver_sim.py's
+recipe calls out — clean failure on a bad sf_dir, and idempotent
+re-execution within one session (conf mutations in loaders must not
+change results across calls)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException
+
+
+def test_nonexistent_sf_dir_raises_cleanly(spark):
+    import __spark_entry__ as e
+
+    with pytest.raises(AnalysisException):
+        e.queries()["pricing_summary"](spark, "/root/testdata/sf-does-not-exist").collect()
+
+
+def test_rerun_same_session_is_idempotent(spark, sf_smoke):
+    import __spark_entry__ as e
+
+    q = e.queries()["dedup_minhash_lsh"]
+    first = sorted(map(tuple, q(spark, sf_smoke).collect()))
+    second = sorted(map(tuple, q(spark, sf_smoke).collect()))
+    assert first == second and first
