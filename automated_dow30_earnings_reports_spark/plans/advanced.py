@@ -893,3 +893,74 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "user_id")
         .limit(10)
     )
+
+
+MERGE_CUTOFF = "1997-01-01"
+
+
+@_register(
+    "snapshot_merge_upsert",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF}'
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             arg_max(o_orderstatus, o_orderdate) AS o_orderstatus,
+             arg_max(o_totalprice, o_orderdate)  AS o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_CUTOFF}'
+      GROUP BY o_orderkey
+    )
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN c.o_orderkey IS NULL THEN 'unchanged'
+                ELSE 'update' END          AS action,
+           CAST(COUNT(*) AS BIGINT)        AS n,
+           ROUND(SUM(COALESCE(c.o_totalprice, b.o_totalprice)), 2) AS merged_total
+    FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+    GROUP BY action ORDER BY action
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain parquet: a change batch (latest
+    row per key via max_by) full-outer-joined onto the base snapshot,
+    classifying every key insert / update / unchanged and computing the
+    merged value — the lakehouse upsert loop without a table format.
+    At 100 TB both sides shuffle once on the key (a full outer can't
+    broadcast); the change batch is pre-collapsed to one row per key
+    before the join, which is what bounds the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    base = o.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        o.where(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by("o_orderstatus", "o_orderdate").alias("c_status"),
+            F.max_by("o_totalprice", "o_orderdate").alias("c_price"),
+        )
+    )
+    j = base.alias("b").join(
+        changes.alias("c"),
+        F.col("b.o_orderkey") == F.col("c.o_orderkey"),
+        "full_outer",
+    )
+    action = (
+        F.when(F.col("b.o_orderkey").isNull(), "insert")
+        .when(F.col("c.o_orderkey").isNull(), "unchanged")
+        .otherwise("update")
+    )
+    return (
+        j.select(
+            action.alias("action"),
+            F.coalesce(F.col("c_price"), F.col("b.o_totalprice")).alias("p"),
+        )
+        .groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("p"), 2).alias("merged_total"),
+        )
+        .orderBy("action")
+    )
