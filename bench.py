@@ -79,6 +79,9 @@ HEADLINE = [
     "pmi_bigrams",
     "dedup_incremental_batch",
     "shard_assignment",
+    "fuzzy_match_blocked",
+    "event_debounce",
+    "snapshot_merge_upsert",
 ]
 
 
