@@ -654,3 +654,84 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def _int8_oracle() -> str:
+    # scales cancel in cosine, so the int dot products are exact on
+    # both engines; only the final division is float (rounded).
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) AS DOUBLE)) AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings
+      )
+    ),
+    n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.qv, b.qv) / (a.qn * b.qn) AS qcos
+      FROM n a JOIN n b ON a.vec_id < {N_QUERY_VECS} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(qcos, 6) AS qcosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qcos DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@_register("similarity_topk_int8", _int8_oracle())
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over int8-quantized vectors (max-abs symmetric
+    quantization, matching embedding_quantize_int8): per-vector scales
+    cancel in cosine, so ranking needs only integer dot products —
+    4x less memory traffic per candidate than float32, which is the
+    actual bottleneck of a 100 TB brute-force scan. Recall vs the
+    float exact top-k is pinned in test_scale_features."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x * F.lit(127.0) / F.col("m") + F.lit(0.5))
+        .cast("bigint")
+        .cast("double"),
+    )
+    base = (
+        e.select("vec_id", m.alias("m"), "embedding")
+        .select("vec_id", qv.alias("qv"))
+        .withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    )
+    qside = base.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("qn").alias("qqn"),
+    )
+    pairs = base.crossJoin(F.broadcast(qside)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    qcos = dot(F.col("qqv"), F.col("qv")) / (F.col("qqn") * F.col("qn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            qcos.alias("qcos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("qcos", 6).alias("qcosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
