@@ -964,3 +964,49 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+@_register("funnel_conversion_onepass", ORACLES["funnel_conversion"])
+def funnel_conversion_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel, one scan: per-user event structs collect into a
+    sorted array (ONE shuffle on user_id), then higher-order functions
+    (filter/transform/array_min) walk the chain t1 -> t2 -> t3 inside
+    whole-stage codegen — no joins at all, versus the chained
+    broadcast-join form's three scans. The trade: per-user state must
+    fit a row (collect_list), so this is the bounded-cardinality
+    variant; funnel_conversion stays the unbounded-safe plan. Oracle
+    shared verbatim with funnel_conversion."""
+    e = load_table(spark, sf_dir, "events")
+    evs = e.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+    )
+    per_user = evs.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("es"))).alias("t1"),
+        F.array_sort(F.collect_list(F.struct("es", "event_type"))).alias("seq"),
+    )
+
+    def stage_after(prev, typ):
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("seq"),
+                    lambda s: (s["event_type"] == typ) & (s["es"] >= prev),
+                ),
+                lambda s: s["es"],
+            )
+        )
+
+    staged = per_user.withColumn("t2", stage_after(F.col("t1"), "click")).withColumn(
+        "t3", stage_after(F.col("t2"), "purchase")
+    )
+    counts = staged.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', c1, 'view>click', c2, 'view>click>purchase', c3)"
+        " AS (step, n_users)"
+    ).orderBy("step")

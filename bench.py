@@ -82,6 +82,8 @@ HEADLINE = [
     "fuzzy_match_blocked",
     "event_debounce",
     "snapshot_merge_upsert",
+    "similarity_topk_int8",
+    "funnel_conversion_onepass",
 ]
 
 

@@ -189,3 +189,13 @@ def test_fuzzy_match_scan_prunes_columns(spark, sf_correctness):
     assert reads and all(
         "lang" not in l and "source" not in l and "n_chars" not in l for l in reads
     ), reads
+
+
+def test_funnel_onepass_has_no_joins(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["funnel_conversion_onepass"](spark, sf_correctness))
+    # single scan + higher-order array walk: no joins, and only the
+    # user_id groupBy, final global agg, and presentation sort exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 6
