@@ -1010,3 +1010,171 @@ def funnel_conversion_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'view', c1, 'view>click', c2, 'view>click>purchase', c3)"
         " AS (step, n_users)"
     ).orderBy("step")
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    bi AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM s
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bi WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+             AS p
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-flow model behind next-event prediction).
+
+    Scale shape: ONE shuffle on user_id feeds the lead() window; the
+    (from, to) count then partial-aggregates map-side down to at most
+    |event_types|^2 rows, so the row-normalizing second window runs on
+    a ~25-row frontier — per-user sequences never leave their executor.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = bi.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 4).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@_register(
+    "concurrency_minute_peak",
+    """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    ticks AS (
+      SELECT event_type,
+             unnest(generate_series(
+               CAST(ceil(es / 60.0) AS BIGINT) * 60, es + 299, 60)) AS tick
+      FROM iv
+    ),
+    per_tick AS (
+      SELECT event_type, tick, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ticks GROUP BY event_type, tick
+    )
+    SELECT event_type,
+           CAST(tick // 86400 AS BIGINT) AS epoch_day,
+           CAST(MAX(c) AS BIGINT)        AS peak_concurrency
+    FROM per_tick
+    GROUP BY event_type, epoch_day
+    ORDER BY event_type, epoch_day
+    """,
+)
+def concurrency_minute_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type per day, sampled at minute ticks
+    — each event holds a 5-minute lease [es, es+300).
+
+    Scale shape: the classic +1/-1 sweep needs a running sum over ONE
+    totally-ordered partition per event_type — a giant-partition
+    non-starter at 100 TB. Sampling at minute granularity instead turns
+    concurrency into a pure count: explode each lease onto its <=6
+    covering ticks map-side (sequence+explode, no UDF), then count per
+    (event_type, tick) with map-side partial agg and roll up to the
+    daily peak. Shuffle keys are (event_type, tick) — cardinality grows
+    with time span, not row count, so partitions stay bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+    )
+    ticks = iv.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("es") / F.lit(60.0)) * 60).cast("bigint"),
+                (F.col("es") + 299).cast("bigint"),
+                F.lit(60).cast("bigint"),
+            )
+        ).alias("tick"),
+    )
+    per_tick = ticks.groupBy("event_type", "tick").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        per_tick.withColumn(
+            "epoch_day", (F.col("tick") / F.lit(86400)).cast("bigint")
+        )
+        .groupBy("event_type", "epoch_day")
+        .agg(F.max("c").cast("bigint").alias("peak_concurrency"))
+        .orderBy("event_type", "epoch_day")
+    )
+
+
+@_register(
+    "time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT user_id, value, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, value,
+             lead(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) - es
+               AS dt
+      FROM s
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt) / SUM(dt), 4) AS twap
+    FROM w
+    WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each reading holds
+    until the next one, so it's weighted by its holding duration —
+    the irregular-time-series average a naive AVG() gets wrong.
+
+    Scale shape: one shuffle on user_id serves both the lead() window
+    and the final aggregate (same partitioning, no second exchange).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    deltas = e.select(
+        "user_id",
+        "value",
+        (F.floor(F.unix_timestamp(F.lead("ts").over(w))).cast("bigint") - es).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("twap"),
+            F.sum("dt").alias("_sum_dt"),
+        )
+        .where(F.col("_sum_dt") > 0)
+        .drop("_sum_dt")
+        .orderBy("user_id")
+    )

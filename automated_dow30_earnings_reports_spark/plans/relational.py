@@ -528,3 +528,151 @@ def except_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
     finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return pending.subtract(finished).orderBy("o_custkey")  # subtract == EXCEPT DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (SURVEY §2.3 + §2.4 composition)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15'
+      AND l_shipdate  > TIMESTAMP '1999-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-table join + agg + top-k (J1/A9/T2 composition).
+
+    Scale shape: both selective filters run BEFORE their joins so the
+    scans push `c_mktsegment`/date predicates into parquet; the
+    filtered customer side (1/5 of customers, 1 key column) is
+    broadcast, so the only shuffle is the final groupBy on l_orderkey
+    — which AQE coalesces since the agg output is tiny. TakeOrdered
+    replaces a global sort for the LIMIT 10.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1999-03-15"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1999-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "market_share_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN vol ELSE 0 END)
+                 / SUM(vol), 4)           AS mkt_share
+    FROM (
+      SELECT o_orderdate,
+             l_extendedprice * (1 - l_discount) AS vol,
+             l_suppkey, o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) j
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: 6-table snowflake join, conditional
+    share aggregate per order year.
+
+    Scale shape: the one genuinely large-x-large join (lineitem x
+    orders) shuffles on the order key; every dimension hop after it is
+    a broadcast (region/nation always; customer/supplier projected to
+    2 int columns each — at 100 TB those become shuffle joins and AQE
+    picks that automatically since the hint is size-based in
+    `session.py`, not hard-coded here). The CASE share trick computes
+    numerator and denominator in ONE aggregation pass instead of two
+    scans + a join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+
+    amer_cust = (
+        cust.join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(amer_cust), orders.o_custkey == amer_cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == n2.n2_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(0.0))
+                / F.sum("vol"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -84,6 +84,9 @@ HEADLINE = [
     "snapshot_merge_upsert",
     "similarity_topk_int8",
     "funnel_conversion_onepass",
+    "q3_shipping_priority",
+    "market_share_by_year",
+    "concurrency_minute_peak",
 ]
 
 

@@ -199,3 +199,32 @@ def test_funnel_onepass_has_no_joins(spark, sf_correctness):
     # user_id groupBy, final global agg, and presentation sort exchange
     assert "Join" not in plan
     assert plan.count("Exchange") <= 6
+
+
+def test_q3_uses_takeordered_and_broadcasts(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["q3_shipping_priority"](spark, sf_correctness))
+    # LIMIT 10 over a sort must compile to TakeOrdered, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+    # customer and orders sides ride broadcast joins; no sort-merge join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_concurrency_peak_is_pure_codegen(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["concurrency_minute_peak"](spark, sf_correctness))
+    # sequence+explode grid: no Python/Arrow nodes, no joins, and the
+    # (event_type, tick) -> (event_type, day) rollup reuses one shuffle
+    assert "Python" not in plan and "Join" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_twap_single_shuffle(spark, sf_correctness):
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["time_weighted_avg"](spark, sf_correctness))
+    # window on user_id + groupBy user_id reuse the same hash partitioning:
+    # one data exchange plus the presentation sort
+    assert plan.count("Exchange hashpartitioning") <= 2
