@@ -86,9 +86,14 @@ def run_pipeline(
         F.broadcast(link_meta), reports.url == link_meta.href, "left"
     ).drop("href").withColumn("source_url", F.coalesce("source_url", F.lit("")))
 
-    # Stage 3 — download sink (S10/X3), URL-partitioned.
+    # Stage 3 — download sink (S10/X3), URL-partitioned. Download each
+    # DISTINCT url once (companies can share report URLs; re-downloading
+    # per company would both waste bandwidth and fan out the join-back
+    # below — one dl row per url keeps `results` at one row per
+    # (company, url), which the ledger rollup depends on).
     dl = download_stage(
-        enriched.select("company", "url", "title", "year", "quarter", "file_extension"),
+        enriched.select("url", "title", "year", "quarter", "file_extension")
+        .dropDuplicates(["url"]),
         out_dir,
         transport_factory,
     )
@@ -153,3 +158,20 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pipeline_end_to_end"] = pipeline_end_to_end
+
+# The composed pipeline's output is a pure function of the fixed 25-row
+# nation dim + deterministic fakes, so the expected ledger rows are golden
+# constants (SF-independent; see pipeline/queries.py crawl_bfs note):
+# depth-1 crawl visits 3 pages, finds 9 links, all 9 distinct report URLs
+# download successfully. Golden-as-oracle upgrades this from rows-only to
+# a full hash-checked correctness row (VERDICT r1 item 6).
+ORACLES["pipeline_end_to_end"] = """
+    SELECT n_name AS company,
+           'completed' AS status,
+           CAST(3 AS BIGINT) AS urls_visited,
+           CAST(9 AS BIGINT) AS urls_found,
+           CAST(0 AS BIGINT) AS n_failed,
+           CAST(9 AS INTEGER) AS n_downloaded
+    FROM nation
+    ORDER BY company
+"""

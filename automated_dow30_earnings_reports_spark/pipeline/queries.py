@@ -175,12 +175,27 @@ def download_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X5 — BFS crawl over the deterministic fake IR site (iterative driver
-# loop → rows-only check; correctness is pinned by tests/test_pipeline.py).
+# X5 — BFS crawl over the deterministic fake IR site. The crawl itself is
+# an iterative driver loop (not SQL-expressible), but its OUTPUT is a pure
+# function of the fixed 25-row nation dim and the deterministic fake site,
+# so the expected per-company counts are golden constants (verified
+# SF-independent at sf0.001/sf0.01): every company crawls to 18 documents
+# across 6 distinct source pages at depth 2 / top-3. Registering that
+# golden as the oracle upgrades this from rows-only to a full
+# hash-checked row (VERDICT r1 "Next round" item 6).
 # ---------------------------------------------------------------------------
 
 
-@_register("crawl_bfs")
+@_register(
+    "crawl_bfs",
+    """
+    SELECT n_name AS company,
+           CAST(18 AS BIGINT) AS n_documents,
+           CAST(6 AS BIGINT) AS n_source_pages
+    FROM nation
+    ORDER BY company
+    """,
+)
 def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     seeds = nation.select(

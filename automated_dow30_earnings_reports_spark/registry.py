@@ -19,21 +19,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PKG = "automated_dow30_earnings_reports_spark"
 
 # Grows as operator modules land (SURVEY.md §7 build order).
+#
+# ORDER MATTERS: the driver evaluates correctness in registration order and
+# may truncate on time budget (r1 stopped at 50/116). Modules whose queries
+# have never received a CORRECTNESS row go FIRST so a truncated pass
+# verifies new surface instead of re-validating already-green relational
+# queries (VERDICT r1, "Next round" item 3).
 _MODULES = [
-    f"{_PKG}.plans.relational",
-    f"{_PKG}.plans.advanced",
-    f"{_PKG}.functions.scalars",
     f"{_PKG}.operators.dedup",
     f"{_PKG}.operators.similarity",
     f"{_PKG}.operators.textstats",
     f"{_PKG}.operators.multimodal",
-    f"{_PKG}.operators.skew",
-    f"{_PKG}.operators.asof",
     f"{_PKG}.operators.curation",
+    f"{_PKG}.operators.asof",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
     f"{_PKG}.pipeline.orchestrate",
     f"{_PKG}.sources.html_table",
+    f"{_PKG}.functions.scalars",
+    f"{_PKG}.operators.skew",
+    f"{_PKG}.plans.relational",
+    f"{_PKG}.plans.advanced",
 ]
 
 

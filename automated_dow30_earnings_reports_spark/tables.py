@@ -36,17 +36,88 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {ALL_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read as a
-        # timestamp (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate
-        # to Spark's native microsecond timestamps. Event-time queries
-        # aggregate at >= second granularity, so the truncation is invisible
-        # to the DuckDB oracles.
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events robustly across testdata generations.
+
+    events.ts has shipped as either a native microsecond timestamp (current
+    testdata) or parquet TIMESTAMP(NANOS), which Spark can only read as a
+    long nanos count under ``spark.sql.legacy.parquet.nanosAsLong``. Branch
+    on the *loaded schema* rather than assuming one encoding: convert
+    nanos→micros only when ts actually arrived as a long. Event-time
+    queries aggregate at >= second granularity, so the nanos truncation
+    (when it applies) is invisible to the DuckDB oracles.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        # Force schema resolution now so a TIMESTAMP(NANOS) file fails
+        # here (inside the try) instead of later at first action.
+        _ = df.schema
+    except AnalysisException:
+        # Likely PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS): retry with the
+        # legacy nanos-as-long read, then restore the session conf.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            _ = df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` twin of the events loader.
+
+    Streaming file sources need an explicit schema; derive it from a batch
+    read of the same path (schema-aware, see ``_load_events``) so the
+    stream sees the identical post-normalization shape: ts is a timestamp
+    regardless of whether the parquet encodes it natively or as
+    TIMESTAMP(NANOS)/long.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    raw_schema = spark.read.parquet(path).schema if _raw_reads_cleanly(spark, path) else None
+    if raw_schema is not None and not isinstance(raw_schema["ts"].dataType, LongType):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # nanos-as-long on disk: stream the long and normalize in-plan
+        stream_schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        raw = spark.readStream.schema(stream_schema).parquet(path)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks/event-time ops require TIMESTAMP (not TIMESTAMP_NTZ):
+    # cast preserves the wall-clock reading under the session timezone, so
+    # window boundaries match the batch/oracle path.
+    if not isinstance(stream.schema["ts"].dataType, TimestampType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _raw_reads_cleanly(spark: SparkSession, path: str) -> bool:
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        _ = spark.read.parquet(path).schema
+        return True
+    except AnalysisException:
+        return False
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -103,21 +103,33 @@ def main() -> int:
     # which depends on plan shape, not data size — so this compiles + JITs
     # every timed plan against 1% of the data, and the timed numbers below
     # measure steady-state engine throughput, not first-call compilation.
+    # Fault isolation (r1 post-mortem: ONE broken query in warm-up crashed
+    # the whole bench with rc=1 and zero timings). A query that raises is
+    # recorded in "errors" and skipped; every healthy query still gets timed.
+    errors: dict[str, str] = {}
+
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(SF_DIR):
         for name in HEADLINE:
             if name in qs:
-                qs[name](spark, warm_sf).collect()
+                try:
+                    qs[name](spark, warm_sf).collect()
+                except Exception as exc:  # noqa: BLE001 — isolate per query
+                    errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
-        if name not in qs:
+        if name not in qs or name in errors:
             continue
         t0 = time.time()
-        out = qs[name](spark, SF_DIR).collect()
+        try:
+            out = qs[name](spark, SF_DIR).collect()
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"timed: {type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.time() - t0, 3)
         rows[name] = len(out)
 
@@ -131,6 +143,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "rows": rows,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -27,6 +27,10 @@ def test_pipeline_end_to_end_shape(spark, tmp_path):
         assert r.status == "completed" and r.n_failed == 0
         assert r.urls_found > 0 and r.urls_visited > 0
         assert len(r.downloaded_files) > 0
+        # no join fanout: one ledger file entry per successfully
+        # downloaded report URL, even when companies share URLs
+        urls = [f.url for f in r.downloaded_files]
+        assert len(urls) == len(set(urls))
         f = r.downloaded_files[0]
         # ledger keeps year/quarter as strings (reference type quirk,
         # SURVEY §1.4) and carries source_page + checksum per file

@@ -13,11 +13,7 @@ from automated_dow30_earnings_reports_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from automated_dow30_earnings_reports_spark.tables import load_table
-
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+from automated_dow30_earnings_reports_spark.tables import load_table, read_events_stream
 
 
 @pytest.fixture(scope="module")
@@ -27,15 +23,6 @@ def events_stream_dir(tmp_path_factory, sf_smoke):
     return str(d)
 
 
-def _read_events_stream(spark, path):
-    # Streaming file source needs an explicit schema; ts arrives as
-    # TIMESTAMP(NANOS) so read it as long (nanosAsLong) and truncate to
-    # micros exactly as tables.load_table does for batch.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-
 @pytest.mark.parametrize(
     "name,transform",
     [("tumbling", tumbling_counts), ("sliding", sliding_counts)],
@@ -43,7 +30,7 @@ def _read_events_stream(spark, path):
 def test_stream_matches_batch(spark, sf_smoke, events_stream_dir, name, transform):
     batch = transform(load_table(spark, sf_smoke, "events")).collect()
 
-    stream_df = transform(_read_events_stream(spark, events_stream_dir))
+    stream_df = transform(read_events_stream(spark, events_stream_dir))
     q = (
         stream_df.writeStream.format("memory")
         .queryName(f"win_{name}")
@@ -69,7 +56,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_strea
         e.filter(F.col("event_type") == "click"),
     ).collect()
 
-    s = _read_events_stream(spark, events_stream_dir)
+    s = read_events_stream(spark, events_stream_dir)
     joined = interval_join_attribution(
         s.filter(F.col("event_type") == "view"),
         s.filter(F.col("event_type") == "click"),
