@@ -36,6 +36,7 @@ _MODULES = [
     f"{_PKG}.pipeline.queries",
     f"{_PKG}.pipeline.orchestrate",
     f"{_PKG}.sources.html_table",
+    f"{_PKG}.sources.html_dom",
     f"{_PKG}.functions.scalars",
     f"{_PKG}.operators.skew",
     f"{_PKG}.plans.relational",

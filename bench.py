@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "html_table_scan",
     "html_clean",
+    "html_dom_clean",
     "dedup_clusters",
     "rollup_flag_status",
     "asof_join_prior_click",
