@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_dow30_earnings_reports_spark.operators.textstats import tokens_col
-from automated_dow30_earnings_reports_spark.tables import load_table
+from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -87,7 +87,9 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct leaked shingles. The test-side distinct shingle set is
     orders of magnitude smaller than the corpus, so Catalyst/AQE
     broadcasts it and the scan side never shuffles its text."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): 5-gram shingling is compute-bound and the local scan is a
+    # single split — no-op at scale (see tables.spread)
+    d = spread(load_table(spark, sf_dir, "documents"))
     # Shingle arrays feed both the bench-side distinct and the train-side
     # explode; persist() tokenizes the corpus once, not twice.
     sh = d.select(

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_dow30_earnings_reports_spark.tables import load_table
+from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -76,7 +76,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document, so array_distinct BEFORE the explode produces the set
     map-side — no shuffle, unlike explode + DataFrame distinct (which
     would shuffle every shingle row in the corpus)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("shingle"),
@@ -688,10 +688,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates at scale come from equality on 16-bit bands of this
     signature (hamming ≤ 3 guarantee with 4 bands); the signature
     itself is the oracle-checked output."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # per-doc distinct is computable MAP-SIDE (array_distinct before the
+    # explode) — at 100 TB this deletes a full corpus-wide shuffle that
+    # a row-level .distinct() would need; same (doc_id, tok) set.
     toks = d.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    )
     th = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("th"))
     sums = th.groupBy("doc_id").agg(*_simhash_bit_sums_spark())
     return sums.select("doc_id", _simhash_hex_spark()).orderBy("doc_id")
@@ -746,7 +749,7 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global first-occurrence window (at 100 TB, partition on a
     chunk digest instead of the raw string to bound key width), one
     back on doc_id for reassembly. Chunking itself is map-side."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = tokens_col(F.col("text"))
     n_chunks = F.ceil(F.size(t) / CHUNK_W).cast("int")
     chunks = F.when(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_dow30_earnings_reports_spark.tables import load_table
+from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -147,11 +147,18 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup baseline: exact all-pairs cosine, global top-N
-    (TakeOrderedAndProject — no full sort materialization)."""
+    (TakeOrderedAndProject — no full sort materialization).
+
+    The non-equi pair join is a broadcast nested-loop whose parallelism
+    is the STREAMED side's partition count — spread() it so the O(N²)
+    scoring uses every core instead of inheriting the scan's splits
+    (a single tiny file locally ⇒ one task for all N²/2 dot products)."""
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("norm").alias("na"))
+    a = spread(e).select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("norm").alias("na")
+    )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("norm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
         (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),

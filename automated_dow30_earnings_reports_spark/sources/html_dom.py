@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-from automated_dow30_earnings_reports_spark.tables import load_table
+from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -325,7 +325,7 @@ def html_dom_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     real anchor (text split across nested markup with an unclosed <b>)
     and one decorative icon anchor that class-pruning must drop —
     semantics regex extraction cannot express."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     safe_id = F.translate(F.col("doc_id").cast("string"), "0123456789", "abcdefghij")
     page = F.format_string(
         '<div><a href="https://ir.example.com/page-%s.html" title="Doc %s">'
@@ -359,7 +359,7 @@ def html_dom_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decorative-class subtree (class pruning — beyond the regex
     chain's power), and an unclosed <p>. Clean text must equal the
     original document text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     noisy = F.concat(
         F.lit('<div class="doc"><script>var x = "<p>not text</p>";</script>'),
         F.lit('<style>.a{content:"</div>"}</style><svg><path d="M0"/></svg>'),

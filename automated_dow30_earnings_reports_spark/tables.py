@@ -120,6 +120,23 @@ def _raw_reads_cleanly(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Raise a scan's partition count for COMPUTE-BOUND downstream stages.
+
+    Local testdata is one tiny parquet file per table, so the scan yields
+    1 split and every map-side-heavy operator downstream (shingle
+    explode, all-pairs scoring, per-row hashing) runs on one core of 32.
+    At 100 TB the scan already yields >= cores splits, so this must NOT
+    add a shuffle there: it is an explicit no-op whenever the plan
+    already has >= ``parts`` partitions. Only apply it where downstream
+    CPU per input byte is high — for plain scans/filters/aggregations the
+    extra exchange costs more than it buys.
+    """
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts) if df.rdd.getNumPartitions() < parts else df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in ALL_TABLES}
 
