@@ -24,6 +24,11 @@ PYTHON_STAGE_QUERIES = {
     "similarity_top_pairs_blocked",
     "dedup_embedding_cosine",
     "length_mad_udaf",
+    # DOM fidelity path: parsing is inherently Python (stdlib
+    # HTMLParser), Arrow-batched by contract (sources/html_dom.py)
+    "html_dom_table_scan",
+    "html_dom_links",
+    "html_dom_clean",
 }
 
 # Iterative driver loops: building the DataFrame executes jobs
@@ -69,7 +74,8 @@ def test_python_stage_queries_are_arrow_batched(name, spark, sf_correctness):
     # batched Arrow nodes only — never row-at-a-time BatchEvalPython
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert re.search(
-        r"MapInPandas|FlatMapGroupsInPandas|AggregateInPandas|ArrowAggregatePython",
+        r"MapInPandas|FlatMapGroupsInPandas|AggregateInPandas|ArrowAggregatePython"
+        r"|ArrowEvalPython",  # scalar pandas_udf (DOM parsers)
         plan,
     ), name
 
