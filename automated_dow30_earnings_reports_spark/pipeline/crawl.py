@@ -152,7 +152,10 @@ def bfs_crawl(
         )
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        # no checkpoint needed: visited is a union of ALREADY-checkpointed
+        # frontiers and its lineage depth is bounded by max_depth (2-3) —
+        # an eager checkpoint here is one extra job per depth for nothing
+        visited = visited.unionByName(frontier)
 
     # final document-only + null-keeping min-year filter (P3/P5)
     docs = accumulated.filter(F.col("link_type") == "document")

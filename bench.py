@@ -52,6 +52,7 @@ HEADLINE = [
     "url_skip_filter",
     "crawl_bfs",
     "multimodal_metadata",
+    "multimodal_image_header",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "html_table_scan",

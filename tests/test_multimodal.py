@@ -65,3 +65,83 @@ def test_audio_features_vectorized(spark, docs):
     assert rows[0].n_bytes == len(payload)
     assert rows[0].energy == sum(payload)
     assert rows[0].peak == max(payload)
+
+
+# ---------------------------------------------------------------------------
+# parse_image_header: real container bytes for all four formats
+# ---------------------------------------------------------------------------
+
+
+def _real_png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def test_parse_header_png_real_bytes():
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    assert parse_image_header(_real_png(640, 480)) == (640, 480, "png")
+    assert parse_image_header(_real_png(1, 1)) == (1, 1, "png")
+
+
+def test_parse_header_gif_bmp():
+    import struct
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert parse_image_header(gif) == (320, 200, "gif")
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    assert parse_image_header(bmp) == (800, 600, "bmp")  # top-down DIB abs()
+
+
+def test_parse_header_jpeg_sof_scan():
+    import struct
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    # SOI + APP0 (JFIF) + SOF0: the parser must skip the APP0 segment
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 1080, 1920, 3)
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\x00" * 4
+    assert parse_image_header(jpeg) == (1920, 1080, "jpeg")
+
+
+def test_parse_header_rejects_garbage():
+    import pytest as _pytest
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_image_header(b"not an image at all")
+
+
+def test_multimodal_image_header_query(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        multimodal_image_header,
+    )
+
+    rows = multimodal_image_header(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.fmt == "png"
+        assert r.width == r.doc_id % 640 + 16
+        assert r.height == r.doc_id % 480 + 16

@@ -20,6 +20,7 @@ PYTHON_STAGE_QUERIES = {
     "llm_extract_udtf",
     "download_ledger",
     "multimodal_image_decode",
+    "multimodal_image_header",
     "multimodal_audio_features",
     "similarity_top_pairs_blocked",
     "dedup_embedding_cosine",
