@@ -319,6 +319,92 @@ def multimodal_image_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.orderBy("doc_id")
 
 
+def parse_audio_header(data: bytes) -> tuple[int, int, int, str]:
+    """REAL audio container metadata: RIFF/WAVE fmt-chunk walk →
+    (channels, sample_rate, bits_per_sample, 'wav'). Pure byte parsing
+    like parse_image_header — the fmt chunk is found by chunk-id scan,
+    not fixed offset, so files with LIST/INFO chunks before fmt parse
+    correctly."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        clen = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            ch = int.from_bytes(data[i + 10 : i + 12], "little")
+            rate = int.from_bytes(data[i + 12 : i + 16], "little")
+            bits = int.from_bytes(data[i + 22 : i + 24], "little")
+            return ch, rate, bits, "wav"
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("WAVE without fmt chunk")
+
+
+def _le_hex(col: Column, n_bytes: int) -> Column:
+    """Little-endian hex of an integer column (for JVM-side container
+    assembly): big-endian lpad'd hex with its byte pairs reversed."""
+    be = F.lpad(F.hex(col), 2 * n_bytes, "0")
+    pairs = [F.substring(be, 2 * i + 1, 2) for i in range(n_bytes)]
+    return F.concat(*reversed(pairs))
+
+
+@_register(
+    "multimodal_audio_header",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER)            AS channels,
+           CAST(8000 + (doc_id % 6) * 8000 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER)                         AS bits,
+           'wav'                                       AS fmt
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble genuine WAV headers JVM-side (RIFF + fmt chunk with
+    per-doc channels/rate, little-endian fields built by byte-pair
+    reversal) and round-trip them through the real RIFF parser."""
+    from automated_dow30_earnings_reports_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ch = (F.col("doc_id") % 2 + 1).cast("bigint")
+    rate = (8000 + (F.col("doc_id") % 6) * 8000).cast("bigint")
+    bits = F.lit(16).cast("bigint")
+    byte_rate = (rate * ch * 2).cast("bigint")
+    block_align = (ch * 2).cast("bigint")
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"),          # 'RIFF'
+            F.lit("24000000"),          # chunk size (LE, header-only)
+            F.lit("57415645"),          # 'WAVE'
+            F.lit("666D7420"),          # 'fmt '
+            F.lit("10000000"),          # fmt length 16 (LE)
+            F.lit("0100"),              # PCM
+            _le_hex(ch, 2),
+            _le_hex(rate, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block_align, 2),
+            _le_hex(bits, 2),
+        )
+    )
+    blobs = d.select("doc_id", wav.alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                c, r, b, fmt = parse_audio_header(bytes(data))
+                out.append((doc_id, c, r, b, fmt))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "channels", "sample_rate", "bits", "fmt"]
+            )
+
+    parsed = blobs.mapInPandas(
+        run, schema="doc_id long, channels int, sample_rate int, bits int, fmt string"
+    )
+    return parsed.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Video frame sampling — JVM-side: sequence/explode + binary substring.
 # ---------------------------------------------------------------------------

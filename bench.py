@@ -53,6 +53,7 @@ HEADLINE = [
     "crawl_bfs",
     "multimodal_metadata",
     "multimodal_image_header",
+    "multimodal_audio_header",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "html_table_scan",

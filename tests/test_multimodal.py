@@ -145,3 +145,47 @@ def test_multimodal_image_header_query(spark, sf_smoke):
         assert r.fmt == "png"
         assert r.width == r.doc_id % 640 + 16
         assert r.height == r.doc_id % 480 + 16
+
+
+def test_parse_audio_header_stdlib_wave_roundtrip(tmp_path):
+    """Parse a GENUINE wav file written by the stdlib wave module."""
+    import wave
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_audio_header,
+    )
+
+    p = str(tmp_path / "t.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01" * 64)
+    data = open(p, "rb").read()
+    assert parse_audio_header(data) == (2, 44100, 16, "wav")
+
+
+def test_parse_audio_header_skips_leading_chunks():
+    import struct
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_audio_header,
+    )
+
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    wav = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + lst + fmt
+    assert parse_audio_header(wav) == (1, 8000, 16, "wav")
+
+
+def test_multimodal_audio_header_query(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        multimodal_audio_header,
+    )
+
+    rows = multimodal_audio_header(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.fmt == "wav" and r.bits == 16
+        assert r.channels == r.doc_id % 2 + 1
+        assert r.sample_rate == 8000 + (r.doc_id % 6) * 8000

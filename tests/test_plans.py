@@ -21,6 +21,7 @@ PYTHON_STAGE_QUERIES = {
     "download_ledger",
     "multimodal_image_decode",
     "multimodal_image_header",
+    "multimodal_audio_header",
     "multimodal_audio_features",
     "similarity_top_pairs_blocked",
     "dedup_embedding_cosine",
