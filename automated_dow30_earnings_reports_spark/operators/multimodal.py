@@ -405,6 +405,100 @@ def multimodal_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.orderBy("doc_id")
 
 
+def parse_video_header(data: bytes) -> tuple[str, int, int, str]:
+    """REAL video container metadata: ISO BMFF (MP4) top-level box walk →
+    (major_brand, timescale, duration, 'mp4') from ftyp + moov/mvhd.
+    Handles version-0 (32-bit) and version-1 (64-bit) mvhd fields."""
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF container")
+    major_brand = data[8:12].decode("ascii", "replace")
+    i = 0
+    while i + 8 <= len(data):
+        size = int.from_bytes(data[i : i + 4], "big")
+        box = data[i + 4 : i + 8]
+        if size < 8:
+            raise ValueError("malformed box size")
+        if box == b"moov":
+            j = i + 8
+            end = min(i + size, len(data))
+            while j + 8 <= end:
+                csize = int.from_bytes(data[j : j + 4], "big")
+                cbox = data[j + 4 : j + 8]
+                if cbox == b"mvhd":
+                    ver = data[j + 8]
+                    if ver == 1:
+                        ts = int.from_bytes(data[j + 28 : j + 32], "big")
+                        dur = int.from_bytes(data[j + 32 : j + 40], "big")
+                    else:
+                        ts = int.from_bytes(data[j + 20 : j + 24], "big")
+                        dur = int.from_bytes(data[j + 24 : j + 28], "big")
+                    return major_brand, ts, dur, "mp4"
+                if csize < 8:
+                    raise ValueError("malformed box size")
+                j += csize
+            raise ValueError("moov without mvhd")
+        i += size
+    raise ValueError("no moov box")
+
+
+@_register(
+    "multimodal_video_header",
+    """
+    SELECT doc_id,
+           'isom'                                        AS major_brand,
+           CAST(600 AS INTEGER)                          AS timescale,
+           CAST((doc_id % 300 + 1) * 600 AS BIGINT)      AS duration,
+           CAST(doc_id % 300 + 1 AS BIGINT)              AS duration_sec
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_video_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble genuine MP4 structure JVM-side (ftyp + moov/mvhd v0 with
+    timescale 600 and a per-doc duration) and round-trip through the
+    real box-walk parser; duration_sec = duration/timescale is the
+    derived column a video-curation pass filters on."""
+    from automated_dow30_earnings_reports_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dur = ((F.col("doc_id") % 300 + 1) * 600).cast("bigint")
+    # ftyp box: size 16, brand isom, minor 0 | moov (size 8+108) > mvhd v0
+    # (size 108: 8 header + 100 fields; timescale at +20, duration at +24)
+    mvhd = F.concat(
+        F.lit("0000006C" + "6D766864"),  # size 108, 'mvhd'
+        F.lit("00" + "000000"),          # version 0 + flags
+        F.lit("00000000" * 2),           # creation/modification time
+        F.lit("00000258"),               # timescale 600
+        F.lpad(F.hex(dur), 8, "0"),      # duration (BE)
+        F.lit("00" * 80),                # rate/volume/matrix/next_track
+    )
+    mp4 = F.unhex(
+        F.concat(
+            F.lit("00000010" + "66747970" + "69736F6D" + "00000000"),  # ftyp isom
+            F.lit("00000074" + "6D6F6F76"),                            # moov size 116
+            mvhd,
+        )
+    )
+    blobs = d.select("doc_id", mp4.alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["blob"]):
+                brand, ts, duration, _fmt = parse_video_header(bytes(data))
+                out.append((doc_id, brand, ts, duration, duration // ts))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "major_brand", "timescale", "duration", "duration_sec"],
+            )
+
+    parsed = blobs.mapInPandas(
+        run,
+        schema="doc_id long, major_brand string, timescale int, duration long, duration_sec long",
+    )
+    return parsed.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Video frame sampling — JVM-side: sequence/explode + binary substring.
 # ---------------------------------------------------------------------------

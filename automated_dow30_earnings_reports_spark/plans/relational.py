@@ -676,3 +676,81 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_name,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')      AS order_date,
+           ROUND(o_totalprice, 2)                 AS total_price,
+           CAST(SUM(l_quantity) AS BIGINT)        AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN big      USING (l_orderkey)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-order report: a grouped-HAVING
+    derived key set semi-joined back against the same fact table, then
+    re-aggregated with customer context.
+
+    Scale shape: the HAVING subquery is ONE map-side-partial agg over
+    lineitem projected to 2 columns — its output (order keys over the
+    quantity threshold) is tiny, so it broadcasts into a LEFT SEMI join
+    that prunes lineitem BEFORE the wide join with orders/customer;
+    the fact table is never shuffled at full width. A correlated
+    rewrite (windowed sum over every row) would shuffle the whole
+    table — the derived-key-set + semi-join form is the 100 TB answer.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    # broadcast the tiny key set into BOTH fact tables — after the semi
+    # joins everything downstream is |big|-bounded, so no full-width fact
+    # shuffle ever happens
+    li_pruned = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(
+            F.broadcast(big.select(F.col("l_orderkey").alias("o_orderkey"))),
+            "o_orderkey",
+            "left_semi",
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    per_order = (
+        li_pruned.join(F.broadcast(orders), li_pruned.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+    # per_order is |big| rows — broadcast it against the (at-scale large)
+    # customer dim so customers never shuffle either
+    return (
+        cust.join(F.broadcast(per_order), cust.c_custkey == per_order.o_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(20)
+    )

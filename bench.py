@@ -54,6 +54,7 @@ HEADLINE = [
     "multimodal_metadata",
     "multimodal_image_header",
     "multimodal_audio_header",
+    "multimodal_video_header",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "html_table_scan",
@@ -89,6 +90,7 @@ HEADLINE = [
     "funnel_conversion_onepass",
     "q3_shipping_priority",
     "market_share_by_year",
+    "q18_large_orders",
     "concurrency_minute_peak",
 ]
 

@@ -189,3 +189,49 @@ def test_multimodal_audio_header_query(spark, sf_smoke):
         assert r.fmt == "wav" and r.bits == 16
         assert r.channels == r.doc_id % 2 + 1
         assert r.sample_rate == 8000 + (r.doc_id % 6) * 8000
+
+
+def test_parse_video_header_box_walk():
+    import struct
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_video_header,
+    )
+
+    def mk(ts, dur, ver=0, with_free=False):
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+        if ver == 0:
+            body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", ts, dur) + b"\x00" * 80
+        else:
+            body = (
+                b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">I", ts) + struct.pack(">Q", dur) + b"\x00" * 80
+            )
+        mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        out = ftyp
+        if with_free:  # free box between ftyp and moov must be skipped
+            out += struct.pack(">I", 8) + b"free"
+        return out + moov
+
+    assert parse_video_header(mk(600, 1800)) == ("isom", 600, 1800, "mp4")
+    assert parse_video_header(mk(90000, 2**33, ver=1)) == ("isom", 90000, 2**33, "mp4")
+    assert parse_video_header(mk(600, 1200, with_free=True)) == ("isom", 600, 1200, "mp4")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_video_header(b"garbage bytes here!!")
+
+
+def test_multimodal_video_header_query(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        multimodal_video_header,
+    )
+
+    rows = multimodal_video_header(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.major_brand == "isom" and r.timescale == 600
+        assert r.duration_sec == r.doc_id % 300 + 1
+        assert r.duration == r.duration_sec * 600

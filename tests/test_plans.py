@@ -22,6 +22,7 @@ PYTHON_STAGE_QUERIES = {
     "multimodal_image_decode",
     "multimodal_image_header",
     "multimodal_audio_header",
+    "multimodal_video_header",
     "multimodal_audio_features",
     "similarity_top_pairs_blocked",
     "dedup_embedding_cosine",
