@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_dow30_earnings_reports_spark.pipeline.crawl import bfs_crawl
@@ -278,4 +278,69 @@ def url_skip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("reason")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Politeness scheduling — the DISTRIBUTED answer to the reference's
+# cross-worker rate limiter (extract_reports.py:98-108 lock file, 30 s
+# min gap). A wall-clock token bucket cannot be enforced fleet-wide
+# from inside executors (SURVEY §7 known-hard); the data-plane answer
+# is to SCHEDULE the frontier instead of throttling the fetchers:
+# rank URLs within each host and cut the ranking into waves of
+# PER_HOST_BURST. Executing one wave per micro-batch bounds concurrent
+# connections per host at exactly PER_HOST_BURST regardless of
+# executor count — deterministic, idempotent under retries, and one
+# window shuffle on the host key.
+# ---------------------------------------------------------------------------
+
+PER_HOST_BURST = 4
+
+
+@_register(
+    "frontier_politeness_schedule",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+             'https://host-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/doc/'
+               || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') AS url
+      FROM documents
+    ),
+    ranked AS (
+      SELECT host,
+             (ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+               // {PER_HOST_BURST} AS wave
+      FROM u
+    )
+    SELECT host,
+           CAST(wave AS INT)          AS wave,
+           CAST(COUNT(*) AS BIGINT)   AS n_urls
+    FROM ranked
+    GROUP BY host, wave
+    ORDER BY host, wave
+    """,
+)
+def frontier_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier → per-host fetch waves of PER_HOST_BURST; output the
+    (host, wave) histogram a crawl scheduler executes one wave at a
+    time. The window partitions on host — the same key the fetch stage
+    partitions on, so the schedule rides the shuffle the crawl already
+    pays."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.lit("host-"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com"))
+    safe_id = F.translate(F.col("doc_id").cast("string"), "0123456789", "abcdefghij")
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"), safe_id)
+    u = d.select(host.alias("host"), url.alias("url"))
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = u.select(
+        "host",
+        F.floor((F.row_number().over(w) - 1) / PER_HOST_BURST).alias("wave"),
+    )
+    return (
+        ranked.groupBy("host", "wave")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+        .select("host", F.col("wave").cast("int").alias("wave"), "n_urls")
+        .orderBy("host", "wave")
     )

@@ -50,6 +50,7 @@ HEADLINE = [
     "llm_extract_udtf",
     "download_ledger",
     "url_skip_filter",
+    "frontier_politeness_schedule",
     "crawl_bfs",
     "multimodal_metadata",
     "multimodal_image_header",
