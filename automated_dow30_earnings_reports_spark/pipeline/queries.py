@@ -344,3 +344,93 @@ def frontier_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", F.col("wave").cast("int").alias("wave"), "n_urls")
         .orderBy("host", "wave")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gate — the standard crawler politeness filter the reference
+# omits (its skip patterns at find_IR_pgs_v1.py:63-81 are a regex
+# approximation of the same intent). Rules are DATA (per-host Disallow
+# path prefixes), so the gate is a broadcast prefix anti-join: frontier
+# urls survive unless some rule for their host prefixes their path.
+# At 100 TB the rules table (thousands of hosts x handful of rules)
+# broadcasts; the frontier side never shuffles.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "robots_disallow_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'host-' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/admin/panel-' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/doc-' || CAST(doc_id AS VARCHAR)
+               ELSE '/reports/doc-'        || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents
+    ),
+    rules AS (
+      SELECT 'host-' || CAST(h AS VARCHAR) AS host, rule
+      FROM range(0, 7) t(h),
+           (VALUES ('/admin/'), ('/private/')) r(rule)
+      WHERE h % 2 = 0  -- odd hosts publish no robots.txt
+    ),
+    blocked AS (
+      SELECT DISTINCT u.doc_id
+      FROM u JOIN rules ON u.host = rules.host
+                       AND starts_with(u.path, rules.rule)
+    )
+    SELECT u.host,
+           CAST(COUNT(*) AS BIGINT)                                   AS n_urls,
+           CAST(COUNT(*) FILTER (b.doc_id IS NOT NULL) AS BIGINT)     AS n_blocked
+    FROM u LEFT JOIN blocked b USING (doc_id)
+    GROUP BY u.host
+    ORDER BY u.host
+    """,
+)
+def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl gate: synthetic frontier paths vs per-host
+    Disallow prefix rules (even-numbered hosts disallow /admin/ and
+    /private/). Output: per-host url/blocked counts — the crawl
+    observability histogram. The rule probe is a broadcast non-equi
+    join on (host equality AND path prefix), i.e. BroadcastHashJoin on
+    host with the startswith as join residual."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.lit("host-"), (F.col("doc_id") % 7).cast("string"))
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/admin/panel-"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/doc-"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/reports/doc-"), F.col("doc_id").cast("string")))
+    )
+    u = d.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = (
+        spark.range(0, 7)
+        .where(F.col("id") % 2 == 0)
+        .select(F.concat(F.lit("host-"), F.col("id").cast("string")).alias("r_host"))
+        .crossJoin(
+            spark.createDataFrame([("/admin/",), ("/private/",)], ["rule"])
+        )
+    )
+    blocked = (
+        u.join(
+            F.broadcast(rules),
+            (F.col("host") == F.col("r_host")) & F.col("path").startswith(F.col("rule")),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_blocked", F.lit(1))
+    )
+    return (
+        u.join(F.broadcast(blocked), "doc_id", "left")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.sum(F.when(F.col("is_blocked").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+        )
+        .orderBy("host")
+    )

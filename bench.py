@@ -51,6 +51,7 @@ HEADLINE = [
     "download_ledger",
     "url_skip_filter",
     "frontier_politeness_schedule",
+    "robots_disallow_filter",
     "crawl_bfs",
     "multimodal_metadata",
     "multimodal_image_header",
