@@ -434,3 +434,81 @@ def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the dedup key normalizer every crawler needs
+# BEFORE the visited-set/anti-join (P10/A4): without it the same page
+# re-enters the frontier under utm-tagged, fragment-bearing, or
+# default-port variants. The reference dedups raw hrefs only
+# (enhanced_selenium_scraper.py:112-120). All JVM regexp work.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "url_canonicalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://Host-' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:443'
+               || '/Docs/item-' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=mail&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=q3'
+                       WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', ''),
+                     '([?&])utm_[^&]*', '\\1', 'g'),
+                   '[?&]+$', ''),
+                 '\\?&', '?'),
+               '&&+', '&', 'g') AS no_track
+      FROM u
+    ),
+    lowered AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(no_track, '^([a-zA-Z]+://[^/]+)', 1)),
+               ':443$|:80$', '')
+             || regexp_extract(no_track, '^[a-zA-Z]+://[^/]+(.*)$', 1) AS canon
+      FROM c
+    )
+    SELECT doc_id, canon AS canonical_url FROM lowered ORDER BY doc_id
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical crawl key: drop fragment, strip utm_* tracking params
+    (cleaning up separator debris), lowercase scheme+host, remove
+    default ports — path/query case is preserved (paths are
+    case-sensitive; hosts are not). Shuffle-free map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://Host-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/Docs/item-"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=mail&id="), F.col("doc_id").cast("string"),
+                        F.lit("&utm_campaign=q3")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?id="), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, "#section-2").otherwise(""),
+    )
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    no_track = F.regexp_replace(no_frag, r"([?&])utm_[^&]*", r"$1")
+    no_track = F.regexp_replace(no_track, r"[?&]+$", "")
+    no_track = F.regexp_replace(no_track, r"\?&", "?")
+    no_track = F.regexp_replace(no_track, r"&&+", "&")
+    head = F.regexp_replace(
+        F.lower(F.regexp_extract(no_track, r"^([a-zA-Z]+://[^/]+)", 1)),
+        r":443$|:80$", "",
+    )
+    tail = F.regexp_extract(no_track, r"^[a-zA-Z]+://[^/]+(.*)$", 1)
+    return d.select(
+        "doc_id", F.concat(head, tail).alias("canonical_url")
+    ).orderBy("doc_id")

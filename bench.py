@@ -52,6 +52,7 @@ HEADLINE = [
     "url_skip_filter",
     "frontier_politeness_schedule",
     "robots_disallow_filter",
+    "url_canonicalize",
     "crawl_bfs",
     "multimodal_metadata",
     "multimodal_image_header",
