@@ -1,0 +1,151 @@
+"""Graph analytics over the star schema (beyond-reference §2.11 family).
+
+Complements the label-propagation connected components in
+operators/dedup.py with a weighted-PageRank shape: derive a nation-level
+trade digraph from lineitem ⋈ orders ⋈ customer ⋈ supplier (edge
+supplier-nation → customer-nation, weight = lineitem count), then run a
+fixed number of damped power-iteration rounds.
+
+Cross-engine parity: the iteration count is FIXED (3) and unrolled in
+the DuckDB oracle as chained CTEs, so both engines compute the identical
+arithmetic; outputs round to 6 decimals to absorb summation-order ulps.
+
+Scale design: the expensive part is the EDGE DERIVATION — two fact-fact
+joins that shuffle on order key — executed once. The iteration itself
+runs on the aggregated graph (nodes × avg-degree rows, tiny compared to
+the facts). At web scale (edges >> memory) each round is one
+shuffle-join of the rank vector against the edge list keyed by source —
+the canonical Spark PageRank; per-round localCheckpoint would cut
+lineage exactly as dedup_clusters does. Here the fixed-small node set
+(25 nations) makes every rank join a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+DAMPING = 0.85
+N_ITER = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier-nation → customer-nation edge list with lineitem-count
+    weights. Dims project to 2 int columns and broadcast; the only big
+    shuffle is lineitem ⋈ orders on the order key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+_EDGES_SQL = """
+    edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY src, dst
+    ),
+    outw AS (SELECT src, SUM(w) AS tot FROM edges GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.tot AS p
+      FROM edges e JOIN outw o USING (src)
+    ),
+    nodes AS (SELECT n_nationkey AS id FROM nation),
+    n_cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
+"""
+
+
+def _rank_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT nodes.id,
+             (1 - {DAMPING}) / n_cnt.n
+             + {DAMPING} * COALESCE(SUM(norm.p * {prev}.r), 0) AS r
+      FROM nodes CROSS JOIN n_cnt
+      LEFT JOIN norm ON norm.dst = nodes.id
+      LEFT JOIN {prev} ON {prev}.id = norm.src
+      GROUP BY nodes.id, n_cnt.n
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    rounds = ",".join(
+        _rank_round_sql(f"r{i}", f"r{i + 1}") for i in range(N_ITER)
+    )
+    return f"""
+    WITH {_EDGES_SQL},
+    r0 AS (SELECT id, 1.0 / n_cnt.n AS r FROM nodes CROSS JOIN n_cnt),
+    {rounds}
+    SELECT id AS nation_key, ROUND(r, 6) AS pagerank
+    FROM r{N_ITER}
+    ORDER BY nation_key
+    """
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register("pagerank_trade_graph", _pagerank_oracle())
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round damped PageRank over the nation trade graph. Iterations
+    are plain DataFrame joins against the (tiny, broadcast) rank
+    vector; arithmetic mirrors the unrolled-CTE oracle exactly."""
+    edges = _edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+        .persist()
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    n = nodes.count()
+
+    rank = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    for _ in range(N_ITER):
+        contrib = (
+            norm.join(
+                F.broadcast(rank.select(F.col("id").alias("src"), "r")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
+        )
+        rank = (
+            nodes.join(contrib, nodes.id == F.col("dst"), "left")
+            .select(
+                "id",
+                (
+                    F.lit((1 - DAMPING) / n)
+                    + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return rank.select(
+        F.col("id").alias("nation_key"), F.round("r", 6).alias("pagerank")
+    ).orderBy("nation_key")

@@ -31,6 +31,7 @@ _MODULES = [
     f"{_PKG}.operators.textstats",
     f"{_PKG}.operators.multimodal",
     f"{_PKG}.operators.curation",
+    f"{_PKG}.operators.graph",
     f"{_PKG}.operators.asof",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",

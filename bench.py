@@ -64,6 +64,7 @@ HEADLINE = [
     "html_clean",
     "html_dom_clean",
     "dedup_clusters",
+    "pagerank_trade_graph",
     "rollup_flag_status",
     "asof_join_prior_click",
     "contamination_ngram",
