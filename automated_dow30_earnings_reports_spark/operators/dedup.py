@@ -99,6 +99,55 @@ _SHD_SQL = """
 """
 
 
+def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distinct (doc_id, h) rows where h is the 28-bit
+    md5-digest integer of each shingle — the MinHash tier's working set.
+
+    Narrower than doc_shingles on purpose (VERDICT r2 "Next round" #6):
+    the tier persists this across four plan branches, and 8-byte ints
+    both persist smaller than shingle strings and make every downstream
+    shuffle/join key an integer compare. Hashing happens INSIDE the
+    shingle array (transform + array_distinct) so the per-document set
+    is still built map-side with zero shuffles, and the distinct is
+    over hashes — in-doc collisions collapse identically in the oracle
+    (list_distinct over the same transform). Hashed-shingle jaccard is
+    the production form (Lee et al. 2022 hash their n-grams); the
+    string-exact baseline remains dedup_ngram_jaccard."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hs = F.array_distinct(
+        F.transform(
+            shingles_col(F.col("text")),
+            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(hs).alias("h"))
+
+
+def _h_of(expr: str) -> str:
+    """DuckDB twin of the 28-bit digest: first 7 md5 nibbles as int."""
+    nib = f"(strpos('0123456789abcdef', substr(md5({expr}), {{p}}, 1)) - 1)"
+    return " + ".join(nib.format(p=p) + f" * {16 ** (7 - p)}" for p in range(1, 8))
+
+
+# (doc_id, h) twin of doc_shingle_hashes: hash each shingle inside the
+# list, dedupe in-list, then unnest.
+_SHD_H_SQL = f"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    shd AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(t) >= 3
+                    THEN [{_h_of("array_to_string(t[i:i+2], ' ')")}
+                          FOR i IN range(1, len(t) - 1)]
+                    ELSE CAST([] AS BIGINT[]) END)) AS h
+      FROM toks
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tier 1 — exact dedup (A4: dropDuplicates by content hash)
 # ---------------------------------------------------------------------------
@@ -153,10 +202,15 @@ MINHASH_B = [i * 97_911 + 7 for i in range(MINHASH_H)]
 def minhash_signatures(shd: DataFrame, h: int = MINHASH_H) -> DataFrame:
     """One column per hash fn: min of (A_i*H + B_i) mod P where H is a
     28-bit integer from the shingle's md5. Single groupBy — signature
-    width is columns, not rows."""
-    H = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10).cast(
-        "bigint"
-    )
+    width is columns, not rows. Accepts either pre-hashed (doc_id, h)
+    rows (doc_shingle_hashes — the narrow working set) or raw
+    (doc_id, shingle) strings."""
+    if "h" in shd.columns:
+        H = F.col("h")
+    else:
+        H = F.conv(
+            F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10
+        ).cast("bigint")
     aggs = [
         F.min((H * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
         for i in range(h)
@@ -218,14 +272,16 @@ def lsh_candidates(bandkeys: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Dat
     )
 
 
-def verified_jaccard(cand: DataFrame, shd: DataFrame) -> DataFrame:
-    """Exact jaccard for candidate pairs via shingle-set intersection."""
+def verified_jaccard(cand: DataFrame, shd: DataFrame, key: str = "shingle") -> DataFrame:
+    """Exact jaccard for candidate pairs via set intersection on `key`
+    (shingle strings for the exact tiers, 28-bit hashes for the MinHash
+    tier's narrow working set)."""
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    sa = shd.select(F.col("doc_id").alias("id_a"), key)
+    sb = shd.select(F.col("doc_id").alias("id_b"), key)
     inter = (
         cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", key])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))
     )
@@ -243,13 +299,9 @@ def verified_jaccard(cand: DataFrame, shd: DataFrame) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    # 28-bit digest from the first 7 md5 nibbles (== Spark's
-    # conv(substring(md5, 1, 7), 16, 10)), then the same
+    # The 28-bit digest lives in the shared (doc_id, h) CTE
+    # (_SHD_H_SQL == Spark's doc_shingle_hashes); then the same
     # Carter-Wegman mixes as minhash_signatures.
-    nib = "(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1)"
-    h_expr = " + ".join(
-        f"{nib.format(p=p)} * {16 ** (7 - p)}" for p in range(1, 8)
-    )
     mins = ",\n             ".join(
         f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
         for i in range(MINHASH_H)
@@ -264,12 +316,11 @@ def _minhash_oracle() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""
-    WITH {_SHD_SQL},
-    hsh AS (SELECT doc_id, shingle, {h_expr} AS h FROM shd),
+    WITH {_SHD_H_SQL},
     sig AS (
       SELECT doc_id,
              {mins}
-      FROM hsh GROUP BY doc_id
+      FROM shd GROUP BY doc_id
     ),
     bandkeys AS (
       {band_rows}
@@ -293,7 +344,7 @@ def _minhash_oracle() -> str:
       SELECT c.id_a, c.id_b, count(*) AS i
       FROM cand c
       JOIN shd sa ON sa.doc_id = c.id_a
-      JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      JOIN shd sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       GROUP BY c.id_a, c.id_b
     )
     SELECT id_a, id_b,
@@ -311,16 +362,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection: shingle → 12-wide signature →
     6 bands of 2 → bucket self-join → exact-jaccard verification ≥ 0.8.
 
-    The shingle set feeds four plan branches (signatures, both probe
+    The working set feeds four plan branches (signatures, both probe
     sides of the verification join, sizes); persist() materializes the
     explode once instead of four times — on a cluster this is the
-    difference between one and four full scans of the corpus.
+    difference between one and four full scans of the corpus. The
+    persisted projection is (doc_id, h) 8-byte ints rather than shingle
+    strings (doc_shingle_hashes) — smaller cached blocks, integer join
+    keys in every downstream shuffle, and the md5 hot loop runs once at
+    materialization instead of per branch.
     ContextCleaner frees the blocks once the query's RDDs are GC'd."""
-    shd = doc_shingles(spark, sf_dir).persist()
+    shd = doc_shingle_hashes(spark, sf_dir).persist()
     sig = minhash_signatures(shd)
     cand = lsh_candidates(lsh_band_keys(sig))
     return (
-        verified_jaccard(cand, shd)
+        verified_jaccard(cand, shd, key="h")
         .where(F.col("jaccard") >= NEARDUP_THRESHOLD)
         .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -805,7 +860,7 @@ def _incremental_oracle() -> str:
       SELECT c.new_id, c.old_id, count(*) AS i
       FROM cand c
       JOIN shd sa ON sa.doc_id = c.new_id
-      JOIN shd sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+      JOIN shd sb ON sb.doc_id = c.old_id AND sb.h = sa.h
       GROUP BY c.new_id, c.old_id
     )
     SELECT new_id, old_id,
@@ -830,7 +885,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join still computes exact jaccard against the
     matched old docs only."""
     is_new = F.col("doc_id") % 5 == 4
-    shd = doc_shingles(spark, sf_dir).persist()
+    shd = doc_shingle_hashes(spark, sf_dir).persist()
     bk = lsh_band_keys(minhash_signatures(shd))
     new_keys = bk.where(is_new)
     old_keys = bk.where(~is_new)
@@ -847,11 +902,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shd.select(F.col("doc_id").alias("new_id"), "shingle")
-    sb = shd.select(F.col("doc_id").alias("old_id"), "shingle")
+    sa = shd.select(F.col("doc_id").alias("new_id"), "h")
+    sb = shd.select(F.col("doc_id").alias("old_id"), "h")
     inter = (
         cand.join(sa, "new_id")
-        .join(sb, ["old_id", "shingle"])
+        .join(sb, ["old_id", "h"])
         .groupBy("new_id", "old_id")
         .agg(F.count("*").alias("i"))
     )

@@ -200,6 +200,9 @@ def parse_image_header(data: bytes) -> tuple[int, int, str]:
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:  # legal fill/padding byte between segments
+                i += 1
+                continue
             if marker in _JPEG_SOF_MARKERS:
                 h = int.from_bytes(data[i + 5 : i + 7], "big")
                 w = int.from_bytes(data[i + 7 : i + 9], "big")
@@ -332,6 +335,8 @@ def parse_audio_header(data: bytes) -> tuple[int, int, int, str]:
         cid = data[i : i + 4]
         clen = int.from_bytes(data[i + 4 : i + 8], "little")
         if cid == b"fmt ":
+            if clen < 16 or i + 24 > len(data):
+                raise ValueError("truncated fmt chunk")
             ch = int.from_bytes(data[i + 10 : i + 12], "little")
             rate = int.from_bytes(data[i + 12 : i + 16], "little")
             bits = int.from_bytes(data[i + 22 : i + 24], "little")

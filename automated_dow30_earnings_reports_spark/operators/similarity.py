@@ -598,11 +598,17 @@ def _update_centroids(cells: DataFrame) -> DataFrame:
     """Lloyd update: element-wise mean per cell (spherical k-means —
     cosine against an unnormalized mean equals cosine against the
     normalized one). Explode is on K*N rows of scalars but aggregates
-    map-side to K*D partial sums before the shuffle."""
+    map-side to K*D partial sums before the shuffle.
+
+    Means round to 9 decimals: summation order differs between Spark's
+    partial aggregation and DuckDB's AVG, and the rounding collapses
+    that ulp-level divergence so both engines iterate from bit-identical
+    centroids — the same trick pagerank_trade_graph uses to oracle an
+    iterative numeric algorithm exactly."""
     by_dim = (
         cells.select("cell", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(F.round(F.avg("v"), 9).alias("m"))
     )
     rebuilt = (
         by_dim.groupBy("cell")
@@ -617,18 +623,55 @@ def _update_centroids(cells: DataFrame) -> DataFrame:
     return rebuilt
 
 
-@_register("similarity_ann_ivf_kmeans")  # iterative — rows-only check
-def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a trained coarse quantizer: seed centroids (first K
-    vectors) refined by KMEANS_ROUNDS Lloyd iterations before the
-    probe — the production IVF build step (Jegou et al. 2011 train
-    their quantizer; the seed-only variant above is the k-means-free
-    stand-in). Iterative, so no SQL oracle; recall against exact
-    top-k is pinned in test_scale_features.
+def _kmeans_cells_sql() -> str:
+    """WITH-body fragment (e … cellsF) for the fixed-count Lloyd loop
+    unrolled as chained CTEs (the pagerank_trade_graph technique,
+    operators/graph.py:89-100): each round is assignment (argmax
+    cosine, cid tie-break) + per-dim mean rounded to 9 decimals,
+    chained KMEANS_ROUNDS times, ending in the trained assignment
+    ``cellsF``. Shared by the IVF-kmeans and SemDeDup oracles."""
+    cos_vc = _COS_SQL.format(a="v.emb", b="c.ce")
 
-    Scale: each round is one broadcast assignment (no corpus shuffle)
-    plus a K*D-wide mean — the classic Spark k-means loop.
-    localCheckpoint keeps round lineage flat."""
+    def lloyd_round(prev_cents: str, tag: int) -> str:
+        return f"""
+    assign{tag} AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_vc} DESC, c.cid) AS rn
+      FROM e v CROSS JOIN {prev_cents} c
+    ),
+    cells{tag} AS (SELECT vec_id, cid AS cell FROM assign{tag} WHERE rn = 1),
+    upd{tag} AS (
+      SELECT cl.cell, dim.d, ROUND(AVG(e2.emb[dim.d]), 9) AS m
+      FROM cells{tag} cl
+      JOIN e e2 ON e2.vec_id = cl.vec_id
+      CROSS JOIN range(1, 65) dim(d)
+      GROUP BY cl.cell, dim.d
+    ),
+    cents{tag} AS (
+      SELECT cell AS cid, list(m ORDER BY d) AS ce FROM upd{tag} GROUP BY cell
+    )"""
+
+    rounds = ",".join(
+        lloyd_round(f"cents{i - 1}", i) for i in range(1, KMEANS_ROUNDS + 1)
+    )
+    last = f"cents{KMEANS_ROUNDS}"
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
+    {rounds},
+    assignF AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_vc} DESC, c.cid) AS rn
+      FROM e v CROSS JOIN {last} c
+    ),
+    cellsF AS (SELECT vec_id, cid AS cell FROM assignF WHERE rn = 1)"""
+
+
+def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, emb, norm) under the Lloyd-trained quantizer —
+    the Spark twin of the oracle fragment's ``cellsF``."""
     e = _emb(spark, sf_dir)
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
@@ -636,7 +679,49 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ROUNDS):
         cells = _assign_cells(e, cents)
         cents = _update_centroids(cells).localCheckpoint(eager=False)
-    cells = _assign_cells(e, cents)
+    return _assign_cells(e, cents)
+
+
+def _ivf_kmeans_oracle() -> str:
+    cos_qn = _COS_SQL.format(a="q.qe", b="n.emb")
+    return f"""
+    WITH {_kmeans_cells_sql()},
+    q AS (
+      SELECT e.vec_id AS query_id, e.emb AS qe, cellsF.cell
+      FROM e JOIN cellsF ON cellsF.vec_id = e.vec_id
+      WHERE e.vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id, {cos_qn} AS cos
+      FROM q
+      JOIN cellsF nc ON nc.cell = q.cell AND nc.vec_id <> q.query_id
+      JOIN e n ON n.vec_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@_register("similarity_ann_ivf_kmeans", _ivf_kmeans_oracle())
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a trained coarse quantizer: seed centroids (first K
+    vectors) refined by KMEANS_ROUNDS Lloyd iterations before the
+    probe — the production IVF build step (Jegou et al. 2011 train
+    their quantizer; the seed-only variant above is the k-means-free
+    stand-in). The fixed-count deterministic loop is unrolled as
+    chained CTEs in the oracle (see _ivf_kmeans_oracle); recall
+    against exact top-k is additionally pinned in test_scale_features.
+
+    Scale: each round is one broadcast assignment (no corpus shuffle)
+    plus a K*D-wide mean — the classic Spark k-means loop.
+    localCheckpoint keeps round lineage flat."""
+    cells = _trained_cells(spark, sf_dir)
     q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
@@ -741,4 +826,69 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+def _semdedup_oracle() -> str:
+    cos_ab = _COS_SQL.format(a="ea.emb", b="eb.emb")
+    return f"""
+    WITH {_kmeans_cells_sql()},
+    pairs AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM cellsF a
+      JOIN cellsF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE {cos_ab} >= {NEARDUP_COS}
+    )
+    SELECT c.vec_id,
+           CAST(c.cell AS INT)                                        AS cell,
+           CAST(CASE WHEN p.dup_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+    FROM cellsF c LEFT JOIN pairs p ON p.dup_id = c.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@_register("semdedup_prune", _semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with the trained k-means quantizer, then prune
+    near-duplicate pairs WITHIN each cluster only — cosine >= tau keeps
+    the lowest vec_id. The within-cluster restriction is the scale
+    trick: the quadratic term is bounded by cell size (N/K per cell on
+    average) instead of N, and the pair join shuffles on the cell key
+    exactly like the IVF probe. For very large cells, the
+    dedup_embedding_cosine blocked-GEMM kernel drops in per cell.
+
+    Composition note: reuses _trained_cells (the IVF-kmeans build) and
+    its unrolled-CTE oracle fragment — clustering is computed once per
+    corpus and serves both ANN search and semantic dedup."""
+    cells = _trained_cells(spark, sf_dir)
+    a = cells.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a"),
+    )
+    b = cells.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= NEARDUP_COS)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        cells.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.when(F.col("is_dup").isNull(), 1).otherwise(0)
+            .cast("bigint")
+            .alias("is_kept"),
+        )
+        .orderBy("vec_id")
     )

@@ -19,12 +19,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PKG = "automated_dow30_earnings_reports_spark"
 
 # Grows as operator modules land (SURVEY.md §7 build order).
-#
-# ORDER MATTERS: the driver evaluates correctness in registration order and
-# may truncate on time budget (r1 stopped at 50/116). Modules whose queries
-# have never received a CORRECTNESS row go FIRST so a truncated pass
-# verifies new surface instead of re-validating already-green relational
-# queries (VERDICT r1, "Next round" item 3).
 _MODULES = [
     f"{_PKG}.operators.dedup",
     f"{_PKG}.operators.similarity",
@@ -35,6 +29,7 @@ _MODULES = [
     f"{_PKG}.operators.asof",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
+    f"{_PKG}.pipeline.discovery",
     f"{_PKG}.pipeline.orchestrate",
     f"{_PKG}.sources.html_table",
     f"{_PKG}.sources.html_dom",
@@ -43,6 +38,77 @@ _MODULES = [
     f"{_PKG}.plans.relational",
     f"{_PKG}.plans.advanced",
 ]
+
+# ORDER MATTERS: the driver evaluates correctness in registration order
+# and truncates at ~50 queries per round (r1 and r2 each covered exactly
+# 50). Queries with no green CORRECTNESS row from r1∪r2 are listed here
+# explicitly so round 3's budget lands on precisely the unattested
+# surface (VERDICT r2, "Next round" item 1): the 20 events-family
+# queries that failed in r1 before the loader fix, the 28 never
+# reached in either round, the previously oracle-less
+# similarity_ann_ivf_kmeans (oracled this round), and this round's new
+# queries. Everything else (already driver-green) follows in module
+# order.
+_PRIORITY = [
+    "similarity_ann_ivf_kmeans",
+    "ir_candidate_urls",
+    "asof_join_tolerance",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "click_attribution_15m",
+    "llm_extract_udtf",
+    "download_ledger",
+    "crawl_bfs",
+    "url_skip_filter",
+    "frontier_politeness_schedule",
+    "robots_disallow_filter",
+    "url_canonicalize",
+    "pipeline_end_to_end",
+    "html_table_scan",
+    "html_clean",
+    "html_dom_table_scan",
+    "html_dom_links",
+    "html_dom_clean",
+    "url_parse",
+    "filename_pipeline",
+    "kv_roundtrip",
+    "json_scalar",
+    "md5_checksum",
+    "truncate_model_select",
+    "word_char_count",
+    "salted_skew_agg",
+    "salted_replicated_join",
+    "histogram_event_type",
+    "distinct_users",
+    "conditional_counts",
+    "success_rate",
+    "q18_large_orders",
+    "value_percentiles",
+    "user_event_deltas",
+    "event_value_stats",
+    "gapfill_daily_locf",
+    "scd2_event_type",
+    "zorder_cluster",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_anomaly_zscore",
+    "ntile_value_buckets",
+    "event_debounce",
+    "skew_report",
+    "funnel_conversion_onepass",
+    "event_transition_matrix",
+    "concurrency_minute_peak",
+    "time_weighted_avg",
+    # position 51+: new this round — verified in r4 if the driver stops at 50
+    "ir_candidate_probe",
+    "semdedup_prune",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
 
 
 def _iter_modules():
@@ -59,7 +125,7 @@ def all_queries() -> dict[str, QueryFn]:
         if dup:
             raise ValueError(f"duplicate query names from {mod.__name__}: {dup}")
         out.update(mod.QUERIES)
-    return out
+    return _prioritize(out)
 
 
 def all_oracles() -> dict[str, str]:
@@ -68,4 +134,4 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {"flagship_revenue_by_nation": flagship.FLAGSHIP_ORACLE}
     for mod in _iter_modules():
         out.update(mod.ORACLES)
-    return out
+    return _prioritize(out)

@@ -143,6 +143,7 @@ def main() -> int:
                 out = qs[name](spark, SF_DIR).collect()
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 errors[name] = f"timed: {type(exc).__name__}: {exc}"[:500]
+                rows.pop(name, None)  # keep rows/queries/errors consistent
                 break
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
@@ -152,19 +153,29 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "errors": errors,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # The driver records only the LAST ~2 KB of stdout; BENCH_r02 lost
+    # its timings because the full line (with per-query rows) overflowed
+    # that window. The printed line is therefore a compact essentials-only
+    # payload (2-decimal timings, no rows map, errors only when present),
+    # while the full record (3-decimal timings + rows) goes to
+    # bench_full.json next to this script.
+    payload = {
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if errors:
+        payload["errors"] = {k: v[:60] for k, v in errors.items()}
+    full = dict(payload, queries=timings, rows=rows, errors=errors)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(payload, separators=(",", ":")))
     return 0
 
 

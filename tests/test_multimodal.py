@@ -235,3 +235,35 @@ def test_multimodal_video_header_query(spark, sf_smoke):
         assert r.major_brand == "isom" and r.timescale == 600
         assert r.duration_sec == r.doc_id % 300 + 1
         assert r.duration == r.duration_sec * 600
+
+
+def test_parse_header_jpeg_fill_bytes_before_sof():
+    """0xFF fill/padding bytes between segments are legal (ITU T.81
+    B.1.1.2); the scanner must step over them instead of reading a
+    bogus length."""
+    import struct
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 600, 800, 3)
+    jpeg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\x00" * 4
+    assert parse_image_header(jpeg) == (800, 600, "jpeg")
+
+
+def test_parse_audio_header_truncated_fmt_raises():
+    import struct
+
+    import pytest as _pytest
+
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        parse_audio_header,
+    )
+
+    # fmt chunk claims only 8 bytes — malformed, must not return garbage
+    fmt = b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+    wav = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + fmt
+    with _pytest.raises(ValueError):
+        parse_audio_header(wav)

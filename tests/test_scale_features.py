@@ -152,3 +152,23 @@ def test_approx_percentile_within_tolerance(spark, sf_correctness):
             # approx returns a member of the dataset; exact interpolates
             # between neighbors — at sf0.01 group sizes the gap is tiny
             assert abs(ap - ex) <= max(1.0, 0.02 * abs(ex)), (r["event_type"], ex, ap)
+
+
+def test_semdedup_within_cell_subset_of_global(spark, sf_smoke):
+    """SemDeDup's within-cluster dups must be a subset of the global
+    embedding-cosine dups (restricting the pair search to a cell can
+    only lose pairs, never invent them), and every vector appears
+    exactly once with a 0/1 keep flag."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        semdedup_prune,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    out = semdedup_prune(spark, sf_smoke).collect()
+    n_vecs = load_table(spark, sf_smoke, "embeddings").count()
+    assert len(out) == n_vecs
+    assert {r.is_kept for r in out} <= {0, 1}
+    sem_dups = {r.vec_id for r in out if r.is_kept == 0}
+    global_dups = {r.dup_id for r in dedup_embedding_cosine(spark, sf_smoke).collect()}
+    assert sem_dups <= global_dups
