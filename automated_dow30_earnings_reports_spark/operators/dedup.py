@@ -487,11 +487,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 _COMPONENTS_SQL = f"""
-    WITH RECURSIVE {_SHD_SQL},
+    WITH RECURSIVE {_SHD_H_SQL},
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     inter AS (
       SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
-      FROM shd sa JOIN shd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      FROM shd sa JOIN shd sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
       GROUP BY 1, 2
     ),
     edges AS (
@@ -525,14 +525,16 @@ def _clusters_oracle() -> str:
     """
 
 
-def _ngram_edges(shd: DataFrame, threshold: float = 0.5) -> DataFrame:
+def _ngram_edges(shd: DataFrame, threshold: float = 0.5, key: str = "shingle") -> DataFrame:
     """Tier-3 near-dup pair edges: inverted-index self-join + exact
-    jaccard ≥ threshold (the shared edge generator for clustering and
-    retention)."""
-    sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    jaccard ≥ threshold on `key` (the shared edge generator for
+    clustering and retention; clustering runs it over 28-bit shingle
+    hashes — integer join keys, hashed-jaccard semantics mirrored in
+    the oracle)."""
+    sa = shd.select(F.col("doc_id").alias("id_a"), key)
+    sb = shd.select(F.col("doc_id").alias("id_b"), key)
     inter = (
-        sa.join(sb, "shingle")
+        sa.join(sb, key)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))
@@ -553,9 +555,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: jaccard ≥ 0.5 pairs (tier-3 edges) → connected
     components → (doc_id, cluster_id). The oracle computes the same
     components with a recursive CTE, so the iterative Spark loop is
-    value-checked, not just row-counted."""
-    shd = doc_shingles(spark, sf_dir).persist()
-    return connected_components(_ngram_edges(shd)).orderBy("doc_id")
+    value-checked, not just row-counted. The working set is the narrow
+    (doc_id, h) projection, localCheckpoint-ed (materialized once for
+    the three edge-plan branches, blocks ContextCleaner-reclaimed —
+    unlike CacheManager persist entries)."""
+    shd = doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    return connected_components(_ngram_edges(shd, key="h")).orderBy("doc_id")
 
 
 @_register(
@@ -579,8 +584,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster ranking are one broadcast-or-shuffle join plus one
     window over cluster_id; cluster cardinalities are tiny, so the
     window never skews."""
-    shd = doc_shingles(spark, sf_dir).persist()
-    labels = connected_components(_ngram_edges(shd))
+    shd = doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    labels = connected_components(_ngram_edges(shd, key="h"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (

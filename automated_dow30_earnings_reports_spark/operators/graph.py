@@ -117,10 +117,15 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector; arithmetic mirrors the unrolled-CTE oracle exactly."""
     edges = _edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    # localCheckpoint, not persist: materializes the expensive edge
+    # derivation exactly once for the iteration loop, and the blocks are
+    # ContextCleaner-reclaimed when the RDD is GC'd — persist() entries
+    # live in CacheManager keyed by plan and would accumulate across
+    # repeated invocations in a long driver session (ADVICE r2).
     norm = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("id")
@@ -146,15 +151,6 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    # Materialize the (25-row) result eagerly so the scoped persist on
-    # `norm` can be released before returning — repeated invocations
-    # (bench warm-up + min-of-2) must not accumulate cached copies.
-    out = (
-        rank.select(
-            F.col("id").alias("nation_key"), F.round("r", 6).alias("pagerank")
-        )
-        .orderBy("nation_key")
-        .localCheckpoint(eager=True)
-    )
-    norm.unpersist()
-    return out
+    return rank.select(
+        F.col("id").alias("nation_key"), F.round("r", 6).alias("pagerank")
+    ).orderBy("nation_key")

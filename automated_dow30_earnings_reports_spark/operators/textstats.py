@@ -661,3 +661,66 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "w1", "w2")
         .limit(PMI_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring — the perplexity-filter shape (CCNet /
+# Wenzek et al. 2020 score documents with a KenLM model and drop the
+# high-perplexity tail; Gopher and many pretraining pipelines keep a
+# variant). The unigram model IS trained in-query: token frequencies
+# over the corpus become log-probabilities, and each document is scored
+# by its mean token log-prob. Cross-engine exact because both engines
+# compute ln(count/total) on identical integer counts; the mean rounds
+# to 6 decimals to absorb summation order.
+#
+# Scale shape: one token-explode scan feeds (a) the vocab aggregate and
+# (b) the scoring join. The vocab is bounded by vocabulary size, not
+# corpus size — Zipf guarantees it collapses; the scoring join shuffles
+# on the token key (or broadcasts when the vocab fits). No per-row
+# Python anywhere.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unigram_logprob_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    scored AS (
+      SELECT t.doc_id, ln(v.c / tot.n) AS lp
+      FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp), 6)        AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document (the self-trained
+    perplexity filter): low scores flag unnatural token distributions
+    (boilerplate, garbled decodes) for the drop list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -33,6 +33,7 @@ _MODULES = [
     f"{_PKG}.pipeline.orchestrate",
     f"{_PKG}.sources.html_table",
     f"{_PKG}.sources.html_dom",
+    f"{_PKG}.sources.parquet_lake",
     f"{_PKG}.functions.scalars",
     f"{_PKG}.operators.skew",
     f"{_PKG}.plans.relational",
@@ -103,6 +104,8 @@ _PRIORITY = [
     # position 51+: new this round — verified in r4 if the driver stops at 50
     "ir_candidate_probe",
     "semdedup_prune",
+    "unigram_logprob_score",
+    "orc_lake_roundtrip",
 ]
 
 

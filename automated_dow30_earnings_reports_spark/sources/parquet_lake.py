@@ -70,3 +70,67 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     directory-name inference, and predicates on them become
     PartitionFilters (directory pruning, zero I/O for pruned values)."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# ORC lake round trip — the second columnar container Spark ships a
+# native vectorized reader/writer for. Same hive-partitioned layout and
+# pruning contract as the parquet lake above; registering it as an
+# oracled query proves the engine's source surface is not
+# parquet-monogamous (a training-data lake frequently ingests ORC from
+# Hive-era warehouses).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_SCRATCH_ORC = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "orc_lake",
+)
+
+
+def orc_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → hive-partitioned ORC (partitioned by lang, one file
+    per partition) → read back with a partition-key predicate →
+    per-source stats. The oracle computes the same aggregate straight
+    off the parquet originals, so the round trip is value-checked:
+    any column loss, dtype drift, or partition mix-up in the ORC path
+    breaks the hash. Partition pruning on lang works exactly as in the
+    parquet lake (directory-level, before file open)."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH_ORC, _os.path.basename(sf_dir.rstrip("/")))
+    (
+        d.repartition(F.col("lang"))
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .orc(path)
+    )
+    back = spark.read.orc(path).filter(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["orc_lake_roundtrip"] = orc_lake_roundtrip
+ORACLES["orc_lake_roundtrip"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT)  AS first_doc
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    ORDER BY source
+"""
