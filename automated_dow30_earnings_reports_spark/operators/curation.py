@@ -96,7 +96,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         split_bucket(F.col("doc_id")).alias("bucket"),
         word_shingles(F.col("text"), 5).alias("s"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     bench = (
         sh.where(F.col("bucket") >= 90)
         .select(F.explode("s").alias("g"))

@@ -371,7 +371,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys in every downstream shuffle, and the md5 hot loop runs once at
     materialization instead of per branch.
     ContextCleaner frees the blocks once the query's RDDs are GC'd."""
-    shd = doc_shingle_hashes(spark, sf_dir).persist()
+    shd = doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
     sig = minhash_signatures(shd)
     cand = lsh_candidates(lsh_band_keys(sig))
     return (
@@ -410,7 +410,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram jaccard ≥ 0.5 through an inverted-index
     self-join (no LSH approximation — the recall baseline the LSH tier
     is judged against). shd persisted: three plan branches."""
-    shd = doc_shingles(spark, sf_dir).persist()
+    shd = doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sa = shd.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -603,9 +603,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form of the inverted-index join). A shingle appearing in d documents
 # contributes O(d^2) candidate pairs; past a cap it cannot indicate
 # near-duplication (it is boilerplate), so production dedup pipelines
-# drop it BEFORE the self-join. Verification stays exact over the FULL
-# shingle sets, so precision is unchanged — the cap only bounds the
-# quadratic term.
+# drop it BEFORE the self-join. Verification runs over the FULL
+# (hashed) shingle sets, so precision is unchanged — the cap only
+# bounds the quadratic term. Like the MinHash tier, the working set is
+# the narrow (doc_id, h) projection (integer keys; hashed-shingle
+# jaccard per Lee et al. 2022, mirrored in the oracle); the
+# string-exact verifier remains dedup_ngram_jaccard.
 # ---------------------------------------------------------------------------
 
 MAX_SHINGLE_DF = 20
@@ -615,15 +618,15 @@ MIN_SHARED_SHINGLES = 3
 @_register(
     "dedup_ngram_dfcap",
     f"""
-    WITH {_SHD_SQL},
+    WITH {_SHD_H_SQL},
     rare AS (
-      SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+      SELECT h FROM shd GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF}
     ),
     cand AS (
       SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
       FROM shd sa
-      JOIN rare r ON r.shingle = sa.shingle
-      JOIN shd sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+      JOIN rare r ON r.h = sa.h
+      JOIN shd sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id
       GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED_SHINGLES}
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
@@ -631,7 +634,7 @@ MIN_SHARED_SHINGLES = 3
       SELECT c.id_a, c.id_b, count(*) AS i
       FROM cand c
       JOIN shd sa ON sa.doc_id = c.id_a
-      JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      JOIN shd sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       GROUP BY c.id_a, c.id_b
     )
     SELECT id_a, id_b,
@@ -644,7 +647,7 @@ MIN_SHARED_SHINGLES = 3
     """,
 )
 def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DF-capped exact near-dup: candidates come only from shingles in
+    """DF-capped near-dup over hashed shingles: candidates come only from shingles in
     ≤ MAX_SHINGLE_DF documents (bounding the self-join blowup) AND must
     share ≥ MIN_SHARED_SHINGLES of them (one shared rare shingle is
     noise; a near-dup at jaccard 0.5 shares dozens). The count gate
@@ -654,17 +657,17 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cap + gate, so the scale-path semantics themselves are
     value-checked — not just asserted to approximate the uncapped
     tier."""
-    shd = doc_shingles(spark, sf_dir).persist()
+    shd = doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
     rare = (
-        shd.groupBy("shingle")
+        shd.groupBy("h")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("h")
     )
-    sa = shd.join(rare, "shingle").select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = shd.select(F.col("doc_id").alias("id_b"), "shingle")
+    sa = shd.join(rare, "h").select(F.col("doc_id").alias("id_a"), "h")
+    sb = shd.select(F.col("doc_id").alias("id_b"), "h")
     cand = (
-        sa.join(sb, "shingle")
+        sa.join(sb, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i_rare"))
@@ -672,7 +675,7 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return (
-        verified_jaccard(cand, shd)
+        verified_jaccard(cand, shd, key="h")
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -890,7 +893,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join still computes exact jaccard against the
     matched old docs only."""
     is_new = F.col("doc_id") % 5 == 4
-    shd = doc_shingle_hashes(spark, sf_dir).persist()
+    shd = doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
     bk = lsh_band_keys(minhash_signatures(shd))
     new_keys = bk.where(is_new)
     old_keys = bk.where(~is_new)

@@ -63,7 +63,7 @@ def run_pipeline(
     # Stage 1 — crawl (X5). Cached: feeds both the UDTF input and J1.
     links = bfs_crawl(
         spark, companies, fetcher_factory, max_depth=max_depth, top_k=top_k
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # Stage 2 — LLM extraction (X1) over the serialized links text
     # (the reference hands a key-value text file to the LLM; same
@@ -74,7 +74,7 @@ def run_pipeline(
         F.count("*").alias("urls_found"),
         F.countDistinct("source_url").alias("urls_visited"),
     )
-    extracted = llm_extract_stage(per_company, extractor_factory).persist()
+    extracted = llm_extract_stage(per_company, extractor_factory).localCheckpoint(eager=True)
     reports = extracted.filter(F.col("extract_error").isNull())
 
     # Stage 2b — J1 enrichment: report URL → crawl metadata (broadcast
