@@ -118,18 +118,23 @@ def bfs_crawl(
     """
     frontier = seeds.select("company", "url").localCheckpoint(eager=True)
     visited = frontier
-    accumulated: DataFrame | None = None
+    per_depth_links: list[DataFrame] = []
 
     for depth in range(max_depth + 1):
         pages = fetch_stage(frontier, fetcher_factory).filter(F.col("html").isNotNull())
-        links = extract_links(pages).dropDuplicates(["company", "href"])  # A4
-        accumulated = (
-            links
-            if accumulated is None
-            else accumulated.unionByName(links).dropDuplicates(["company", "href"])  # U1
+        # Eager checkpoint on the per-depth links, NOT on `accumulated`:
+        # links feeds BOTH the accumulation and the next-frontier scoring,
+        # and without the cut the scoring branch would re-run fetch_stage —
+        # a second round of side effects per depth (and double fetch cost).
+        # `accumulated` needs no checkpoint of its own: it is a union of
+        # already-checkpointed per-depth RDDs, so its lineage is bounded by
+        # max_depth and its dedup shuffles run once, lazily, at the end.
+        links = (
+            extract_links(pages)
+            .dropDuplicates(["company", "href"])  # A4
+            .localCheckpoint(eager=True)
         )
-        # cut lineage each iteration — plans stay flat across depths
-        accumulated = accumulated.localCheckpoint(eager=True)
+        per_depth_links.append(links)
         if depth == max_depth:
             break
 
@@ -156,6 +161,14 @@ def bfs_crawl(
         # frontiers and its lineage depth is bounded by max_depth (2-3) —
         # an eager checkpoint here is one extra job per depth for nothing
         visited = visited.unionByName(frontier)
+
+    # U1/A4 across depths: ONE union + ONE dedup shuffle over the
+    # checkpointed per-depth link sets (an incremental per-depth dedup
+    # would re-shuffle the whole accumulation every depth).
+    accumulated = per_depth_links[0]
+    for more in per_depth_links[1:]:
+        accumulated = accumulated.unionByName(more)
+    accumulated = accumulated.dropDuplicates(["company", "href"])
 
     # final document-only + null-keeping min-year filter (P3/P5)
     docs = accumulated.filter(F.col("link_type") == "document")

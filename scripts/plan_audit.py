@@ -37,9 +37,21 @@ def main() -> int:
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
 
+    # Non-headline queries still worth a standing plan audit (new or
+    # plan-interesting operators that didn't make the bench set).
+    extra = [
+        "similarity_ann_ivf_kmeans",
+        "semdedup_prune",
+        "unigram_logprob_score",
+        "ir_candidate_urls",
+        "ir_candidate_probe",
+        "orc_lake_roundtrip",
+        "dedup_cluster_canonical",
+    ]
+
     print("| query | exchanges | python nodes | pushed filters | read cols |")
     print("|---|---|---|---|---|")
-    for name in bench.HEADLINE:
+    for name in bench.HEADLINE + [q for q in extra if q not in bench.HEADLINE]:
         try:
             plan = plan_of(qs[name](spark, sf_dir))
         except Exception as exc:  # iterative queries execute while building
