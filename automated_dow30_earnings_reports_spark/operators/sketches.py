@@ -1,0 +1,289 @@
+"""Sketch operators (beyond-reference §2.11 — the mergeable-summary
+family a 100 TB pipeline leans on when exact state is too big).
+
+Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+stream summary: the count-min sketch and its applications"): d hash
+rows x w buckets of counts. Built here AS DATA — a (row, bucket, n)
+DataFrame — because that is what makes it useful at scale: the sketch
+aggregates map-side (groupBy on (row, bucket) — bounded d*w
+cardinality regardless of corpus size), merges across
+days/shards/streams by simple addition, and persists as a tiny table
+that later jobs probe without rescanning the corpus.
+
+Every arithmetic step is md5-based integer work mirrored 1:1 in the
+DuckDB oracle, so the ESTIMATES themselves are value-checked — not
+just asserted to be within epsilon. The overestimate guarantee
+(est >= exact, err <= eps*N w.h.p.) is additionally pinned in tests.
+
+Bloom-filter pre-join pruning lives here too: the bit positions of a
+key set, aggregated once, broadcast to prune a big probe side before
+an expensive shuffle join — the cross-job, persistable cousin of
+Spark's runtime bloom-join optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Carter-Wegman row hashes over the 28-bit md5 digest (same family as
+# the MinHash tier — products < 2^59, exact in bigint on both engines).
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_P = 4294967311
+CMS_A = [7 * i * 1_000_033 + 91_193 for i in range(1, CMS_D + 1)]
+CMS_B = [i * 65_447 + 13 for i in range(CMS_D)]
+TOP_TOKENS = 20
+
+
+def _digest_col(tok: Column) -> Column:
+    """28-bit integer from the first 7 md5 hex digits of the token."""
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 7), 16, 10).cast("bigint")
+
+
+_DIGEST_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({{t}}), {p}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(1, 8)
+    )
+    + ")"
+)
+
+
+def _bucket_col(digest: Column, i: int) -> Column:
+    return ((digest * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_W).cast("int")
+
+
+def _bucket_sql(digest: str, i: int) -> str:
+    return f"CAST((({digest}) * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % {CMS_W} AS INT)"
+
+
+def _cms_oracle() -> str:
+    digest = _DIGEST_SQL.format(t="tok")
+    sketch_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS r, {_bucket_sql('dg', i)} AS bucket, doc_n FROM hashed"
+        for i in range(CMS_D)
+    )
+    probe_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT tok, exact_n, {i} AS r, {_bucket_sql('dg', i)} AS bucket FROM cands"
+        for i in range(CMS_D)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    counted AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_n FROM toks GROUP BY tok),
+    hashed AS (SELECT tok, doc_n, {digest} AS dg FROM counted),
+    entries AS (
+      {sketch_rows}
+    ),
+    sketch AS (SELECT r, bucket, CAST(SUM(doc_n) AS BIGINT) AS n
+               FROM entries GROUP BY r, bucket),
+    cands AS (
+      SELECT tok, doc_n AS exact_n, dg FROM hashed
+      ORDER BY doc_n DESC, tok LIMIT {TOP_TOKENS}
+    ),
+    probes AS (
+      {probe_rows}
+    )
+    SELECT p.tok,
+           p.exact_n,
+           CAST(MIN(s.n) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.tok, p.exact_n
+    ORDER BY exact_n DESC, tok
+    """
+
+
+@_register("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: build the d x w sketch over corpus
+    tokens, then read the top-{TOP_TOKENS} tokens' counts back OUT of
+    the sketch (min over the d probed cells) next to their exact
+    counts. The overestimate (cms_estimate >= exact_n) is the sketch's
+    contract; the exact column exists only because test SF allows a
+    ground truth — a production pipeline keeps just the d*w-row
+    sketch.
+
+    Scale shape: token counts aggregate map-side; the sketch groupBy
+    has at most d*w = {CMS_D}x{CMS_W} groups regardless of corpus
+    size; probing joins {TOP_TOKENS}*d rows against the sketch —
+    broadcast territory forever."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    counted = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("doc_n"))
+    hashed = counted.withColumn("dg", _digest_col(F.col("tok")))
+
+    entries = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _bucket_col(F.col("dg"), i).alias("bucket"),
+                        F.col("doc_n").alias("doc_n"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e")
+    ).select("e.r", "e.bucket", "e.doc_n")
+    sketch = entries.groupBy("r", "bucket").agg(
+        F.sum("doc_n").cast("bigint").alias("n")
+    )
+
+    cands = hashed.orderBy(F.desc("doc_n"), "tok").limit(TOP_TOKENS).select(
+        "tok", F.col("doc_n").alias("exact_n"), "dg"
+    )
+    probes = cands.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), _bucket_col(F.col("dg"), i).alias("bucket")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("tok", "exact_n", "e.r", "e.bucket")
+    return (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").cast("bigint").alias("cms_estimate"))
+        .orderBy(F.desc("exact_n"), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join pruning — build the filter AS DATA from the
+# build side's keys, broadcast it, and drop probe rows whose key cannot
+# be in the build side BEFORE the join shuffle. False positives only
+# (the join's equality check removes them), so the join RESULT is
+# byte-identical to the unfiltered join — which is exactly what the
+# oracle asserts. The pruning ratio is reported alongside.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash probes
+
+
+def _bloom_pos_col(digest: Column, i: int) -> Column:
+    return ((digest * CMS_A[i] + CMS_B[i]) % CMS_P % BLOOM_M).cast("int")
+
+
+def _bloom_pos_sql(digest: str, i: int) -> str:
+    return f"CAST((({digest}) * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % {BLOOM_M} AS INT)"
+
+
+def _bloom_oracle() -> str:
+    # The bloom pass is transparent to the join result: oracle = the
+    # plain join aggregate, plus the pruning stats recomputed from the
+    # same bit arithmetic.
+    digest_o = _DIGEST_SQL.format(t="CAST(o_custkey AS VARCHAR)")
+    digest_c = _DIGEST_SQL.format(t="CAST(c_custkey AS VARCHAR)")
+    build_pos = "\n      UNION ALL\n      ".join(
+        f"SELECT {_bloom_pos_sql('dg', i)} AS pos FROM build_keys" for i in range(BLOOM_K)
+    )
+    probe_checks = " AND ".join(
+        f"{_bloom_pos_sql('dg', i)} IN (SELECT pos FROM bloom)" for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH build_keys AS (
+      SELECT DISTINCT c_custkey, {digest_c} AS dg FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    bloom AS (SELECT DISTINCT pos FROM ({build_pos})),
+    probe AS (SELECT o_custkey, o_totalprice, {digest_o} AS dg FROM orders),
+    survivors AS (
+      SELECT o_custkey, o_totalprice FROM probe WHERE {probe_checks}
+    ),
+    joined AS (
+      SELECT s.o_custkey, s.o_totalprice
+      FROM survivors s JOIN build_keys b ON b.c_custkey = s.o_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT)      AS probe_rows,
+           CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)  AS bloom_survivors,
+           CAST((SELECT COUNT(*) FROM joined) AS BIGINT)     AS joined_rows,
+           CAST((SELECT ROUND(SUM(o_totalprice), 2) FROM joined) AS DOUBLE)
+                                                             AS joined_totalprice
+    """
+
+
+@_register("bloom_join_prune", _bloom_oracle())
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join: BUILDING-segment customers' keys become an
+    {BLOOM_M}-bit filter (as a distinct bit-position table, broadcast);
+    orders rows failing any of the {BLOOM_K} probes are dropped before
+    the join. Output pins probe/survivor/joined counts and the joined
+    aggregate — the aggregate proves result-transparency, the counts
+    prove the pruning actually happened (and match the oracle's
+    identical bit arithmetic).
+
+    At 100 TB: the filter is built once from the small side (or read
+    from a stored sketch table), broadcast at a few KB, and the big
+    probe side sheds non-matching rows map-side BEFORE paying the
+    shuffle — the manual, cross-job-persistable form of Spark's
+    runtime bloom-join optimization."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+        .withColumn("dg", _digest_col(F.col("c_custkey").cast("string")))
+    )
+    bloom = (
+        cust.select(
+            F.explode(
+                F.array(*[_bloom_pos_col(F.col("dg"), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.collect_set("pos").alias("bits"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).withColumn("dg", _digest_col(F.col("o_custkey").cast("string")))
+    probe = orders.crossJoin(F.broadcast(bloom))
+    ok = None
+    for i in range(BLOOM_K):
+        cond = F.array_contains(F.col("bits"), _bloom_pos_col(F.col("dg"), i))
+        ok = cond if ok is None else (ok & cond)
+    survivors = probe.where(ok).select("o_custkey", "o_totalprice")
+    joined = survivors.join(
+        cust.select("c_custkey"), survivors.o_custkey == F.col("c_custkey")
+    ).select("o_custkey", "o_totalprice")
+    return (
+        orders.agg(F.count("*").cast("bigint").alias("probe_rows"))
+        .crossJoin(
+            survivors.agg(F.count("*").cast("bigint").alias("bloom_survivors"))
+        )
+        .crossJoin(
+            joined.agg(
+                F.count("*").cast("bigint").alias("joined_rows"),
+                F.round(F.sum("o_totalprice"), 2).cast("double").alias("joined_totalprice"),
+            )
+        )
+    )

@@ -26,6 +26,7 @@ _MODULES = [
     f"{_PKG}.operators.multimodal",
     f"{_PKG}.operators.curation",
     f"{_PKG}.operators.graph",
+    f"{_PKG}.operators.sketches",
     f"{_PKG}.operators.asof",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.pipeline.queries",
@@ -106,6 +107,8 @@ _PRIORITY = [
     "semdedup_prune",
     "unigram_logprob_score",
     "orc_lake_roundtrip",
+    "cms_heavy_hitters",
+    "bloom_join_prune",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Sketch-operator guarantees (operators/sketches.py): Count-Min
+overestimates, Bloom never false-negatives, and both stay tiny."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.operators.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    CMS_D,
+    CMS_W,
+    bloom_join_prune,
+    cms_heavy_hitters,
+)
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+
+def test_cms_overestimate_and_shape(spark, sf_correctness):
+    rows = cms_heavy_hitters(spark, sf_correctness).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        # the Count-Min contract: never underestimate
+        assert r.cms_estimate >= r.exact_n
+        # error bounded far below eps*N in this regime; sanity-bound it
+        assert r.cms_estimate - r.exact_n < r.exact_n  # < 2x overcount
+    # heavy hitters come back in exact-count order
+    counts = [r.exact_n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_cms_sketch_cardinality_bounded(spark, sf_correctness):
+    """The sketch itself must stay <= d*w rows no matter the corpus."""
+    # rebuild just the sketch side the same way the operator does
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        _bucket_col,
+        _digest_col,
+    )
+
+    d = load_table(spark, sf_correctness, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+    hashed = toks.withColumn("dg", _digest_col(F.col("tok")))
+    n_cells = (
+        hashed.select(
+            F.explode(
+                F.array(*[_bucket_col(F.col("dg"), i) + i * CMS_W for i in range(CMS_D)])
+            ).alias("cell")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_cells <= CMS_D * CMS_W
+
+
+def test_bloom_no_false_negatives(spark, sf_correctness):
+    """Every row of the plain join must survive the bloom pre-filter:
+    joined_rows from the pruned path equals the unpruned join count."""
+    out = bloom_join_prune(spark, sf_correctness).collect()[0]
+    cust = (
+        load_table(spark, sf_correctness, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    orders = load_table(spark, sf_correctness, "orders")
+    expected = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    assert out.joined_rows == expected
+    # and the filter actually prunes (false-positive rate << 1)
+    assert out.bloom_survivors < out.probe_rows
+    assert out.bloom_survivors - out.joined_rows < 0.05 * out.probe_rows
+    assert BLOOM_M >= 1024 and BLOOM_K >= 2
