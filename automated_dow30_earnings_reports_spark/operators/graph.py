@@ -36,16 +36,18 @@ N_ITER = 3
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier-nation → customer-nation edge list with lineitem-count
-    weights. Dims project to 2 int columns and broadcast; the only big
-    shuffle is lineitem ⋈ orders on the order key."""
+    weights. customer/supplier project to 2 int columns with NO hard
+    broadcast hint (they grow with the fact tables — size-based
+    threshold broadcasts at test SF, shuffle join at 100 TB); the only
+    guaranteed big shuffle is lineitem ⋈ orders on the order key."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"),
             F.col("c_nationkey").alias("dst"),

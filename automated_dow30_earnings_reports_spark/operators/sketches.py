@@ -287,3 +287,146 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al. 2002
+# ("Counting distinct elements in a data stream"). Hash every key into
+# [0, 2^28); keep only the k smallest distinct hash values; estimate
+# |D| ≈ (k-1) * 2^28 / h_(k). Unlike HLL, every step here is exact
+# integer/md5 arithmetic that DuckDB reproduces bit-for-bit, so the
+# ESTIMATE itself is value-checked cross-engine — a sketch family you
+# can regression-test exactly.
+#
+# Scale shape: the k-min set is a mergeable summary. Spark's
+# TakeOrdered (orderBy+limit) computes per-partition k-min partials
+# and merges them on the driver — which IS the KMV merge operation —
+# so no global sort ever happens and the working set after the
+# distinct is k rows regardless of corpus size. Sketch union (for
+# distinct-of-OR across filters/days/shards) re-mins the concatenated
+# k-min sets: 2k rows in, k rows out, no rescan.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_SPACE = 16**7  # 28-bit digest space
+
+
+def _kmv_estimate_sql(minset: str, k: int) -> str:
+    return (
+        f"SELECT MAX(dg) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS sketch_size "
+        f"FROM (SELECT dg FROM {minset} ORDER BY dg LIMIT {k})"
+    )
+
+
+def _kmv_oracle() -> str:
+    digest = _DIGEST_SQL.format(t="CAST(l_orderkey AS VARCHAR)")
+    return f"""
+    WITH keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    hashed AS (SELECT DISTINCT {digest} AS dg FROM keys),
+    sk AS ({_kmv_estimate_sql('hashed', KMV_K)})
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS exact_distinct,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           ROUND(({KMV_K} - 1) * {KMV_SPACE}.0 / kth_hash, 4) AS kmv_estimate
+    FROM sk
+    """
+
+
+@_register("kmv_distinct_orders", _kmv_oracle())
+def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over lineitem's order keys: keep the
+    {KMV_K} smallest 28-bit md5 hashes of the distinct keys; estimate
+    distinct = (k-1)*2^28 / h_(k). The exact count rides along as
+    ground truth (affordable at test SF; production keeps only the
+    k-row sketch). Every value — including the estimate — is exact
+    md5/integer arithmetic mirrored in the oracle.
+
+    Scale shape: groupBy-distinct aggregates map-side; orderBy+limit
+    compiles to TakeOrdered = per-partition k-min partials merged on
+    the driver (the KMV merge), so the post-distinct working set is k
+    rows at any corpus size. k trades accuracy for size
+    (err ~ 1/sqrt(k)); 2^10-2^12 is the production sweet spot."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = li.distinct()
+    hashed = keys.select(
+        _digest_col(F.col("l_orderkey").cast("string")).alias("dg")
+    ).distinct()
+    minset = hashed.orderBy("dg").limit(KMV_K)
+    sk = minset.agg(
+        F.max("dg").cast("bigint").alias("kth_hash"),
+        F.count("*").cast("bigint").alias("sketch_size"),
+    )
+    exact = keys.agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_distinct",
+        "kth_hash",
+        F.round((KMV_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash"), 4).alias(
+            "kmv_estimate"
+        ),
+    )
+
+
+KMV_UNION_K = 128
+
+
+def _kmv_union_oracle() -> str:
+    digest = _DIGEST_SQL.format(t="CAST(l_orderkey AS VARCHAR)")
+    return f"""
+    WITH r_keys AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+    a_keys AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
+    r_min AS (SELECT DISTINCT {digest} AS dg FROM r_keys ORDER BY dg LIMIT {KMV_UNION_K}),
+    a_min AS (SELECT DISTINCT {digest} AS dg FROM a_keys ORDER BY dg LIMIT {KMV_UNION_K}),
+    merged AS (SELECT DISTINCT dg FROM (SELECT dg FROM r_min UNION ALL SELECT dg FROM a_min)),
+    sk AS ({_kmv_estimate_sql('merged', KMV_UNION_K)})
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT l_orderkey FROM r_keys
+                                       UNION SELECT l_orderkey FROM a_keys)) AS BIGINT)
+             AS exact_union,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           ROUND(({KMV_UNION_K} - 1) * {KMV_SPACE}.0 / kth_hash, 4) AS union_estimate
+    FROM sk
+    """
+
+
+@_register("kmv_union_returnflags", _kmv_union_oracle())
+def kmv_union_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch UNION: distinct orders with returned ('R') or
+    defective ('A') lines, estimated by merging the two flags'
+    independent k-min sketches — concatenate the two k-row sets,
+    re-take the k minima, read the estimate off the merged sketch. The
+    exact union count rides along as ground truth.
+
+    Scale shape: this is the operation that makes KMV a *system*
+    primitive — per-day/per-shard/per-filter sketches are built once
+    (each a k-row summary via TakeOrdered partials) and any OR-set's
+    cardinality is answered later from 2k rows with NO rescan of the
+    fact table. Same md5 arithmetic as kmv_distinct_orders, so the
+    merged estimate is value-checked cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+
+    def minset(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select("l_orderkey")
+            .distinct()
+            .select(_digest_col(F.col("l_orderkey").cast("string")).alias("dg"))
+            .distinct()
+            .orderBy("dg")
+            .limit(KMV_UNION_K)
+        )
+
+    merged = minset("R").unionByName(minset("A")).distinct()
+    sk = merged.orderBy("dg").limit(KMV_UNION_K).agg(
+        F.max("dg").cast("bigint").alias("kth_hash")
+    )
+    exact = (
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .select("l_orderkey")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_union"))
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_union",
+        "kth_hash",
+        F.round(
+            (KMV_UNION_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash"), 4
+        ).alias("union_estimate"),
+    )

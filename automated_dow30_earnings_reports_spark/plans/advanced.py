@@ -590,9 +590,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-step funnel (view → click → purchase): each stage
     is the earliest qualifying event AFTER the previous stage's
     timestamp, so out-of-order conversions don't count. Stage frontiers
-    are one row per user — every chained join broadcasts, so the only
-    shuffles are the three per-user MIN aggregates regardless of event
-    volume."""
+    are one row per user; they join back on user_id with NO hard
+    broadcast hint (a frontier is user-cardinality — auto-broadcast
+    below the size threshold, shuffle-hash above it). The frontier
+    joins and the three per-user MIN aggregates all key on user_id, so
+    the shuffle partitioning is computed once and reused down the
+    chain regardless of event volume."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -605,14 +608,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u2 = (
         e.where(F.col("event_type") == "click")
-        .join(F.broadcast(u1), "user_id")
+        .join(u1, "user_id")
         .where(F.col("es") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("es").alias("t2"))
     )
     u3 = (
         e.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(u2), "user_id")
+        .join(u2, "user_id")
         .where(F.col("es") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("es").alias("t3"))
@@ -649,9 +652,11 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: cohort = epoch-week of the
     user's first event; cells count distinct users active k weeks
     later. Epoch-week integer math (not date_trunc) so both engines
-    bucket identically. The cohort map is one row per user —
-    broadcast — leaving the distinct-count aggregate as the only real
-    shuffle."""
+    bucket identically. The cohort map is one row per user and joins
+    back on user_id with no hard hint (user-cardinality: broadcast
+    only while it fits the size threshold); the join and the
+    distinct-count aggregate both key on user-derived columns so the
+    partitioning carries through."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         (F.floor(F.unix_timestamp("ts")).cast("bigint") / 604800)
@@ -660,7 +665,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     return (
-        e.join(F.broadcast(cohort), "user_id")
+        e.join(cohort, "user_id")
         .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")

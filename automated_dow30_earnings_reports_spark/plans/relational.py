@@ -350,14 +350,17 @@ def null_keeping_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def enrichment_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J5 enrichment left join with empty-string default
     (ref orchestrator.py:109-125 build, :145-156 probe,
-    url_to_metadata.get(url, {}) at :147). Broadcast hash join: the
-    build side is the dimension, as the reference's dict build was."""
+    url_to_metadata.get(url, {}) at :147). The build side is the
+    customer dimension, as the reference's dict build was — but
+    customer grows with the fact tables at TPC-H scale, so no hard
+    broadcast hint: the size-based threshold broadcasts it at test SF
+    and AQE flips to a shuffle-hash join (skew-split) at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
         o.where(F.col("o_orderstatus") == "F")
         .join(
-            F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment")),
+            c.select("c_custkey", "c_name", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )
@@ -557,11 +560,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped 3-table join + agg + top-k (J1/A9/T2 composition).
 
     Scale shape: both selective filters run BEFORE their joins so the
-    scans push `c_mktsegment`/date predicates into parquet; the
-    filtered customer side (1/5 of customers, 1 key column) is
-    broadcast, so the only shuffle is the final groupBy on l_orderkey
-    — which AQE coalesces since the agg output is tiny. TakeOrdered
-    replaces a global sort for the LIMIT 10.
+    scans push `c_mktsegment`/date predicates into parquet. Only the
+    segment-filtered 1-column customer side carries a broadcast hint;
+    orders is fact-scale (the date filter keeps most of it), so
+    lineitem x orders joins on l_orderkey WITHOUT a hint — broadcast
+    at test SF via the size-based threshold, shuffle-hash at 100 TB
+    with AQE skew splitting. The groupBy on l_orderkey then reuses
+    that same key's partitioning. TakeOrdered replaces a global sort
+    for the LIMIT 10.
     """
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -580,7 +586,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -629,9 +635,9 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the one genuinely large-x-large join (lineitem x
     orders) shuffles on the order key; every dimension hop after it is
     a broadcast (region/nation always; customer/supplier projected to
-    2 int columns each — at 100 TB those become shuffle joins and AQE
-    picks that automatically since the hint is size-based in
-    `session.py`, not hard-coded here). The CASE share trick computes
+    2 int columns each carry NO hard hint, so the size-based threshold
+    broadcasts them at test SF and at 100 TB they flip to shuffle
+    joins automatically). The CASE share trick computes
     numerator and denominator in ONE aggregation pass instead of two
     scans + a join.
     """
@@ -656,8 +662,8 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(amer_cust), orders.o_custkey == amer_cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(amer_cust, orders.o_custkey == amer_cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == n2.n2_nationkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),

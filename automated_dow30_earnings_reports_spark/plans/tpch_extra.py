@@ -1,0 +1,495 @@
+"""Additional TPC-H-shaped relational plans over the lite star schema.
+
+Round-3 widening of the §2.3/§2.4/§2.5 relational surface with the
+classic decision-support plan shapes not yet covered by
+``plans/relational.py`` (Q1/Q3/Q8/Q18 live there): correlated-EXISTS
+semi joins (Q4), two-sided nation pairs (Q7), returned-item top-k
+(Q10), conditional promo share (Q14), argmax-vs-global-scalar (Q15),
+disjunctive predicate pushdown (Q19), the only-offender double
+correlation (Q21) re-expressed as one aggregate, and anti-join +
+global-scalar gating (Q22). Queries are adapted to the columns this
+schema actually has (no partsupp / commitdate / shipmode), so each is
+the *plan shape*, not the literal spec query.
+
+Conventions match plans/relational.py: identical aliases in Spark and
+DuckDB SQL, ROUND()ed double aggregates, explicit BIGINT casts.
+Broadcast hints appear ONLY on bounded dimensions (nation, region,
+1-row scalar frames); customer/supplier/part-derived sides carry no
+hint so the size-based threshold broadcasts them at test SF and AQE
+flips them to shuffle joins at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS: orders of 1996 having at
+    least one lineitem shipped >60 days after the order date (the lite
+    schema's stand-in for commitdate < receiptdate), counted by
+    priority.
+
+    Scale shape: LEFT SEMI join on the order key with the date gap as
+    a non-equi residual — one shuffle on l_orderkey/o_orderkey, no
+    duplicate explosion (semi join emits each order at most once,
+    exactly what EXISTS means). The year filter pushes into the orders
+    scan; lineitem projects to 2 columns."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q7_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey  = c_custkey
+    JOIN supplier  ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, o_year
+    ORDER BY supp_nation, cust_nation, o_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue between a
+    nation pair, both directions, by order year.
+
+    Scale shape: the nation-pair predicate is applied to the
+    2-int-column customer/supplier maps BEFORE the fact joins, so the
+    fact stream only carries rows for the two nations (selectivity
+    2/N^2 of pairs). lineitem x orders is the one big equi shuffle;
+    customer/supplier hop on with no hard hint; the two nation hops
+    ARE hinted (25 rows forever)."""
+    n1 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n1.where(pair).withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(n1.where(pair).withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top 20 customers by
+    revenue lost to returns ('R' flag) on one quarter's orders.
+
+    Scale shape: both selective filters (returnflag, quarter) push
+    into their parquet scans before the orderkey shuffle; the
+    per-customer aggregate keys the second shuffle; nation is a hinted
+    broadcast; TakeOrdered(20) instead of a global sort. Revenue sums
+    in DECIMAL(18,2)-derived exact arithmetic (not double) so the
+    result — and the top-20 cut — is identical regardless of
+    partitioning/summation order, on any engine."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: percentage of 1996 revenue from
+    PROMO-type parts, by ship month.
+
+    Scale shape: numerator and denominator come out of ONE aggregation
+    pass (conditional sum), not two scans + a join. The date filter
+    prunes lineitem at the scan; part projects to (key, type) with no
+    hard hint — part grows with scale, so the join keys a shuffle at
+    100 TB and the monthly aggregate is a 12-group rollup after it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH srev AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM srev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped argmax against a global scalar: supplier(s)
+    whose quarterly revenue equals the maximum quarterly revenue.
+
+    Scale shape: the per-supplier aggregate is one shuffle; its global
+    MAX is a 1-row frame crossJoin-broadcast back over the aggregate
+    (no second scan of lineitem, no global sort); the supplier-name
+    hop joins the handful of winners, so it carries no hint and AQE
+    will broadcast the tiny winner side at any scale."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = srev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive predicate: revenue over three
+    OR-ed brand/size/quantity bands.
+
+    Scale shape: the disjunction splits into per-side conjuncts that
+    each push down — part rows outside the three brands and lineitem
+    rows outside qty 1..50∪10..35∪20..50 die at their scans (Catalyst
+    derives `p_brand IN (...) AND p_size BETWEEN 1 AND 50` and
+    `l_quantity BETWEEN 1 AND 50` as common prefilters from the OR);
+    the cross-table residual evaluates after the partkey join. Single
+    equi shuffle, 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q21_sole_failing_supplier",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail,
+             MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS offender
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order JOIN supplier ON offender = s_suppkey
+    WHERE n_supp >= 2 AND n_fail = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped 'only offender' double correlation: in
+    finished multi-supplier orders, the supplier who is the ONLY one
+    with returned ('R') lines — the lite-schema stand-in for Q21's
+    late-delivery EXISTS/NOT-EXISTS pair — ranked by offense count.
+
+    Scale shape: the spec query's two correlated self-joins of
+    lineitem collapse into ONE per-order aggregate (distinct-supplier
+    count, distinct-offender count, MIN offender — which is THE
+    offender exactly when n_fail=1), so lineitem is scanned once and
+    shuffled once on the order key. The supplier-name join sees only
+    qualifying orders; the final per-supplier count is a second, tiny
+    shuffle. No hard broadcast hints."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    fail_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(fail_supp).alias("n_fail"),
+            F.min(fail_supp).alias("offender"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_fail") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(supp, per_order.offender == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped sales opportunity: customers with
+    above-average (positive) balance who have never ordered, rolled up
+    by nation.
+
+    Scale shape: the global average is a 1-row frame crossJoin-
+    broadcast over customer (second customer scan is the same cached
+    parquet, filter c_acctbal>0 pushed down); never-ordered is a LEFT
+    ANTI join on o_custkey — one shuffle, no row explosion, the
+    distinct-ing of orders' keys happens inside the anti join; nation
+    is a hinted broadcast."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )

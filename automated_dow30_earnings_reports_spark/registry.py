@@ -39,6 +39,7 @@ _MODULES = [
     f"{_PKG}.operators.skew",
     f"{_PKG}.plans.relational",
     f"{_PKG}.plans.advanced",
+    f"{_PKG}.plans.tpch_extra",
 ]
 
 # ORDER MATTERS: the driver evaluates correctness in registration order
@@ -109,6 +110,16 @@ _PRIORITY = [
     "orc_lake_roundtrip",
     "cms_heavy_hitters",
     "bloom_join_prune",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q21_sole_failing_supplier",
+    "q22_idle_customers",
+    "kmv_distinct_orders",
+    "kmv_union_returnflags",
 ]
 
 

@@ -69,3 +69,30 @@ def test_bloom_no_false_negatives(spark, sf_correctness):
     assert out.bloom_survivors < out.probe_rows
     assert out.bloom_survivors - out.joined_rows < 0.05 * out.probe_rows
     assert BLOOM_M >= 1024 and BLOOM_K >= 2
+
+
+def test_kmv_estimate_within_band(spark, sf_correctness):
+    """KMV relative error concentrates at ~1/sqrt(k); allow 5 sigma."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_orders,
+    )
+
+    out = kmv_distinct_orders(spark, sf_correctness).collect()[0]
+    assert out.kth_hash > 0
+    rel_err = abs(out.kmv_estimate - out.exact_distinct) / out.exact_distinct
+    assert rel_err < 5.0 / (KMV_K ** 0.5)
+
+
+def test_kmv_union_consistency(spark, sf_correctness):
+    """Sketch-union estimate tracks the exact union within the same
+    band, and the union estimate >= each side's lower bound logic
+    (merged kth hash can only shrink vs either input's kth)."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        KMV_UNION_K,
+        kmv_union_returnflags,
+    )
+
+    out = kmv_union_returnflags(spark, sf_correctness).collect()[0]
+    rel_err = abs(out.union_estimate - out.exact_union) / out.exact_union
+    assert rel_err < 5.0 / (KMV_UNION_K ** 0.5)
