@@ -446,3 +446,105 @@ def write_training_shards(manifest: DataFrame, docs: DataFrame, path: str) -> No
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture resampling (the sampling counterpart
+# of domain_mixture_weights): heavy sources are downsampled toward a
+# tau=0.5-tempered share by a DETERMINISTIC hash gate, so any two runs
+# — or any two engines — keep exactly the same documents. Acceptance
+# for source s with byte-mass m_s is p_s = sqrt(min_mass / m_s)
+# (lightest source keeps everything; a 100x heavier source keeps
+# 1/10th). A doc is kept iff its 28-bit md5 digest < floor(p_s * 2^28)
+# — IEEE sqrt/division are correctly rounded, so the integer
+# threshold, and therefore the kept set, is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_RS_SPACE = 16**7  # 28-bit digest space
+
+
+def _rs_digest_sql(expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {p}, 1)) - 1) * {16 ** (7 - p)}"
+            for p in range(1, 8)
+        )
+        + ")"
+    )
+
+
+def _temperature_oracle() -> str:
+    dg = _rs_digest_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH mass AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    lo AS (SELECT MIN(m) AS min_m FROM mass),
+    th AS (
+      SELECT source, m, n_docs,
+             CAST(FLOOR({_RS_SPACE} * sqrt(CAST(min_m AS DOUBLE) / m)) AS BIGINT) AS threshold
+      FROM mass CROSS JOIN lo
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN th USING (source)
+      WHERE {dg} < threshold
+      GROUP BY d.source
+    )
+    SELECT th.source, th.n_docs, th.threshold,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+    FROM th LEFT JOIN kept ON th.source = kept.source
+    ORDER BY th.source
+    """
+
+
+@_register("temperature_resample", _temperature_oracle())
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature (tau=0.5) mixture resampling: per-
+    source byte mass -> acceptance threshold -> hash-gated keep set,
+    reported as per-source (n_docs, threshold, n_kept).
+
+    Scale shape: the mass aggregate is one map-side-combined shuffle
+    with one row per source; thresholds are a source-cardinality frame
+    broadcast back over the corpus (genuinely bounded — unlike a
+    fact-derived side, the source dimension does not grow with docs);
+    the keep gate is then a stateless map-side filter, so resampling a
+    100 TB corpus is one aggregate + one scan. Replaying the same gate
+    on a later batch keeps selection consistent across incremental
+    ingests — no stored sample membership table needed."""
+    d = load_table(spark, sf_dir, "documents")
+    mass = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("m"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    lo = mass.agg(F.min("m").alias("min_m"))
+    th = mass.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            _RS_SPACE * F.sqrt(F.col("min_m").cast("double") / F.col("m"))
+        )
+        .cast("bigint")
+        .alias("threshold"),
+    )
+    dg = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10
+    ).cast("bigint")
+    kept = (
+        d.join(F.broadcast(th), "source")
+        .where(dg < F.col("threshold"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return (
+        th.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "threshold",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -604,3 +604,146 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_kind") == "audio"
     )
     return audio_feature_stage(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup signatures. Production shape:
+# decode → downsample to a 9x8 grayscale grid → 64 horizontal-gradient
+# bits → band the 64 bits into 4x16 for Hamming-LSH candidate
+# generation (identical to dedup_simhash's banding, hamming<=3
+# guarantee with 4 bands). The real decoder is a pandas-UDF swap-in
+# (this container has no image libs); the deterministic stand-in
+# "decode" expands the blob payload through an md5 chain into the 72
+# pixel values, which keeps EVERY downstream step — gradient bits,
+# band packing, bucket join — real, JVM-side, and exactly mirrored in
+# the DuckDB oracle.
+#
+# Scale shape: the whole signature is whole-stage-codegen expressions
+# (5 md5 calls + 72 hex slices per row, no Python); blobs never
+# shuffle — only the 4 small band ints do, and candidate pairs come
+# from equality buckets on (band_idx, band_value), never all-pairs.
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS = 8
+DHASH_COLS = 8  # bits per row; grid is (DHASH_COLS+1) x DHASH_ROWS pixels
+DHASH_BANDS = 4
+
+
+def _dhash_pixel_spark(text_col: Column, p: int) -> Column:
+    k, off = divmod(p, 16)
+    m = F.md5(F.concat(text_col, F.lit(f"#{k}")).cast("binary"))
+    return F.conv(F.substring(m, 2 * off + 1, 2), 16, 10).cast("int")
+
+
+def _dhash_pixel_sql(text_expr: str, p: int) -> str:
+    k, off = divmod(p, 16)
+    hx = f"substr(md5({text_expr} || '#{k}'), {2 * off + 1}, 2)"
+    hi = f"(strpos('0123456789abcdef', substr({hx}, 1, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hx}, 2, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def dhash_bands_spark(text_col: Column) -> list[Column]:
+    """4 x 16-bit dHash bands from the md5-expanded pixel grid."""
+    bands = []
+    for b in range(DHASH_BANDS):
+        acc = F.lit(0)
+        for r in (2 * b, 2 * b + 1):
+            for c in range(DHASH_COLS):
+                p = r * (DHASH_COLS + 1) + c
+                bit = (
+                    _dhash_pixel_spark(text_col, p)
+                    < _dhash_pixel_spark(text_col, p + 1)
+                ).cast("int")
+                acc = acc + bit * (1 << ((r % 2) * DHASH_COLS + c))
+        bands.append(acc.cast("int").alias(f"b{b}"))
+    return bands
+
+
+def _dhash_bands_sql(text_expr: str) -> list[str]:
+    bands = []
+    for b in range(DHASH_BANDS):
+        terms = []
+        for r in (2 * b, 2 * b + 1):
+            for c in range(DHASH_COLS):
+                p = r * (DHASH_COLS + 1) + c
+                bit = (
+                    f"(CASE WHEN {_dhash_pixel_sql(text_expr, p)}"
+                    f" < {_dhash_pixel_sql(text_expr, p + 1)} THEN 1 ELSE 0 END)"
+                )
+                terms.append(f"{bit} * {1 << ((r % 2) * DHASH_COLS + c)}")
+        bands.append("CAST(" + " + ".join(terms) + f" AS INTEGER) AS b{b}")
+    return bands
+
+
+def dhash_candidate_pairs(signed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming-LSH candidates over (doc_id, b0..b3): docs
+    sharing ANY 16-bit band are candidates (guaranteed to include all
+    pairs with hamming <= DHASH_BANDS - 1); candidates are verified
+    with an exact 4-band XOR popcount. One shuffle on the band key,
+    never all-pairs."""
+    bands = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv"))
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.bi", "e.bv")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bi", "bv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = signed.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(DHASH_BANDS)],
+    )
+    bsig = signed.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(DHASH_BANDS)],
+    )
+    ham = None
+    for b in range(DHASH_BANDS):
+        t = F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(a, "doc_a")
+        .join(bsig, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _dhash_oracle() -> str:
+    bands = ",\n           ".join(_dhash_bands_sql("text"))
+    return f"""
+    SELECT doc_id,
+           {bands}
+    FROM documents
+    WHERE doc_id % 3 = 0
+    ORDER BY doc_id
+    """
+
+
+@_register("multimodal_image_dhash", _dhash_oracle())
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image dHash signature (4 x 16-bit bands) over the
+    deterministically fake-decoded pixel grid; the Hamming-LSH
+    candidate/verify stage over these bands is `dhash_candidate_pairs`
+    (pinned on constructed duplicates in tests — this corpus has no
+    duplicate image payloads, so the oracle checks the signature
+    arithmetic itself, like dedup_simhash does)."""
+    from automated_dow30_earnings_reports_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    return d.select("doc_id", *dhash_bands_spark(F.col("text"))).orderBy("doc_id")

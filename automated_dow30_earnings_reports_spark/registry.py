@@ -120,6 +120,8 @@ _PRIORITY = [
     "q22_idle_customers",
     "kmv_distinct_orders",
     "kmv_union_returnflags",
+    "multimodal_image_dhash",
+    "temperature_resample",
 ]
 
 

@@ -112,3 +112,20 @@ def test_tfidf_top3_per_doc(spark):
     assert all(len(v) <= 3 for v in per_doc.values())
     # within a doc the scores are non-increasing
     assert all(v == sorted(v, reverse=True) for v in per_doc.values())
+
+
+def test_temperature_resample_gate_properties(spark, sf_correctness):
+    """Lightest source keeps everything (threshold = full digest
+    space); heavier sources get monotonically smaller thresholds;
+    kept <= total per source."""
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        _RS_SPACE,
+        temperature_resample,
+    )
+
+    rows = temperature_resample(spark, sf_correctness).collect()
+    assert rows
+    assert max(r.threshold for r in rows) == _RS_SPACE
+    for r in rows:
+        assert 0 < r.threshold <= _RS_SPACE
+        assert 0 <= r.n_kept <= r.n_docs

@@ -267,3 +267,39 @@ def test_parse_audio_header_truncated_fmt_raises():
     wav = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + fmt
     with _pytest.raises(ValueError):
         parse_audio_header(wav)
+
+
+def test_dhash_identical_payloads_pair_at_zero(spark):
+    """Identical fake-decoded images must collide on every band and
+    verify at hamming 0; unrelated payloads must not pair at <=3."""
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        dhash_bands_spark,
+        dhash_candidate_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (6, "completely different payload bytes here"),
+        ],
+        "doc_id long, text string",
+    )
+    signed = df.select("doc_id", *dhash_bands_spark(F.col("text")))
+    pairs = dhash_candidate_pairs(signed, max_hamming=3).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].hamming) == (0, 3, 0)
+
+
+def test_dhash_band_range(spark, sf_correctness):
+    """Bands are 16-bit non-negative ints for every image doc."""
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        multimodal_image_dhash,
+    )
+
+    rows = multimodal_image_dhash(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        for b in (r.b0, r.b1, r.b2, r.b3):
+            assert 0 <= b < 65536
