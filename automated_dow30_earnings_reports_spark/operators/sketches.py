@@ -430,3 +430,137 @@ def kmv_union_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (KMV_UNION_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash"), 4
         ).alias("union_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantile sketch. The 100 TB problem:
+# exact percentiles need a global sort; a B-bin histogram needs one
+# map-side-combinable aggregate with AT MOST B groups, merges across
+# shards/days by addition, and answers any quantile later from B rows.
+# Every sketch step (bin index, cumulative counts, midpoint read-out)
+# is correctly-rounded double / integer arithmetic mirrored 1:1 in
+# DuckDB, so the sketch estimates are value-checked; the exact
+# percentiles ride along as ground truth.
+# ---------------------------------------------------------------------------
+
+QSK_BINS = 1024
+QSK_QS = (0.5, 0.95, 0.99)
+
+
+def _qsketch_oracle() -> str:
+    q_rows = " UNION ALL ".join(f"SELECT {q} AS q" for q in QSK_QS)
+    exact_case = " ".join(
+        f"WHEN q = {q} THEN quantile_cont(value, {q})" for q in QSK_QS
+    )
+    return f"""
+    WITH ext AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST({QSK_BINS} - 1,
+                   CAST(FLOOR((value - vmin) / (vmax - vmin) * {QSK_BINS}) AS BIGINT))
+               AS bin,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN ext
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM binned
+    ),
+    qs AS ({q_rows}),
+    hit AS (
+      SELECT q, MIN(bin) AS qbin
+      FROM qs CROSS JOIN ext JOIN cum ON cum >= CAST(ceil(q * n) AS BIGINT)
+      GROUP BY q
+    ),
+    exact AS (
+      SELECT q, ROUND(CASE {exact_case} END, 4) AS exact
+      FROM qs CROSS JOIN events
+      GROUP BY q
+    )
+    SELECT q,
+           ROUND(vmin + (qbin + 0.5) * (vmax - vmin) / {QSK_BINS}, 4) AS est,
+           exact
+    FROM hit CROSS JOIN ext JOIN exact USING (q)
+    ORDER BY q
+    """
+
+
+@_register("quantile_sketch_events", _qsketch_oracle())
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch over events.value: equal-width bins
+    between the observed extent, cumulative counts, bin-midpoint
+    read-out for p50/p95/p99 next to the exact percentiles.
+
+    Scale shape: the extent pass and the bin aggregate are single
+    map-side-combined shuffles with bounded output (1 row, then <=
+    QSK_BINS rows); the cumulative window orders <= QSK_BINS rows on
+    one partition — bounded, not data-scale (contrast: a percentile
+    over the raw column sorts the corpus). Per-shard histograms merge
+    by adding counts, so daily jobs answer any later quantile without
+    re-scanning. The exact column is test-SF ground truth; production
+    keeps only the histogram."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("value")
+    ext = e.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.lit(QSK_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * QSK_BINS
+                ).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qs = spark.createDataFrame([(q,) for q in QSK_QS], "q double")
+    hit = (
+        qs.crossJoin(F.broadcast(ext))
+        .join(F.broadcast(cum), F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "vmin", "vmax")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    exact_wide = e.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"ex{i}")
+            for i, q in enumerate(QSK_QS)
+        ]
+    )
+    exact_expr = None
+    for i, q in enumerate(QSK_QS):
+        branch = F.when(F.col("q") == q, F.col(f"ex{i}"))
+        exact_expr = branch if exact_expr is None else exact_expr.when(
+            F.col("q") == q, F.col(f"ex{i}")
+        )
+    return (
+        hit.crossJoin(F.broadcast(exact_wide))
+        .select(
+            "q",
+            F.round(
+                F.col("vmin")
+                + (F.col("qbin") + 0.5) * (F.col("vmax") - F.col("vmin")) / QSK_BINS,
+                4,
+            ).alias("est"),
+            exact_expr.alias("exact"),
+        )
+        .orderBy("q")
+    )

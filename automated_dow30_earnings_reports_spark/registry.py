@@ -122,6 +122,7 @@ _PRIORITY = [
     "kmv_union_returnflags",
     "multimodal_image_dhash",
     "temperature_resample",
+    "quantile_sketch_events",
 ]
 
 

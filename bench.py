@@ -96,6 +96,13 @@ HEADLINE = [
     "market_share_by_year",
     "q18_large_orders",
     "concurrency_minute_peak",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
+    "q21_sole_failing_supplier",
+    "kmv_distinct_orders",
+    "quantile_sketch_events",
+    "multimodal_image_dhash",
+    "temperature_resample",
 ]
 
 

@@ -96,3 +96,24 @@ def test_kmv_union_consistency(spark, sf_correctness):
     out = kmv_union_returnflags(spark, sf_correctness).collect()[0]
     rel_err = abs(out.union_estimate - out.exact_union) / out.exact_union
     assert rel_err < 5.0 / (KMV_UNION_K ** 0.5)
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_correctness):
+    """Midpoint read-out can be off by at most one bin width."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        QSK_BINS,
+        quantile_sketch_events,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ext = (
+        load_table(spark, sf_correctness, "events")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()[0]
+    )
+    bin_w = (ext.hi - ext.lo) / QSK_BINS
+    rows = quantile_sketch_events(spark, sf_correctness).collect()
+    assert [r.q for r in rows] == [0.5, 0.95, 0.99]
+    for r in rows:
+        assert abs(r.est - r.exact) <= bin_w
