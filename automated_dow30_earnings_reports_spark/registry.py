@@ -35,6 +35,7 @@ _MODULES = [
     f"{_PKG}.sources.html_table",
     f"{_PKG}.sources.html_dom",
     f"{_PKG}.sources.parquet_lake",
+    f"{_PKG}.sources.kv_datasource",
     f"{_PKG}.functions.scalars",
     f"{_PKG}.operators.skew",
     f"{_PKG}.plans.relational",
@@ -123,6 +124,7 @@ _PRIORITY = [
     "multimodal_image_dhash",
     "temperature_resample",
     "quantile_sketch_events",
+    "kv_datasource_roundtrip",
 ]
 
 

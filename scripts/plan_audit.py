@@ -47,6 +47,13 @@ def main() -> int:
         "ir_candidate_probe",
         "orc_lake_roundtrip",
         "dedup_cluster_canonical",
+        "q4_order_priority",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q22_idle_customers",
+        "kmv_union_returnflags",
+        "kv_datasource_roundtrip",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")

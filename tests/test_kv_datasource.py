@@ -1,0 +1,116 @@
+"""Python DataSource connector (sources/kv_datasource.py): byte-range
+split contract, schema-driven projection/casts, writer commit shape,
+and parity with the declarative regex scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.sources.kv_datasource import (
+    KVLinksReader,
+    KVSplit,
+    register,
+)
+
+
+@pytest.fixture()
+def kv_file(tmp_path):
+    p = tmp_path / "links.txt"
+    lines = [
+        f"name='rec{i:03d}' key='{i}' bal='{i * 1.5:.2f}'" for i in range(200)
+    ]
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def _read_all(spark, path, split_size):
+    return (
+        spark.read.format("kvlinks")
+        .schema("name string, key bigint, bal double")
+        .option("path", path)
+        .option("split_size", split_size)
+        .load()
+    )
+
+
+def test_split_sizes_agree(spark, kv_file):
+    """Every split size must parse each record exactly once — the
+    Hadoop text-split contract (records straddling split boundaries
+    read by exactly the split owning their first byte)."""
+    register(spark)
+    want = None
+    for split in (37, 256, 1 << 20):  # pathological, small, whole-file
+        got = sorted(
+            (r.name, r.key, r.bal) for r in _read_all(spark, kv_file, split).collect()
+        )
+        assert len(got) == 200
+        if want is None:
+            want = got
+        assert got == want
+
+
+def test_partition_planning(kv_file):
+    """partitions() covers the byte range exactly, no gaps/overlap."""
+    rdr = KVLinksReader.__new__(KVLinksReader)
+    rdr.path = kv_file
+    rdr.split_size = 100
+    parts = KVLinksReader.partitions(rdr)
+    size = os.path.getsize(kv_file)
+    assert parts[0].start == 0 and parts[-1].end == size
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+
+
+def test_missing_keys_are_null(spark, tmp_path):
+    p = tmp_path / "sparse.txt"
+    p.write_text("name='only-name'\nkey='7' bal='2.50'\n", encoding="utf-8")
+    register(spark)
+    rows = {r.name: r for r in _read_all(spark, str(p), 1 << 20).collect()}
+    assert rows["only-name"].key is None and rows["only-name"].bal is None
+    assert rows[None].key == 7 and rows[None].bal == 2.5
+
+
+def test_writer_roundtrip_and_success_marker(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("a", 1, 1.25), ("b", 2, None)], "name string, key bigint, bal double"
+    )
+    df.write.format("kvlinks").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = _read_all(spark, out, 1 << 20).collect()
+    got = sorted((r.name, r.key, r.bal) for r in back)
+    assert got == [("a", 1, 1.25), ("b", 2, None)]
+    # no in-progress temp files left behind
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_parity_with_regex_scan(spark, tmp_path):
+    """Connector output matches sources/kv_text.read_document_links on
+    reference-format DocumentLink lines (default schema)."""
+    from automated_dow30_earnings_reports_spark.sources.kv_text import (
+        read_document_links,
+    )
+
+    p = tmp_path / "doclinks.txt"
+    p.write_text(
+        "url='http://x/a.pdf' text='A' title='T' type='document' "
+        "file_extension='pdf' document_type='10-K' source_url='http://x' "
+        "full_html=''\n"
+        "url='http://y/b.htm' text='B' title='' type='webpage' "
+        "file_extension='htm' document_type='' source_url='http://y' "
+        "full_html='<a>'\n",
+        encoding="utf-8",
+    )
+    register(spark)
+    via_ds = (
+        spark.read.format("kvlinks").option("path", str(p)).load().orderBy("href")
+    )
+    via_regex = read_document_links(spark, str(p)).orderBy("href")
+    assert via_ds.columns == via_regex.columns
+    assert [tuple(r) for r in via_ds.collect()] == [
+        tuple(r) for r in via_regex.collect()
+    ]
