@@ -77,13 +77,15 @@ def run_pipeline(
     extracted = llm_extract_stage(per_company, extractor_factory).localCheckpoint(eager=True)
     reports = extracted.filter(F.col("extract_error").isNull())
 
-    # Stage 2b — J1 enrichment: report URL → crawl metadata (broadcast
-    # left join + empty-string default, J5).
+    # Stage 2b — J1 enrichment: report URL → crawl metadata (left join
+    # + empty-string default, J5). link_meta is crawl-output-derived —
+    # fact-scale on a large crawl — so no hard broadcast hint: the
+    # size threshold broadcasts it at test SF, AQE shuffles at scale.
     link_meta = links.select(
         F.col("href"), F.col("source_url"), F.col("file_extension")
     ).dropDuplicates(["href"])
     enriched = reports.drop("extract_error").join(
-        F.broadcast(link_meta), reports.url == link_meta.href, "left"
+        link_meta, reports.url == link_meta.href, "left"
     ).drop("href").withColumn("source_url", F.coalesce("source_url", F.lit("")))
 
     # Stage 3 — download sink (S10/X3), URL-partitioned. Download each

@@ -49,5 +49,7 @@ def get_spark(app_name: str = "dow30-spark-engine", shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource (kvlinks connector) filter pushdown
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     return builder.getOrCreate()

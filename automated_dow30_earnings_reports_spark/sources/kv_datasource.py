@@ -21,6 +21,30 @@ API, with the two properties a real connector owes the engine:
   both the key set that is parsed and the Python-side casts, so
   unreferenced keys are never materialized (column pruning inside the
   reader).
+* **Filter pushdown.** `pushFilters()` accepts the comparison /
+  null-test / IN / string-match conjuncts on scanned columns and
+  evaluates them inside `read()` right after parsing — rows die in the
+  Python worker before they are ever serialized across the Arrow
+  boundary, and Spark is told those conjuncts are fully handled so it
+  plans no residual filter. (Null comparison semantics match SQL:
+  any comparison against a missing key is False.) Requires
+  `spark.sql.python.filterPushdown.enabled` (register() sets it).
+
+  Engine sharp edge (observed on Spark 4.1.2, verified with fresh-
+  reader-per-planning traces): the JVM memoizes the first planning's
+  partitions+read-function on the shared relation object, so a query
+  WITHOUT pushable filters planned against the SAME `.load()` result
+  that an earlier filtered query used can reuse the earlier read
+  function — stale filters included. Plan a fresh `.load()` per query
+  (cheap — metadata only) when mixing filtered and unfiltered reads;
+  every planning that pushes filters always gets a fresh, correct
+  reader.
+
+A `SimpleDataSourceStreamReader` makes the same directory a STREAMING
+source: each micro-batch ingests the next not-yet-seen file(s) in
+lexicographic order (offset = prefix of the sorted file list), so a
+landing directory tails exactly-once under checkpoint/replay —
+`readBetweenOffsets` re-reads any committed range deterministically.
 
 The writer mirrors the task-commit shape: each task writes
 `part-<pid>-<uuid>` under the destination and reports it in its commit
@@ -40,7 +64,19 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -85,6 +121,51 @@ def _caster(dt: str):
     return lambda s: s if s else None
 
 
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    IsNotNull,
+    IsNull,
+    In,
+    StringStartsWith,
+    StringEndsWith,
+    StringContains,
+)
+
+
+def _filter_hit(flt, v) -> bool:
+    """SQL three-valued semantics collapsed to keep/drop: a comparison
+    against NULL never keeps the row (IsNull being the one null-seeker)."""
+    if isinstance(flt, IsNull):
+        return v is None
+    if v is None:
+        return False
+    if isinstance(flt, IsNotNull):
+        return True
+    if isinstance(flt, EqualTo):
+        return v == flt.value
+    if isinstance(flt, GreaterThan):
+        return v > flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return v >= flt.value
+    if isinstance(flt, LessThan):
+        return v < flt.value
+    if isinstance(flt, LessThanOrEqual):
+        return v <= flt.value
+    if isinstance(flt, In):
+        return v in flt.value
+    if isinstance(flt, StringStartsWith):
+        return isinstance(v, str) and v.startswith(flt.value)
+    if isinstance(flt, StringEndsWith):
+        return isinstance(v, str) and v.endswith(flt.value)
+    if isinstance(flt, StringContains):
+        return isinstance(v, str) and flt.value in v
+    return False
+
+
 class KVLinksReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -92,6 +173,8 @@ class KVLinksReader(DataSourceReader):
         if not self.path:
             raise ValueError("kvlinks: 'path' option is required")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT))
+        self.pushed: list = []  # (col_index, Filter), set by pushFilters
+        self._colidx = {f.name: i for i, f in enumerate(schema.fields)}
         # one compiled pattern + caster per projected column
         self._fields = [
             (
@@ -102,6 +185,25 @@ class KVLinksReader(DataSourceReader):
             )
             for f in schema.fields
         ]
+
+    def pushFilters(self, filters):
+        """Accept single-column conjuncts we can evaluate post-parse;
+        anything else stays with Spark. Accepted filters are FULLY
+        handled (no residual), so evaluation must be exact — see
+        _filter_hit's null semantics."""
+        self.pushed = []  # re-planned from scratch: the engine may reuse
+        # this reader instance across plannings of the same relation
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if (
+                isinstance(flt, _PUSHABLE)
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in self._colidx
+            ):
+                self.pushed.append((self._colidx[attr[0]], flt))
+            else:
+                yield flt
 
     def partitions(self) -> list[KVSplit]:
         out = []
@@ -133,10 +235,12 @@ class KVLinksReader(DataSourceReader):
                 if not raw:
                     break
                 line = raw.decode("utf-8", errors="replace").rstrip("\n")
-                yield tuple(
+                row = tuple(
                     cast(m.group(1)) if (m := pat.search(line)) else None
                     for pat, cast in self._fields
                 )
+                if all(_filter_hit(flt, row[i]) for i, flt in self.pushed):
+                    yield row
 
 
 class KVLinksWriter(DataSourceWriter):
@@ -185,8 +289,57 @@ class KVLinksWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+class KVLinksStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a kv-links landing directory: the offset is
+    the count of files ingested from the lexicographically sorted
+    listing, so each micro-batch reads exactly the files that landed
+    since the last one. Files must be published atomically (the
+    writer's rename does this) and named monotonically or at least
+    immutably — the sorted-prefix offset never re-reads or skips.
+    `readBetweenOffsets` replays any committed range deterministically
+    for recovery, which is what makes checkpointed runs exactly-once."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvlinks: 'path' option is required")
+        self._batch = KVLinksReader(schema, {"path": self.path})
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return _input_files(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def _rows_of(self, files: list[str]) -> list[tuple]:
+        # materialized list, not a generator: the engine pickles the
+        # batch for its prefetch/replay cache
+        out: list[tuple] = []
+        for p in files:
+            size = os.path.getsize(p)
+            if size:
+                out.extend(self._batch.read(KVSplit(p, 0, size)))
+        return out
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = start.get("n_files", 0)
+        return self._rows_of(files[n0:]), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows_of(files[start.get("n_files", 0) : end.get("n_files", 0)])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positions in an immutable sorted listing
+
+
 class KVLinksDataSource(DataSource):
-    """format("kvlinks"): reader/writer for key='value' record lines.
+    """format("kvlinks"): batch reader (split-planned, filter-pushing),
+    streaming reader (landing-directory tail), and task-commit writer
+    for key='value' record lines.
 
     Default schema is the reference's DocumentLink record; pass
     .schema(...) to project/cast other key sets."""
@@ -201,12 +354,17 @@ class KVLinksDataSource(DataSource):
     def reader(self, schema: StructType) -> KVLinksReader:
         return KVLinksReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> KVLinksStreamReader:
+        return KVLinksStreamReader(schema, self.options)
+
     def writer(self, schema: StructType, overwrite: bool) -> KVLinksWriter:
         return KVLinksWriter(schema, self.options)
 
 
 def register(spark) -> None:
-    """Idempotently register the connector on this session."""
+    """Idempotently register the connector on this session (and enable
+    Python-source filter pushdown, off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(KVLinksDataSource)
     except Exception:

@@ -114,3 +114,101 @@ def test_parity_with_regex_scan(spark, tmp_path):
     assert [tuple(r) for r in via_ds.collect()] == [
         tuple(r) for r in via_regex.collect()
     ]
+
+
+def test_pushdown_unit():
+    """pushFilters keeps what read() can evaluate, yields the rest."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull, Not
+
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import (
+        KVLinksReader,
+    )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("name string, key bigint, bal double")
+    rdr = KVLinksReader(schema, {"path": "/tmp/x"})
+    flts = [
+        EqualTo(("name",), "a"),
+        GreaterThan(("key",), 5),
+        IsNotNull(("bal",)),
+        Not(EqualTo(("name",), "b")),  # unsupported -> residual
+        EqualTo(("nope",), 1),  # unknown column -> residual
+    ]
+    residual = list(rdr.pushFilters(flts))
+    assert residual == flts[3:]
+    assert [i for i, _ in rdr.pushed] == [0, 1, 2]
+
+
+def test_pushdown_end_to_end(spark, kv_file):
+    """Engine-planned filters produce exact results through the
+    source-side evaluation (no residual Spark filter for pushed
+    conjuncts), across types and null semantics. Each predicate runs
+    against a fresh load(): see the module docstring's engine sharp
+    edge — Spark 4.1.2 memoizes the first planning's read function on
+    a shared relation, so mixing filtered and unfiltered queries on
+    one load() can replay stale pushed filters (engine-side caching,
+    not connector state: every pushdown planning builds a new
+    reader)."""
+    register(spark)
+    got = (
+        _read_all(spark, kv_file, 256)
+        .filter(
+            (F.col("key") > 100)
+            & (F.col("key") <= 110)
+            & F.col("name").startswith("rec1")
+        )
+        .collect()
+    )
+    assert sorted(r.key for r in got) == list(range(101, 111))
+    got2 = (
+        _read_all(spark, kv_file, 256)
+        .filter(F.col("name").isin("rec005", "rec007"))
+        .collect()
+    )
+    assert sorted(r.key for r in got2) == [5, 7]
+    # disjunction is not a pushable conjunct set; Spark evaluates it
+    got3 = (
+        _read_all(spark, kv_file, 256)
+        .filter((F.col("key") == 3) | (F.col("key") == 199))
+        .collect()
+    )
+    assert sorted(r.key for r in got3) == [3, 199]
+
+
+def test_stream_tail_exactly_once(spark, tmp_path):
+    """Landing-dir streaming source: availableNow run ingests existing
+    files; a restarted run from the same checkpoint ingests ONLY files
+    that landed in between."""
+    register(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_file(name, lo, hi):
+        (land / name).write_text(
+            "".join(f"name='r{i}' key='{i}' bal='{i}.00'\n" for i in range(lo, hi)),
+            encoding="utf-8",
+        )
+
+    def run_batch(_name):
+        got: list = []
+        q = (
+            spark.readStream.format("kvlinks")
+            .schema("name string, key bigint, bal double")
+            .option("path", str(land))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, epoch: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.key for r in got}
+
+    land_file("a.txt", 0, 5)
+    land_file("b.txt", 5, 9)
+    assert run_batch("kv_s1") == set(range(9))
+    land_file("c.txt", 9, 12)
+    assert run_batch("kv_s2") == set(range(9, 12))  # only the new file
