@@ -892,3 +892,302 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the PQ in Jégou et al. 2011): split each
+# vector into PQ_M subspaces, k-means each subspace independently
+# (deterministic seed + fixed Lloyd rounds, the ivf_kmeans recipe),
+# encode every vector as PQ_M small codes, and answer queries with
+# asymmetric distance computation (ADC): a per-query distance TABLE to
+# every subspace centroid (PQ_M x PQ_K entries), so scoring a neighbor
+# is PQ_M table lookups + adds instead of a D-dim dot product.
+#
+# The 100 TB story: the corpus compresses 64 doubles -> PQ_M bytes
+# (64x here, 256x with k=256/m=8 in production) so the SEARCH
+# structure fits in memory at billions of vectors; the distance tables
+# are built per query against centroids only (never the corpus) and
+# broadcast; the scan over codes is a narrow-integer pipeline.
+# Training is deterministic (seed = first PQ_K subvectors, 9-decimal
+# rounded means), so the full train -> encode -> ADC pipeline is
+# hash-checked against the unrolled-CTE DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = 64)
+PQ_K = 16  # centroids per subspace (256 in production)
+PQ_ROUNDS = 2  # Lloyd rounds per subspace
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly per query
+
+
+def _subv(col: Column, s: int) -> Column:
+    return F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 (order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    """Explicit 16-term sum in index order — the same evaluation order
+    as l2sq's left fold, so the doubles agree bit-for-bit."""
+    terms = " + ".join(
+        f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+        for i in range(1, PQ_SUBDIM + 1)
+    )
+    return f"({terms})"
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): every vector exploded into its PQ_M subvectors
+    — the subspace id is a COLUMN, so all PQ_M quantizers train in the
+    same jobs instead of PQ_M sequential loops (16x fewer job rounds;
+    at scale, one corpus pass per Lloyd round instead of PQ_M)."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), _subv(F.col("emb"), s).alias("sv")
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+
+
+def _pq_train_all(sub_all: DataFrame) -> DataFrame:
+    """(s, cid, ce) after PQ_ROUNDS Lloyd rounds, all subspaces at
+    once. Each round: broadcast-assign on the (s, cid) key (argmin L2,
+    cid tie-break; no corpus shuffle) + bounded PQ_M*PQ_K*PQ_SUBDIM
+    mean aggregate, rounded to 9 decimals to absorb summation-order
+    ulps (the pagerank/ivf_kmeans trick)."""
+    cents = sub_all.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("ce")
+    )
+    for _ in range(PQ_ROUNDS):
+        w = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
+        cells = (
+            sub_all.join(F.broadcast(cents), "s")
+            .select(
+                "vec_id", "s", "sv", "cid", l2sq(F.col("sv"), F.col("ce")).alias("d2")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        cents = (
+            cells.select("s", "cid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg("v"), 9).alias("m"))
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("ce")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def _pq_sub_sql(s: int) -> str:
+    """CTE chain for one subspace: sub_s -> (Lloyd rounds) -> trained
+    centroids cents_s / codes codes_s."""
+    lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+    d2 = _l2sq_sql("v.sv", "c.ce")
+    parts = [
+        f"sub{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS sv FROM e)",
+        f"cents{s}_0 AS (SELECT vec_id AS cid, sv AS ce FROM sub{s} WHERE vec_id < {PQ_K})",
+    ]
+    for r in range(1, PQ_ROUNDS + 1):
+        parts.append(
+            f"""assign{s}_{r} AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rn
+      FROM sub{s} v CROSS JOIN cents{s}_{r - 1} c
+    )"""
+        )
+        parts.append(
+            f"""cents{s}_{r} AS (
+      SELECT cid, list(m ORDER BY d) AS ce FROM (
+        SELECT a.cid, dim.d, ROUND(AVG(v.sv[dim.d]), 9) AS m
+        FROM assign{s}_{r} a JOIN sub{s} v ON v.vec_id = a.vec_id
+        CROSS JOIN range(1, {PQ_SUBDIM + 1}) dim(d)
+        WHERE a.rn = 1
+        GROUP BY a.cid, dim.d
+      ) GROUP BY cid
+    )"""
+        )
+    parts.append(
+        f"""codes{s} AS (
+      SELECT v.vec_id, c.cid AS code
+      FROM sub{s} v CROSS JOIN cents{s}_{PQ_ROUNDS} c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _pq_adc_oracle() -> str:
+    subs = ",\n    ".join(_pq_sub_sql(s) for s in range(PQ_M))
+    dtab_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT q.vec_id AS query_id, {s} AS s, c.cid, "
+        f"{_l2sq_sql('q.sv', 'c.ce')} AS d2 "
+        f"FROM sub{s} q CROSS JOIN cents{s}_{PQ_ROUNDS} c WHERE q.vec_id < {N_QUERY_VECS}"
+        for s in range(PQ_M)
+    )
+    code_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {s} AS s, code FROM codes{s}" for s in range(PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {subs},
+    dtab AS (
+      {dtab_rows}
+    ),
+    allcodes AS (
+      {code_rows}
+    ),
+    adc AS (
+      -- fixed-order fold (s0+s1)+s2)+s3: SUM over doubles is
+      -- order-nondeterministic and the ranking uses the UNROUNDED sum
+      SELECT query_id, neighbor_id,
+             (({" + ".join(f"d{s}" for s in range(PQ_M))})) AS dist2
+      FROM (
+        SELECT d.query_id, c.vec_id AS neighbor_id,
+               {", ".join(f"SUM(CASE WHEN d.s = {s} THEN d.d2 END) AS d{s}" for s in range(PQ_M))}
+        FROM allcodes c
+        JOIN dtab d ON d.s = c.s AND d.cid = c.code
+        WHERE c.vec_id <> d.query_id
+        GROUP BY d.query_id, c.vec_id
+      )
+    )
+    ,
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM adc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist2, neighbor_id) <= {PQ_SHORTLIST}
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_COS_SQL.format(a="q.emb", b="n.emb")} AS cos
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+    FROM rerank
+    QUALIFY rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@_register("similarity_pq_adc", _pq_adc_oracle())
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN, full production pipeline: train PQ_M
+    independent subspace quantizers (deterministic Lloyd), encode the
+    corpus as PQ_M codes per vector, ADC-score the query set via
+    per-query distance tables over centroids only, keep a
+    PQ_SHORTLIST-deep candidate list, and re-rank the shortlist with
+    EXACT cosine (the coarse-then-exact two-stage every PQ deployment
+    runs). Exactly oracled end-to-end; shortlist recall is pinned in
+    test_scale_features (ADC-only recall on these near-random
+    synthetic vectors is ~0.3 — quantizing 512 bits to 32 loses that
+    much on structure-free data — while the 10%-of-corpus shortlist
+    recovers 0.8).
+
+    Scale: per-subspace training touches centroids x corpus with no
+    corpus shuffle (broadcast assign); encoding is a map; the ADC scan
+    reads only (vec_id, m codes) — the 16x-compressed representation —
+    the distance tables (PQ_M x PQ_K x |Q| rows) broadcast; the exact
+    stage touches PQ_SHORTLIST*|Q| full vectors instead of N*|Q|."""
+    e = _emb(spark, sf_dir)
+    sub_all = _pq_subvectors(e)
+    cents = _pq_train_all(sub_all)
+    w_assign = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
+    allcodes = (
+        sub_all.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", l2sq(F.col("sv"), F.col("ce")).alias("d2"), "cid")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+    )
+    dtab = (
+        sub_all.where(F.col("vec_id") < N_QUERY_VECS)
+        .join(F.broadcast(cents), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "cid",
+            l2sq(F.col("sv"), F.col("ce")).alias("d2"),
+        )
+    )
+    per_sub = (
+        allcodes.join(
+            F.broadcast(dtab),
+            (allcodes.s == dtab.s) & (allcodes.code == dtab.cid),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            *[
+                F.sum(F.when(allcodes.s == s, F.col("d2"))).alias(f"d{s}")
+                for s in range(PQ_M)
+            ]
+        )
+    )
+    # fixed-order fold: SUM over doubles is order-nondeterministic and
+    # the ranking below uses the UNROUNDED sum
+    dist2 = F.col("d0")
+    for s in range(1, PQ_M):
+        dist2 = dist2 + F.col(f"d{s}")
+    adc = per_sub.select("query_id", "vec_id", dist2.alias("dist2"))
+    w_short = Window.partitionBy("query_id").orderBy("dist2", "vec_id")
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(w_short))
+        .where(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.col("norm").alias("nnorm"),
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qe"), F.col("ne")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -125,6 +125,7 @@ _PRIORITY = [
     "temperature_resample",
     "quantile_sketch_events",
     "kv_datasource_roundtrip",
+    "similarity_pq_adc",
 ]
 
 

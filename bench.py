@@ -103,6 +103,8 @@ HEADLINE = [
     "quantile_sketch_events",
     "multimodal_image_dhash",
     "temperature_resample",
+    "similarity_pq_adc",
+    "kv_datasource_roundtrip",
 ]
 
 

@@ -125,6 +125,12 @@ def test_ivf_recall_vs_exact_topk(spark, sf_correctness):
     # its recall floor sits far above the ANN paths' (measured 0.96)
     r8 = mean_recall("similarity_topk_int8")
     assert r8 >= 0.85, f"int8 recall collapsed: {r8:.3f}"
+    # PQ+ADC with exact shortlist re-rank: on these structure-free
+    # synthetic vectors the 32-bit codes alone recall ~0.3, and the
+    # 50-deep (10% of corpus) shortlist + exact re-rank recovers 0.8
+    # (measured) — pin a floor under that band
+    rpq = mean_recall("similarity_pq_adc")
+    assert rpq >= 0.6, f"PQ shortlist+rerank recall collapsed: {rpq:.3f}"
 
 
 def test_approx_percentile_within_tolerance(spark, sf_correctness):
