@@ -985,3 +985,76 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (Broder's "containment" measure,
+# C(A,B) = |A∩B| / |A|): catches a SHORT document embedded inside a
+# LONGER one — quotes, boilerplate wrappers, article-plus-comments
+# pages — which symmetric jaccard misses entirely (a 100-shingle doc
+# inside a 10,000-shingle doc has jaccard ~0.01 but containment 1.0).
+# Same inverted-index join as dedup_ngram_jaccard; only the
+# denominator changes, and the pair orientation is (contained,
+# container) rather than (min_id, max_id).
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@_register(
+    "dedup_containment",
+    f"""
+    WITH {_SHD_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big, COUNT(*) AS i
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_small, id_big,
+           ROUND(1.0 * i / za.sz, 3) AS containment
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_small
+    JOIN sizes zb ON zb.doc_id = id_big
+    WHERE 1.0 * i / za.sz >= {CONTAINMENT_THRESHOLD}
+      AND (za.sz < zb.sz OR (za.sz = zb.sz AND id_small < id_big))
+    ORDER BY id_small, id_big
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs: documents whose shingle set is >= 90%
+    inside a strictly larger (or equal-size, id-ordered) document.
+
+    Scale shape: identical cost profile to the exact-jaccard tier —
+    one shuffle on the shingle key for the inverted-index join, sizes
+    as a per-doc aggregate joined back on ids. In production this
+    runs with the DF-cap candidate gate (dedup_ngram_dfcap) exactly as
+    jaccard does; here the exact form is the oracle-checked baseline.
+    The asymmetric orientation means each unordered pair appears at
+    most once, as (contained, container)."""
+    shd = doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sa = shd.select(F.col("doc_id").alias("id_small"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("id_big"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("id_small"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_big"), F.col("sz").alias("sz_b"))
+    cont = F.col("i") / F.col("sz_a")
+    return (
+        inter.join(za, "id_small")
+        .join(zb, "id_big")
+        .where(
+            (cont >= CONTAINMENT_THRESHOLD)
+            & (
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_small") < F.col("id_big")))
+            )
+        )
+        .select("id_small", "id_big", F.round(cont, 3).alias("containment"))
+        .orderBy("id_small", "id_big")
+    )

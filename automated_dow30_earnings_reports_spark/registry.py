@@ -126,6 +126,8 @@ _PRIORITY = [
     "quantile_sketch_events",
     "kv_datasource_roundtrip",
     "similarity_pq_adc",
+    "q6_forecast_revenue",
+    "dedup_containment",
 ]
 
 

@@ -166,15 +166,22 @@ def main() -> int:
     # The driver records only the LAST ~2 KB of stdout; BENCH_r02 lost
     # its timings because the full line (with per-query rows) overflowed
     # that window. The printed line is therefore a compact essentials-only
-    # payload (2-decimal timings, no rows map, errors only when present),
-    # while the full record (3-decimal timings + rows) goes to
-    # bench_full.json next to this script.
+    # payload, while the full record (3-decimal timings + rows) goes to
+    # bench_full.json next to this script. At 80 headline queries even
+    # name:timing pairs alone overflow 2 KB, so the stdout dict keeps
+    # every query >= 0.75 s individually and folds the fast tail into
+    # fast_queries_n/fast_queries_sec (full per-query detail stays in
+    # bench_full.json).
+    slow = {k: round(v, 2) for k, v in timings.items() if v >= 0.75}
+    fast_total = round(sum(v for v in timings.values() if v < 0.75), 2)
     payload = {
         "metric": "headline_query_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": slow,
+        "fast_queries_n": len(timings) - len(slow),
+        "fast_queries_sec": fast_total,
     }
     if errors:
         payload["errors"] = {k: v[:60] for k, v in errors.items()}

@@ -54,6 +54,8 @@ def main() -> int:
         "q22_idle_customers",
         "kmv_union_returnflags",
         "kv_datasource_roundtrip",
+        "q6_forecast_revenue",
+        "dedup_containment",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")
