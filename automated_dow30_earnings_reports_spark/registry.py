@@ -37,6 +37,7 @@ _MODULES = [
     f"{_PKG}.sources.parquet_lake",
     f"{_PKG}.sources.kv_datasource",
     f"{_PKG}.functions.scalars",
+    f"{_PKG}.functions.udtfs",
     f"{_PKG}.operators.skew",
     f"{_PKG}.plans.relational",
     f"{_PKG}.plans.advanced",
@@ -128,6 +129,8 @@ _PRIORITY = [
     "similarity_pq_adc",
     "q6_forecast_revenue",
     "dedup_containment",
+    "udtf_lateral_links",
+    "sql_fulfillment_rollup",
 ]
 
 
