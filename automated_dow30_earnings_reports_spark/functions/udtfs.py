@@ -61,6 +61,10 @@ def register_udtfs(spark: SparkSession) -> None:
     """Idempotently register this module's UDTFs on the session."""
     from pyspark.sql.functions import udtf
 
+    # Arrow-batched UDTF eval (ArrowEvalPythonUDTF instead of pickled
+    # row-at-a-time BatchEvalPythonUDTF) — same policy as every other
+    # Python stage in this repo.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register(
         "extract_links_udtf",
         udtf(ExtractLinks, returnType="href string, anchor string"),

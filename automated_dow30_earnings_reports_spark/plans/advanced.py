@@ -1183,3 +1183,61 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_sum_dt")
         .orderBy("user_id")
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@_register(
+    "ewma_user_value",
+    f"""
+    WITH ordered AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}), 6) AS ewma
+    FROM ordered
+    ORDER BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha={EWMA_ALPHA}, init = first value) — the classic streaming
+    feature a window frame CANNOT express (each output depends on the
+    whole prefix, not a bounded frame). Computed as an ordered
+    in-array left fold: collect the user's values in (ts, event_id)
+    order, fold acc*(1-a)+x*a. Both engines fold the identical
+    sequence with the identical expression left-to-right, so the
+    doubles match bit-for-bit (output rounded at 6 to be safe).
+
+    Scale shape: one shuffle (the groupBy); the fold is map-side
+    array arithmetic. Per-key arrays are bounded by per-user activity
+    — the same bounded-per-key assumption every sequence operator here
+    makes (sequence_packing, funnel_onepass); for unbounded keys the
+    streaming form is applyInPandasWithState carrying (ewma, last_ts)
+    as 16 bytes of state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts").alias("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+        ).alias("s"),
+    )
+    a = EWMA_ALPHA
+    vals = F.transform(F.array_sort(F.collect_list("s")), lambda x: x["v"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - a) + x * F.lit(a),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.size(vals).cast("bigint").alias("n_events"),
+            F.round(fold, 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )

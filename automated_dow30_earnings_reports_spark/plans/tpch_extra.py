@@ -536,3 +536,139 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+@_register(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority mix per shipping class (returnflag
+    stands in for the lite schema's missing l_shipmode): high/low
+    priority line counts in one conditional pass.
+
+    Scale shape: the year filter pushes into the lineitem scan; one
+    equi shuffle on the order key; both counters come out of a single
+    aggregation (no per-priority scans)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution: LEFT OUTER
+    join so zero-order customers land in the c_count=0 bucket, then a
+    second aggregation over the counts (the double-aggregate histogram
+    shape).
+
+    Scale shape: outer join + first aggregate share the c_custkey
+    shuffle key (one exchange serves both); the second aggregate's
+    input is one row per customer and its output is bounded by the
+    distinct count values — tiny. COUNT(o_orderkey) not COUNT(*) so
+    the null row from the outer join counts as zero, mirrored exactly
+    in the oracle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+    ),
+    li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+    ),
+    avg_qty AS (
+      SELECT l_partkey, AVG(l_quantity) AS aq FROM li GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM li JOIN avg_qty USING (l_partkey)
+    WHERE l_quantity < 0.2 * aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity order revenue: lines of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity — the correlated-scalar-subquery-per-group shape.
+
+    Scale shape: the brand filter cuts part to ~1/25 and semi-reduces
+    lineitem FIRST (join on partkey before any aggregation); the
+    per-part average and the re-join both key on l_partkey, so the
+    shuffle partitioning is computed once and reused; the correlated
+    subquery becomes one aggregate + one same-key join instead of a
+    per-row re-scan."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )

@@ -131,6 +131,10 @@ _PRIORITY = [
     "dedup_containment",
     "udtf_lateral_links",
     "sql_fulfillment_rollup",
+    "ewma_user_value",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
 ]
 
 

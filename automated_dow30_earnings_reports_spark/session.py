@@ -51,5 +51,7 @@ def get_spark(app_name: str = "dow30-spark-engine", shuffle_partitions: int | No
         .config("spark.sql.parquet.filterPushdown", "true")
         # Python DataSource (kvlinks connector) filter pushdown
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Arrow-batched Python UDTF eval (functions/udtfs.py)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     )
     return builder.getOrCreate()

@@ -32,6 +32,8 @@ PYTHON_STAGE_QUERIES = {
     "html_dom_table_scan",
     "html_dom_links",
     "html_dom_clean",
+    # SQL-registered @udtf (functions/udtfs.py) — Arrow eval enforced
+    "udtf_lateral_links",
 }
 
 # Iterative driver loops: building the DataFrame executes jobs
@@ -75,10 +77,12 @@ def test_python_stage_queries_are_arrow_batched(name, spark, sf_correctness):
 
     plan = _plan_of(e.queries()[name](spark, sf_correctness))
     # batched Arrow nodes only — never row-at-a-time BatchEvalPython
+    # (BatchEvalPythonUDTF included: Arrow UDTF eval renders as
+    # ArrowEvalPythonUDTF)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert re.search(
         r"MapInPandas|FlatMapGroupsInPandas|AggregateInPandas|ArrowAggregatePython"
-        r"|ArrowEvalPython",  # scalar pandas_udf (DOM parsers)
+        r"|ArrowEvalPython",  # scalar pandas_udf (DOM parsers) + UDTF
         plan,
     ), name
 
