@@ -460,22 +460,19 @@ def write_training_shards(manifest: DataFrame, docs: DataFrame, path: str) -> No
 # threshold, and therefore the kept set, is bit-identical cross-engine.
 # ---------------------------------------------------------------------------
 
-_RS_SPACE = 16**7  # 28-bit digest space
+# Shared 28-bit digest contract — the same family the sketch operators
+# gate on; importing (not copying) keeps the cross-engine bit-identity
+# guarantee in one place.
+from automated_dow30_earnings_reports_spark.operators.sketches import (  # noqa: E402
+    _DIGEST_SQL as _RS_DIGEST_SQL,
+    _digest_col as _rs_digest_col,
+)
 
-
-def _rs_digest_sql(expr: str) -> str:
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({expr}), {p}, 1)) - 1) * {16 ** (7 - p)}"
-            for p in range(1, 8)
-        )
-        + ")"
-    )
+_RS_SPACE = 16**7  # 28-bit digest space (matches sketches.KMV_SPACE)
 
 
 def _temperature_oracle() -> str:
-    dg = _rs_digest_sql("CAST(doc_id AS VARCHAR)")
+    dg = _RS_DIGEST_SQL.format(t="CAST(doc_id AS VARCHAR)")
     return f"""
     WITH mass AS (
       SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -529,9 +526,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("threshold"),
     )
-    dg = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10
-    ).cast("bigint")
+    dg = _rs_digest_col(F.col("doc_id").cast("string"))
     kept = (
         d.join(F.broadcast(th), "source")
         .where(dg < F.col("threshold"))

@@ -934,7 +934,7 @@ def l2sq(a: Column, b: Column) -> Column:
 
 
 def _l2sq_sql(a: str, b: str) -> str:
-    """Explicit 16-term sum in index order — the same evaluation order
+    """Explicit PQ_SUBDIM-term sum in index order — the same evaluation order
     as l2sq's left fold, so the doubles agree bit-for-bit."""
     terms = " + ".join(
         f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"

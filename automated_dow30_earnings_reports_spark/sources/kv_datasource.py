@@ -41,10 +41,16 @@ API, with the two properties a real connector owes the engine:
   reader.
 
 A `SimpleDataSourceStreamReader` makes the same directory a STREAMING
-source: each micro-batch ingests the next not-yet-seen file(s) in
-lexicographic order (offset = prefix of the sorted file list), so a
-landing directory tails exactly-once under checkpoint/replay —
+source: each micro-batch ingests the not-yet-seen files (offset = the
+explicit ingested-name set, so arbitrary file names are safe), giving
+an exactly-once landing-directory tail under checkpoint/replay —
 `readBetweenOffsets` re-reads any committed range deterministically.
+
+The writer maintains a `_SUCCESS` manifest naming exactly the files of
+successfully committed jobs (merged on append, replaced — with stale
+file deletion — on overwrite); the batch reader treats the manifest as
+the source of truth when present, so part files orphaned by a task
+retry whose commit message never landed are invisible to readers.
 
 The writer mirrors the task-commit shape: each task writes
 `part-<pid>-<uuid>` under the destination and reports it in its commit
@@ -82,11 +88,13 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from automated_dow30_earnings_reports_spark.schemas import DOCUMENT_LINKS
-
-# Schema field -> serialized key (matches sources/kv_text.py).
-FIELD_TO_KEY = {"href": "url", "link_type": "type"}
+from automated_dow30_earnings_reports_spark.sources.kv_text import (
+    _FIELD_TO_KEY as FIELD_TO_KEY,  # single source of truth for the format
+)
 
 DEFAULT_SPLIT = 1 << 20  # 1 MiB
+
+_SUCCESS_FILE = "_SUCCESS"
 
 
 class KVSplit(InputPartition):
@@ -102,7 +110,23 @@ class _Commit(WriterCommitMessage):
 
 
 def _input_files(path: str) -> list[str]:
+    """Committed input files. When a `_SUCCESS` manifest exists (this
+    module's writer maintains one), ONLY files it names count — an
+    orphan from a task attempt that renamed its part file but whose
+    commit message never reached the driver is invisible to readers,
+    which is what makes the task-retry story exactly-once end to end.
+    Directories without a manifest (foreign producers) fall back to a
+    full listing."""
     if os.path.isdir(path):
+        manifest = os.path.join(path, _SUCCESS_FILE)
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                names = [ln.strip() for ln in fh if ln.strip()]
+            return sorted(
+                os.path.join(path, n)
+                for n in names
+                if os.path.isfile(os.path.join(path, n))
+            )
         return sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -244,8 +268,9 @@ class KVLinksReader(DataSourceReader):
 
 
 class KVLinksWriter(DataSourceWriter):
-    def __init__(self, schema: StructType, options: dict):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool = False):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("kvlinks: 'path' option is required")
         self._keys = [FIELD_TO_KEY.get(f.name, f.name) for f in schema.fields]
@@ -259,7 +284,9 @@ class KVLinksWriter(DataSourceWriter):
         if v is None:
             return ""
         if i in self._float_cols:
-            return f"{v:.2f}"
+            # repr = shortest string that round-trips the exact double
+            # (a fixed %.2f would silently corrupt 0.125 -> '0.12')
+            return repr(float(v))
         return str(v)
 
     def write(self, iterator: Iterator) -> _Commit:
@@ -280,8 +307,33 @@ class KVLinksWriter(DataSourceWriter):
         return _Commit(final)
 
     def commit(self, messages) -> None:
-        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
-            f.write("\n".join(os.path.basename(m.file) for m in messages if m))
+        """Job commit: fold this job's part files into the `_SUCCESS`
+        manifest that `_input_files` treats as the source of truth.
+        Append mode MERGES with the existing manifest; overwrite mode
+        REPLACES it and deletes the files it previously named — so
+        readers flip atomically from the old file set to the new one
+        at the manifest write, and mode(\"overwrite\") actually
+        overwrites instead of silently appending."""
+        manifest = os.path.join(self.path, _SUCCESS_FILE)
+        new = sorted(os.path.basename(m.file) for m in messages if m)
+        old: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                old = [ln.strip() for ln in fh if ln.strip()]
+        if self.overwrite:
+            final = new
+            stale = [n for n in old if n not in set(new)]
+        else:
+            final = sorted(set(old) | set(new))
+            stale = []
+        tmp = manifest + ".inprogress"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(final))
+        os.rename(tmp, manifest)
+        for n in stale:
+            p = os.path.join(self.path, n)
+            if os.path.exists(p):
+                os.remove(p)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -290,14 +342,18 @@ class KVLinksWriter(DataSourceWriter):
 
 
 class KVLinksStreamReader(SimpleDataSourceStreamReader):
-    """Streaming tail of a kv-links landing directory: the offset is
-    the count of files ingested from the lexicographically sorted
-    listing, so each micro-batch reads exactly the files that landed
-    since the last one. Files must be published atomically (the
-    writer's rename does this) and named monotonically or at least
-    immutably — the sorted-prefix offset never re-reads or skips.
-    `readBetweenOffsets` replays any committed range deterministically
-    for recovery, which is what makes checkpointed runs exactly-once."""
+    """Streaming tail of a kv-links landing directory. The offset is
+    the EXPLICIT set of ingested file names (comma-joined, sorted) —
+    not a count-prefix of the sorted listing, which would both skip
+    and double-read whenever a late file sorts before an already-
+    committed one (uuid part names, multi-writer clock skew). With the
+    name-set offset, any atomically-published immutable file is
+    ingested exactly once regardless of its name. A batch reads
+    `listing - seen`; `readBetweenOffsets` replays `end - start`
+    deterministically for recovery. The offset grows with the number
+    of files — fine for a landing directory; a production source
+    compacts it into a checkpointed seen-files log exactly as Spark's
+    own FileStreamSource does."""
 
     def __init__(self, schema: StructType, options: dict):
         self.path = options.get("path")
@@ -310,30 +366,39 @@ class KVLinksStreamReader(SimpleDataSourceStreamReader):
             return []
         return _input_files(self.path)
 
+    @staticmethod
+    def _seen(offset: dict) -> set:
+        s = offset.get("seen", "")
+        return set(s.split(",")) if s else set()
+
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"seen": ""}
 
     def _rows_of(self, files: list[str]) -> list[tuple]:
         # materialized list, not a generator: the engine pickles the
         # batch for its prefetch/replay cache
         out: list[tuple] = []
-        for p in files:
+        for p in sorted(files):
             size = os.path.getsize(p)
             if size:
                 out.extend(self._batch.read(KVSplit(p, 0, size)))
         return out
 
     def read(self, start: dict):
-        files = self._files()
-        n0 = start.get("n_files", 0)
-        return self._rows_of(files[n0:]), {"n_files": len(files)}
+        seen = self._seen(start)
+        fresh = [p for p in self._files() if os.path.basename(p) not in seen]
+        new_seen = sorted(seen | {os.path.basename(p) for p in fresh})
+        return self._rows_of(fresh), {"seen": ",".join(new_seen)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return self._rows_of(files[start.get("n_files", 0) : end.get("n_files", 0)])
+        replay = self._seen(end) - self._seen(start)
+        return self._rows_of(
+            [os.path.join(self.path, n) for n in replay
+             if os.path.isfile(os.path.join(self.path, n))]
+        )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are positions in an immutable sorted listing
+        pass  # files are immutable once published; nothing to release
 
 
 class KVLinksDataSource(DataSource):
@@ -358,7 +423,7 @@ class KVLinksDataSource(DataSource):
         return KVLinksStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> KVLinksWriter:
-        return KVLinksWriter(schema, self.options)
+        return KVLinksWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:

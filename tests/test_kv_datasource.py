@@ -212,3 +212,75 @@ def test_stream_tail_exactly_once(spark, tmp_path):
     assert run_batch("kv_s1") == set(range(9))
     land_file("c.txt", 9, 12)
     assert run_batch("kv_s2") == set(range(9, 12))  # only the new file
+
+
+def test_stream_out_of_order_file_names(spark, tmp_path):
+    """A late file that sorts BEFORE already-ingested ones must still
+    be picked up exactly once (name-set offsets, not a sorted-count
+    prefix — uuid part names and multi-writer clock skew produce
+    exactly this arrival order)."""
+    register(spark)
+    land = tmp_path / "landing2"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run_batch():
+        got: list = []
+        q = (
+            spark.readStream.format("kvlinks")
+            .schema("name string, key bigint, bal double")
+            .option("path", str(land))
+            .load()
+            .writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.key for r in got)
+
+    (land / "zz-late-start.txt").write_text("name='a' key='1' bal='1.0'\n")
+    assert run_batch() == [1]
+    # lands lexicographically BEFORE zz-late-start.txt
+    (land / "aa-newer.txt").write_text("name='b' key='2' bal='2.0'\n")
+    assert run_batch() == [2]  # only the new file; no re-read of key=1
+
+
+def test_writer_overwrite_replaces(spark, tmp_path):
+    """mode('overwrite') must replace prior committed data, not append."""
+    register(spark)
+    out = str(tmp_path / "ow")
+    df1 = spark.createDataFrame([("a", 1, 1.0)], "name string, key bigint, bal double")
+    df2 = spark.createDataFrame([("b", 2, 2.0)], "name string, key bigint, bal double")
+    df1.write.format("kvlinks").option("path", out).mode("append").save()
+    df2.write.format("kvlinks").option("path", out).mode("overwrite").save()
+    got = _read_all(spark, out, 1 << 20).collect()
+    assert [(r.name, r.key) for r in got] == [("b", 2)]
+
+
+def test_reader_ignores_orphan_part_files(spark, tmp_path):
+    """Part files not named in the _SUCCESS manifest (a task attempt
+    that published its file but whose commit message never landed)
+    must be invisible to readers."""
+    register(spark)
+    out = str(tmp_path / "orphan")
+    df = spark.createDataFrame([("a", 1, 1.0)], "name string, key bigint, bal double")
+    df.write.format("kvlinks").option("path", out).mode("append").save()
+    with open(os.path.join(out, "part-deadbeef0000.txt"), "w") as f:
+        f.write("name='ghost' key='99' bal='9.9'\n")
+    got = _read_all(spark, out, 1 << 20).collect()
+    assert sorted(r.key for r in got) == [1]
+
+
+def test_writer_float_roundtrip_full_precision(spark, tmp_path):
+    """Doubles with more than 2 decimals must survive write->read
+    exactly (repr round-trip, not %.2f)."""
+    register(spark)
+    out = str(tmp_path / "prec")
+    df = spark.createDataFrame(
+        [("a", 1, 0.125), ("b", 2, 123.456789)],
+        "name string, key bigint, bal double",
+    )
+    df.write.format("kvlinks").option("path", out).mode("append").save()
+    got = {r.name: r.bal for r in _read_all(spark, out, 1 << 20).collect()}
+    assert got == {"a": 0.125, "b": 123.456789}
