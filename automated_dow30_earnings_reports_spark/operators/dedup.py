@@ -200,17 +200,14 @@ MINHASH_B = [i * 97_911 + 7 for i in range(MINHASH_H)]
 
 
 def minhash_signatures(shd: DataFrame, h: int = MINHASH_H) -> DataFrame:
-    """One column per hash fn: min of (A_i*H + B_i) mod P where H is a
-    28-bit integer from the shingle's md5. Single groupBy — signature
-    width is columns, not rows. Accepts either pre-hashed (doc_id, h)
-    rows (doc_shingle_hashes — the narrow working set) or raw
-    (doc_id, shingle) strings."""
-    if "h" in shd.columns:
-        H = F.col("h")
-    else:
-        H = F.conv(
-            F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10
-        ).cast("bigint")
+    """One column per hash fn: min of (A_i*H + B_i) mod P over the
+    pre-hashed (doc_id, h) working set (doc_shingle_hashes). Single
+    groupBy — signature width is columns, not rows. Takes the hashed
+    form ONLY: a silent string-column fallback would have to re-derive
+    the md5 digest bit-identically to doc_shingle_hashes to stay
+    correct, and an unexercised duplicate of that contract is exactly
+    the kind of code that rots."""
+    H = F.col("h")
     aggs = [
         F.min((H * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
         for i in range(h)
@@ -272,7 +269,7 @@ def lsh_candidates(bandkeys: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Dat
     )
 
 
-def verified_jaccard(cand: DataFrame, shd: DataFrame, key: str = "shingle") -> DataFrame:
+def verified_jaccard(cand: DataFrame, shd: DataFrame, key: str) -> DataFrame:
     """Exact jaccard for candidate pairs via set intersection on `key`
     (shingle strings for the exact tiers, 28-bit hashes for the MinHash
     tier's narrow working set)."""
@@ -525,7 +522,7 @@ def _clusters_oracle() -> str:
     """
 
 
-def _ngram_edges(shd: DataFrame, threshold: float = 0.5, key: str = "shingle") -> DataFrame:
+def _ngram_edges(shd: DataFrame, threshold: float = 0.5, *, key: str) -> DataFrame:
     """Tier-3 near-dup pair edges: inverted-index self-join + exact
     jaccard ≥ threshold on `key` (the shared edge generator for
     clustering and retention; clustering runs it over 28-bit shingle

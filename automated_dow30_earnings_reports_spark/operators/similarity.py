@@ -45,6 +45,7 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+EMB_DIM = 64  # embeddings.embedding length (oracles index 1..EMB_DIM)
 N_QUERY_VECS = 5
 TOP_K = 5
 TOP_PAIRS = 20
@@ -546,7 +547,7 @@ def _lsh_oracle() -> str:
         comp = f"((({17 * p} + 31 * (d - 1)) % 13) - 6) / 6.0"
         dots.append(
             f"(CASE WHEN (SELECT sum(emb[d] * {comp}) "
-            f"FROM range(1, 65) AS t(d)) > 0 THEN {1 << p} ELSE 0 END)"
+            f"FROM range(1, {EMB_DIM + 1}) AS t(d)) > 0 THEN {1 << p} ELSE 0 END)"
         )
     bucket = " + ".join(dots)
     return f"""
@@ -645,7 +646,7 @@ def _kmeans_cells_sql() -> str:
       SELECT cl.cell, dim.d, ROUND(AVG(e2.emb[dim.d]), 9) AS m
       FROM cells{tag} cl
       JOIN e e2 ON e2.vec_id = cl.vec_id
-      CROSS JOIN range(1, 65) dim(d)
+      CROSS JOIN range(1, {EMB_DIM + 1}) dim(d)
       GROUP BY cl.cell, dim.d
     ),
     cents{tag} AS (
@@ -671,7 +672,12 @@ def _kmeans_cells_sql() -> str:
 
 def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, emb, norm) under the Lloyd-trained quantizer —
-    the Spark twin of the oracle fragment's ``cellsF``."""
+    the Spark twin of the oracle fragment's ``cellsF``. Eagerly
+    materialized: both consumers (ivf_kmeans, semdedup) fan it into
+    2-3 plan branches, and without the checkpoint each branch re-runs
+    the whole train+assign subplan (measured: 6 embedding scans, 0
+    ReusedExchange) — at 100 TB that is 2-3 corpus passes instead of
+    one."""
     e = _emb(spark, sf_dir)
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
@@ -679,7 +685,7 @@ def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ROUNDS):
         cells = _assign_cells(e, cents)
         cents = _update_centroids(cells).localCheckpoint(eager=False)
-    return _assign_cells(e, cents)
+    return _assign_cells(e, cents).localCheckpoint(eager=True)
 
 
 def _ivf_kmeans_oracle() -> str:

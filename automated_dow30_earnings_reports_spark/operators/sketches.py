@@ -132,7 +132,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )
     counted = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("doc_n"))
-    hashed = counted.withColumn("dg", _digest_col(F.col("tok")))
+    # materialized: both the sketch build and the top-N candidate branch
+    # consume `hashed`, and without this the corpus-wide token explode +
+    # count shuffle (the dominant cost) runs twice
+    hashed = counted.withColumn("dg", _digest_col(F.col("tok"))).localCheckpoint(
+        eager=True
+    )
 
     entries = hashed.select(
         F.explode(

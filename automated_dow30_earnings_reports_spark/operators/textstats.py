@@ -673,11 +673,12 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compute ln(count/total) on identical integer counts; the mean rounds
 # to 6 decimals to absorb summation order.
 #
-# Scale shape: one token-explode scan feeds (a) the vocab aggregate and
-# (b) the scoring join. The vocab is bounded by vocabulary size, not
-# corpus size — Zipf guarantees it collapses; the scoring join shuffles
-# on the token key (or broadcasts when the vocab fits). No per-row
-# Python anywhere.
+# Scale shape: ONE materialized token-explode scan feeds (a) the vocab
+# aggregate and (b) the scoring join; the total-token denominator is
+# SUM(c) over the vocab (vocabulary-sized input, no extra corpus
+# pass). The vocab is bounded by vocabulary size, not corpus size —
+# Zipf guarantees it collapses; the scoring join shuffles on the token
+# key (or broadcasts when the vocab fits). No per-row Python anywhere.
 # ---------------------------------------------------------------------------
 
 
@@ -705,12 +706,16 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter): low scores flag unnatural token distributions
     (boilerplate, garbled decodes) for the drop list."""
     d = load_table(spark, sf_dir, "documents")
+    # materialized: the explode feeds both the vocab aggregate and the
+    # scoring join's probe side — without this the corpus tokenizes
+    # twice; the total-token count comes from the (vocabulary-sized)
+    # vocab aggregate as SUM(c), never from a third corpus scan
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
     scored = (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))

@@ -19,7 +19,7 @@ that order as an explicit ``priority`` rank — the distributed form of
 keep the lowest-priority success".
 
 Scale shape: companies x a few static dims. Every dim is a literal
-broadcast (52 subdomain rows, 26 paths, a handful of alt domains);
+broadcast (52 subdomain rows, 31 paths, a handful of alt domains);
 the only per-company state is the URL strings themselves. At 100 TB of
 companies this is a pure map-side cross product — no shuffle until the
 per-company priority window, which partitions on the company key the
@@ -367,7 +367,10 @@ def ir_candidate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("company", F.col("candidate_url").alias("hit_url"), "priority")
     )
-    co = cand.select("company").distinct()
+    # company universe straight off the dim table — deriving it from
+    # `cand` would re-run the whole candidate fan-out (incl. its
+    # priority window shuffle) a second time just to list names
+    co = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("company"))
     return (
         co.join(hits, "company", "left")
         .select(
