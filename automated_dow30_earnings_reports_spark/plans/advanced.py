@@ -1241,3 +1241,136 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "dq_constraint_report",
+    """
+    SELECT 'orders.o_orderkey unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+           )) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem.l_orderkey fk orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey fk customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_quantity in (0,50]',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity <= 0 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_totalprice positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_orderdate not null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint sweep (the Deequ/dbt-test shape): six
+    declarative constraints — key uniqueness, two foreign keys, a
+    range, a sign, a not-null — each evaluated as a violation COUNT so
+    the report is one small frame a scheduler can alert on.
+
+    Scale shape: uniqueness is one map-side-combined groupBy keeping
+    only groups >1; FKs are LEFT ANTI joins (no row explosion, null-
+    safe); range/sign/null checks are scan-level conditional counts
+    with their predicates pushed down. Each check is linear in its
+    table and they share no state, so a scheduler can also run them as
+    independent jobs; the UNION of six 1-row frames is driver-trivial."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("violations"))
+
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count("*").cast("bigint").alias("violations"))
+    )
+    fk_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+    )
+    fk_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+    )
+    rng = li.where((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).agg(
+        F.count("*").cast("bigint").alias("violations")
+    )
+    sign = o.where(F.col("o_totalprice") <= 0).agg(
+        F.count("*").cast("bigint").alias("violations")
+    )
+    nn = o.where(F.col("o_orderdate").isNull()).agg(
+        F.count("*").cast("bigint").alias("violations")
+    )
+    report = (
+        one("orders.o_orderkey unique", dup_keys)
+        .unionByName(one("lineitem.l_orderkey fk orders", fk_li))
+        .unionByName(one("orders.o_custkey fk customer", fk_o))
+        .unionByName(one("lineitem.l_quantity in (0,50]", rng))
+        .unionByName(one("orders.o_totalprice positive", sign))
+        .unionByName(one("orders.o_orderdate not null", nn))
+    )
+    return report.orderBy("check_name")
+
+
+@_register(
+    "gdpr_purge_report",
+    """
+    WITH purge AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    )
+    SELECT 'events' AS "table",
+           CAST((SELECT COUNT(*) FROM events e JOIN purge p USING (user_id)) AS BIGINT)
+             AS rows_purged,
+           CAST((SELECT COUNT(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM purge p
+                                   WHERE p.user_id = e.user_id)) AS BIGINT)
+             AS rows_kept,
+           CAST((SELECT COUNT(*) FROM purge) AS BIGINT) AS n_subjects
+    """,
+)
+def gdpr_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given a deletion-request set (here
+    a deterministic synthetic cohort — every 37th user), report rows
+    to purge vs keep plus the subject count; the keep side IS the
+    rewrite input for the actual delete job.
+
+    Scale shape: purge sets are small relative to the fact table, so
+    the purge count is a LEFT SEMI and the survivor set a LEFT ANTI on
+    user_id — no row explosion either way, and AQE broadcasts the
+    request set while it fits. On a partitioned lake the anti-join
+    output rewrites only partitions containing subjects (dynamic
+    partition overwrite, sources/parquet_lake pattern); nothing here
+    is quadratic in the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    purge = e.where(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    purged = e.join(purge, "user_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("rows_purged")
+    )
+    kept = e.join(purge, "user_id", "left_anti").agg(
+        F.count("*").cast("bigint").alias("rows_kept")
+    )
+    subjects = purge.agg(F.count("*").cast("bigint").alias("n_subjects"))
+    return (
+        purged.crossJoin(kept)
+        .crossJoin(subjects)
+        .select(
+            F.lit("events").alias("table"),
+            "rows_purged",
+            "rows_kept",
+            "n_subjects",
+        )
+    )

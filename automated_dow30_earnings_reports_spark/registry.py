@@ -135,6 +135,8 @@ _PRIORITY = [
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "dq_constraint_report",
+    "gdpr_purge_report",
 ]
 
 
