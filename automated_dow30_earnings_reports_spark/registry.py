@@ -137,6 +137,7 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "dq_constraint_report",
     "gdpr_purge_report",
+    "lake_compaction",
 ]
 
 

@@ -134,3 +134,69 @@ ORACLES["orc_lake_roundtrip"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+_SCRATCH_COMPACT = _os.path.join(
+    _os.path.dirname(_SCRATCH_ORC), "compaction"
+)
+
+COMPACT_FRAGMENTS = 50  # simulated small-file count
+COMPACT_TARGET_FILES = 4
+
+
+def lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE half of Delta/Iceberg table
+    maintenance, minus Z-order which `zorder_cluster` covers): write a
+    deliberately fragmented lake ({COMPACT_FRAGMENTS} tiny files —
+    the classic streaming-ingest pathology), rewrite it into
+    {COMPACT_TARGET_FILES} right-sized files, and prove the rewrite is
+    CONTENT-TRANSPARENT by aggregating the compacted lake against the
+    originals' oracle.
+
+    Scale shape: compaction is one read + one round-robin repartition
+    + one write — linear, no wide shuffle keyed on data values (round-
+    robin needs no key distribution knowledge). In production the
+    repartition count comes from bytes/target_file_size and the
+    rewrite runs per-partition-directory so only fragmented partitions
+    pay; file-count assertions are the job's own completion check
+    (pinned in tests/test_parquet_lake.py)."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH_COMPACT, _os.path.basename(sf_dir.rstrip("/")))
+    frag = _os.path.join(path, "fragmented")
+    compacted = _os.path.join(path, "compacted")
+    d.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(COMPACT_TARGET_FILES).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+
+    def n_files(p: str) -> int:
+        return sum(1 for f in _os.listdir(p) if f.endswith(".parquet"))
+
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_distinct_ids"),
+        )
+        .withColumn("files_before", F.lit(n_files(frag)).cast("int"))
+        .withColumn("files_after", F.lit(n_files(compacted)).cast("int"))
+        .orderBy("lang")
+    )
+
+
+QUERIES["lake_compaction"] = lake_compaction
+ORACLES["lake_compaction"] = f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)       AS total_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+           CAST({COMPACT_FRAGMENTS} AS INT)   AS files_before,
+           CAST({COMPACT_TARGET_FILES} AS INT) AS files_after
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""

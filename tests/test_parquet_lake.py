@@ -89,3 +89,29 @@ def test_files_per_partition_salting(spark, sf_smoke, tmp_path):
     files = [f for f in os.listdir(os.path.join(lake, d)) if f.endswith(".parquet")]
     assert 1 < len(files) <= 3
     assert read_lake(spark, lake).count() == ev.count()
+
+
+def test_lake_compaction_file_counts(spark, sf_correctness):
+    """Compaction really collapses the file count and keeps content."""
+    import os
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        COMPACT_FRAGMENTS,
+        COMPACT_TARGET_FILES,
+        _SCRATCH_COMPACT,
+        lake_compaction,
+    )
+
+    rows = lake_compaction(spark, sf_correctness).collect()
+    assert rows
+    assert all(r.files_before == COMPACT_FRAGMENTS for r in rows)
+    assert all(r.files_after == COMPACT_TARGET_FILES for r in rows)
+    # physical layout agrees with the reported counts
+    base = os.path.join(_SCRATCH_COMPACT, os.path.basename(sf_correctness.rstrip("/")))
+    n_frag = sum(
+        1 for f in os.listdir(os.path.join(base, "fragmented")) if f.endswith(".parquet")
+    )
+    n_comp = sum(
+        1 for f in os.listdir(os.path.join(base, "compacted")) if f.endswith(".parquet")
+    )
+    assert (n_frag, n_comp) == (COMPACT_FRAGMENTS, COMPACT_TARGET_FILES)
