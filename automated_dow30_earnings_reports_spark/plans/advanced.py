@@ -1206,7 +1206,7 @@ EWMA_ALPHA = 0.3
 )
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
-    (alpha={EWMA_ALPHA}, init = first value) — the classic streaming
+    (alpha=EWMA_ALPHA=0.3, init = first value) — the classic streaming
     feature a window frame CANNOT express (each output depends on the
     whole prefix, not a bounded frame). Computed as an ordered
     in-array left fold: collect the user's values in (ts, event_id)

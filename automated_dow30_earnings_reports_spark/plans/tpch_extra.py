@@ -635,7 +635,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty AS (
       SELECT l_partkey, AVG(l_quantity) AS aq FROM li GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM li JOIN avg_qty USING (l_partkey)
     WHERE l_quantity < 0.2 * aq
@@ -668,7 +669,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(avg_qty, "l_partkey")
         .where(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )

@@ -95,6 +95,7 @@ from automated_dow30_earnings_reports_spark.sources.kv_text import (
 DEFAULT_SPLIT = 1 << 20  # 1 MiB
 
 _SUCCESS_FILE = "_SUCCESS"
+_PART_RE = re.compile(r"^part-[0-9a-f]{12}\.txt$")  # this writer's files
 
 
 class KVSplit(InputPartition):
@@ -307,24 +308,43 @@ class KVLinksWriter(DataSourceWriter):
         return _Commit(final)
 
     def commit(self, messages) -> None:
-        """Job commit: fold this job's part files into the `_SUCCESS`
-        manifest that `_input_files` treats as the source of truth.
-        Append mode MERGES with the existing manifest; overwrite mode
-        REPLACES it and deletes the files it previously named — so
-        readers flip atomically from the old file set to the new one
-        at the manifest write, and mode(\"overwrite\") actually
-        overwrites instead of silently appending."""
+        """Job commit: maintain the `_SUCCESS` manifest that
+        `_input_files` treats as the source of truth.
+
+        Append mode manifests the union of this job's files, the prior
+        manifest, and every FOREIGN data file in the directory (names
+        not matching this writer's `part-*` pattern) — so files a
+        non-kvlinks producer landed, readable before this commit via
+        the no-manifest fallback, stay readable after it. Our own
+        part-pattern files are admitted ONLY via a commit message or a
+        prior manifest: a part file orphaned by a task retry whose
+        commit message never reached the driver stays fenced off
+        forever — the exactly-once half of the contract. (The corollary:
+        concurrent append JOBS on one path need external coordination,
+        as on any directory sink without a transaction log — the
+        manifest read-modify-write is job-atomic, not cross-job.)
+
+        Overwrite mode REPLACES the manifest with this job's files and
+        deletes every other pre-existing data file, foreign included —
+        DataFrameWriter overwrite semantics. Readers flip atomically
+        from the old file set to the new one at the manifest rename."""
         manifest = os.path.join(self.path, _SUCCESS_FILE)
         new = sorted(os.path.basename(m.file) for m in messages if m)
         old: list[str] = []
         if os.path.exists(manifest):
             with open(manifest, encoding="utf-8") as fh:
                 old = [ln.strip() for ln in fh if ln.strip()]
+        listing = [
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(self.path, f))
+        ]
+        foreign = [f for f in listing if not _PART_RE.match(f)]
         if self.overwrite:
             final = new
-            stale = [n for n in old if n not in set(new)]
+            stale = [n for n in set(old) | set(listing) if n not in set(new)]
         else:
-            final = sorted(set(old) | set(new))
+            final = sorted(set(old) | set(foreign) | set(new))
             stale = []
         tmp = manifest + ".inprogress"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -366,36 +386,53 @@ class KVLinksStreamReader(SimpleDataSourceStreamReader):
             return []
         return _input_files(self.path)
 
-    @staticmethod
-    def _seen(offset: dict) -> set:
-        s = offset.get("seen", "")
-        return set(s.split(",")) if s else set()
+    def _seen(self, offset: dict) -> set:
+        if "n_files" in offset and "seen" not in offset:
+            # migration shim for checkpoints written by the earlier
+            # sorted-count-prefix offset scheme: reconstruct its exact
+            # semantics (first N files of the sorted listing were
+            # ingested) so an upgraded stream neither re-ingests nor
+            # skips anything that scheme had committed
+            n = offset["n_files"]
+            return {os.path.basename(p) for p in self._files()[:n]}
+        # a JSON list, NOT a joined string: file names may contain any
+        # character including the would-be delimiter
+        return set(offset.get("seen", []))
 
     def initialOffset(self) -> dict:
-        return {"seen": ""}
+        return {"seen": []}
 
-    def _rows_of(self, files: list[str]) -> list[tuple]:
-        # materialized list, not a generator: the engine pickles the
-        # batch for its prefetch/replay cache
+    def _rows_of(self, files: list[str]):
+        # a LIST ITERATOR, not a bare list or generator: the engine's
+        # prefetch cache calls next() on empty batches (list has no
+        # __next__) and pickles cached batches (generators don't pickle)
         out: list[tuple] = []
         for p in sorted(files):
             size = os.path.getsize(p)
             if size:
                 out.extend(self._batch.read(KVSplit(p, 0, size)))
-        return out
+        return iter(out)
 
     def read(self, start: dict):
         seen = self._seen(start)
         fresh = [p for p in self._files() if os.path.basename(p) not in seen]
         new_seen = sorted(seen | {os.path.basename(p) for p in fresh})
-        return self._rows_of(fresh), {"seen": ",".join(new_seen)}
+        return self._rows_of(fresh), {"seen": new_seen}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         replay = self._seen(end) - self._seen(start)
-        return self._rows_of(
-            [os.path.join(self.path, n) for n in replay
-             if os.path.isfile(os.path.join(self.path, n))]
-        )
+        missing = [
+            n for n in replay if not os.path.isfile(os.path.join(self.path, n))
+        ]
+        if missing:
+            # a committed batch's file vanished (external cleanup, or an
+            # overwrite into a streamed directory): silently returning
+            # fewer rows would corrupt recovery — fail loudly instead
+            raise FileNotFoundError(
+                f"kvlinks stream replay: committed input file(s) missing "
+                f"from {self.path}: {sorted(missing)}"
+            )
+        return self._rows_of([os.path.join(self.path, n) for n in sorted(replay)])
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable once published; nothing to release

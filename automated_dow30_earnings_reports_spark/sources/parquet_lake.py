@@ -147,9 +147,9 @@ COMPACT_TARGET_FILES = 4
 def lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the OPTIMIZE half of Delta/Iceberg table
     maintenance, minus Z-order which `zorder_cluster` covers): write a
-    deliberately fragmented lake ({COMPACT_FRAGMENTS} tiny files —
+    deliberately fragmented lake (COMPACT_FRAGMENTS=50 tiny files —
     the classic streaming-ingest pathology), rewrite it into
-    {COMPACT_TARGET_FILES} right-sized files, and prove the rewrite is
+    COMPACT_TARGET_FILES=4 right-sized files, and prove the rewrite is
     CONTENT-TRANSPARENT by aggregating the compacted lake against the
     originals' oracle.
 

@@ -284,3 +284,44 @@ def test_writer_float_roundtrip_full_precision(spark, tmp_path):
     df.write.format("kvlinks").option("path", out).mode("append").save()
     got = {r.name: r.bal for r in _read_all(spark, out, 1 << 20).collect()}
     assert got == {"a": 0.125, "b": 123.456789}
+
+
+def test_append_preserves_foreign_files(spark, tmp_path):
+    """A manifest created by the first kvlinks append must keep
+    pre-existing foreign (non part-pattern) files readable."""
+    register(spark)
+    out = tmp_path / "mixed"
+    out.mkdir()
+    (out / "foreign.txt").write_text("name='f' key='100' bal='1.0'\n")
+    df = spark.createDataFrame([("a", 1, 1.0)], "name string, key bigint, bal double")
+    df.write.format("kvlinks").option("path", str(out)).mode("append").save()
+    got = sorted(r.key for r in _read_all(spark, str(out), 1 << 20).collect())
+    assert got == [1, 100]  # both the appended row and the foreign file
+
+
+def test_stream_file_name_with_comma(spark, tmp_path):
+    """Offsets are a name LIST, so a comma in a file name must not
+    corrupt the seen set (no endless re-ingestion)."""
+    register(spark)
+    land = tmp_path / "landing3"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+    (land / "a,b.txt").write_text("name='x' key='1' bal='1.0'\n")
+
+    def run_batch():
+        got: list = []
+        q = (
+            spark.readStream.format("kvlinks")
+            .schema("name string, key bigint, bal double")
+            .option("path", str(land))
+            .load()
+            .writeStream.foreachBatch(lambda df, e: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r.key for r in got]
+
+    assert run_batch() == [1]
+    assert run_batch() == []  # NOT re-ingested on the second run
