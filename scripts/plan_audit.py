@@ -56,6 +56,14 @@ def main() -> int:
         "kv_datasource_roundtrip",
         "q6_forecast_revenue",
         "dedup_containment",
+        "q12_shipmode_priority",
+        "q13_customer_distribution",
+        "q17_small_quantity_revenue",
+        "ewma_user_value",
+        "udtf_lateral_links",
+        "sql_fulfillment_rollup",
+        "dq_constraint_report",
+        "gdpr_purge_report",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")
