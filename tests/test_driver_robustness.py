@@ -23,3 +23,19 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
     first = sorted(map(tuple, q(spark, sf_smoke).collect()))
     second = sorted(map(tuple, q(spark, sf_smoke).collect()))
     assert first == second and first
+
+
+@pytest.mark.parametrize(
+    "name", ["kv_datasource_roundtrip", "lake_compaction", "orc_lake_roundtrip"]
+)
+def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):
+    """Queries that materialize scratch state (connector round trip,
+    compaction, ORC lake) must be idempotent on same-session re-run —
+    the driver evaluates, the bench warm-up re-executes, and a retry
+    must not double data or trip over leftover files."""
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    first = sorted(tuple(r) for r in q(spark, sf_correctness).collect())
+    second = sorted(tuple(r) for r in q(spark, sf_correctness).collect())
+    assert first == second and first
