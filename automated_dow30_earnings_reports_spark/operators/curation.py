@@ -543,3 +543,107 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _funnel_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        QUALITY_PASS_SQL,
+    )
+
+    dg = _RS_DIGEST_SQL.format(t="CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH canon AS (
+      SELECT doc_id, source, text,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    keepers AS (
+      SELECT doc_id, source, text
+      FROM canon
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    quality AS (
+      SELECT doc_id, source, text
+      FROM (SELECT doc_id, source, text,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM keepers)
+      WHERE {QUALITY_PASS_SQL}
+    ),
+    mass AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m FROM documents GROUP BY source
+    ),
+    lo AS (SELECT MIN(m) AS min_m FROM mass),
+    th AS (
+      SELECT source,
+             CAST(FLOOR({_RS_SPACE} * sqrt(CAST(min_m AS DOUBLE) / m)) AS BIGINT)
+               AS threshold
+      FROM mass CROSS JOIN lo
+    ),
+    sampled AS (
+      SELECT q.doc_id, q.text
+      FROM quality q JOIN th USING (source)
+      WHERE {dg} < threshold
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM keepers)  AS BIGINT)  AS n_after_exact,
+           CAST((SELECT COUNT(*) FROM quality)  AS BIGINT)  AS n_after_quality,
+           CAST((SELECT COUNT(*) FROM sampled)  AS BIGINT)  AS n_after_resample,
+           CAST((SELECT COALESCE(SUM(len(string_split_regex(trim(text), '\\s+'))), 0)
+                 FROM sampled) AS BIGINT)                   AS final_tokens
+    """
+
+
+@_register("corpus_curation_funnel", _funnel_oracle())
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation composition: raw corpus -> exact-dedup
+    keepers (canonical-hash min-doc_id survivor, the dedup_exact
+    contract) -> Gopher quality gates (textstats.quality_pass_col, the
+    SHARED keep/drop expression) -> deterministic temperature resample
+    (the temperature_resample hash gate, thresholds from raw per-source
+    mass so the gate is stable across pipeline re-orderings) -> final
+    doc and token counts. One row a pipeline owner reads as the
+    retention funnel.
+
+    Scale shape: each stage is the already-audited shape of its
+    standalone operator — one window on the content hash (dedup), a
+    stateless gate map (quality), a broadcast threshold join + map
+    filter (resample), one aggregate. Nothing quadratic, nothing
+    collected; stages chain as narrow/one-shuffle steps exactly as the
+    production pipeline would run them nightly."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        quality_pass_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keepers = (
+        d.select("doc_id", "source", "text", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("fp", "rn")
+    )
+    quality = keepers.where(quality_pass_col(F.col("text")))
+    mass = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("m"))
+    lo = mass.agg(F.min("m").alias("min_m"))
+    th = mass.crossJoin(F.broadcast(lo)).select(
+        "source",
+        F.floor(_RS_SPACE * F.sqrt(F.col("min_m").cast("double") / F.col("m")))
+        .cast("bigint")
+        .alias("threshold"),
+    )
+    sampled = quality.join(F.broadcast(th), "source").where(
+        _rs_digest_col(F.col("doc_id").cast("string")) < F.col("threshold")
+    )
+    n_raw = d.agg(F.count("*").cast("bigint").alias("n_raw"))
+    n_exact = keepers.agg(F.count("*").cast("bigint").alias("n_after_exact"))
+    n_q = quality.agg(F.count("*").cast("bigint").alias("n_after_quality"))
+    final = sampled.agg(
+        F.count("*").cast("bigint").alias("n_after_resample"),
+        F.coalesce(F.sum(F.size(tokens_col(F.col("text")))), F.lit(0))
+        .cast("bigint")
+        .alias("final_tokens"),
+    )
+    return (
+        n_raw.crossJoin(n_exact).crossJoin(n_q).crossJoin(final)
+    )

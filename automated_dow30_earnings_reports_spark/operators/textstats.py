@@ -311,6 +311,36 @@ _STOP_SQL = " + ".join(
 )
 
 
+def quality_pass_col(text: Column) -> Column:
+    """The Gopher-gate conjunction as one reusable boolean expression
+    (length band, mean word length, stopword floor, symbol ceiling) —
+    the keep/drop contract consumed by the composed curation funnel;
+    quality_filter_rules reports the same gates individually (its
+    per-gate breakdown and this conjunction are pinned against each
+    other in tests/test_curation_dedup_ops.py)."""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    avg_wlen = F.length(text) / n_words
+    n_stop = marker_score(toks, EN_STOPWORDS)
+    sym_frac = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", "")) / F.length(text)
+    return (
+        n_words.between(20, 100000)
+        & avg_wlen.between(2, 12)
+        & (n_stop >= 2)
+        & (sym_frac < 0.1)
+    )
+
+
+# DuckDB twin of quality_pass_col over a relation exposing (text, toks).
+QUALITY_PASS_SQL = f"""(
+    len(toks) BETWEEN 20 AND 100000
+    AND (1.0 * length(text) / len(toks)) BETWEEN 2 AND 12
+    AND ({_STOP_SQL}) >= 2
+    AND (1.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         / length(text)) < 0.1
+)"""
+
+
 @_register(
     "quality_filter_rules",
     f"""

@@ -138,6 +138,7 @@ _PRIORITY = [
     "dq_constraint_report",
     "gdpr_purge_report",
     "lake_compaction",
+    "corpus_curation_funnel",
 ]
 
 

@@ -129,3 +129,35 @@ def test_temperature_resample_gate_properties(spark, sf_correctness):
     for r in rows:
         assert 0 < r.threshold <= _RS_SPACE
         assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_quality_gate_conjunction_matches_breakdown(spark, sf_correctness):
+    """quality_pass_col (the funnel's shared gate) and
+    quality_filter_rules' per-gate breakdown must agree on n_pass_all."""
+    from pyspark.sql import functions as F
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        quality_filter_rules,
+        quality_pass_col,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    breakdown = quality_filter_rules(spark, sf_correctness).collect()[0]
+    via_expr = (
+        load_table(spark, sf_correctness, "documents")
+        .where(quality_pass_col(F.col("text")))
+        .count()
+    )
+    assert via_expr == breakdown.n_pass_all
+
+
+def test_curation_funnel_is_monotone(spark, sf_correctness):
+    """Each curation stage can only shrink the corpus; the final token
+    count is positive when any doc survives."""
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        corpus_curation_funnel,
+    )
+
+    r = corpus_curation_funnel(spark, sf_correctness).collect()[0]
+    assert r.n_raw >= r.n_after_exact >= r.n_after_quality >= r.n_after_resample >= 0
+    assert (r.final_tokens > 0) == (r.n_after_resample > 0)
