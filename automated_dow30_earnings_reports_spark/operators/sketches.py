@@ -331,7 +331,9 @@ def _kmv_oracle() -> str:
     sk AS ({_kmv_estimate_sql('hashed', KMV_K)})
     SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS exact_distinct,
            CAST(kth_hash AS BIGINT) AS kth_hash,
-           ROUND(({KMV_K} - 1) * {KMV_SPACE}.0 / kth_hash, 4) AS kmv_estimate
+           ROUND(CASE WHEN sketch_size < {KMV_K} THEN CAST(sketch_size AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * {KMV_SPACE}.0 / kth_hash END,
+                 4) AS kmv_estimate
     FROM sk
     """
 
@@ -361,12 +363,19 @@ def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("sketch_size"),
     )
     exact = keys.agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    # (k-1)*2^28/h_(k) assumes a FULL sketch; with fewer than k distinct
+    # keys the k-min set IS the key set, so its size is the exact answer.
     return exact.crossJoin(F.broadcast(sk)).select(
         "exact_distinct",
         "kth_hash",
-        F.round((KMV_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash"), 4).alias(
-            "kmv_estimate"
-        ),
+        F.round(
+            F.when(
+                F.col("sketch_size") < KMV_K, F.col("sketch_size").cast("double")
+            ).otherwise(
+                (KMV_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash")
+            ),
+            4,
+        ).alias("kmv_estimate"),
     )
 
 
@@ -386,7 +395,9 @@ def _kmv_union_oracle() -> str:
                                        UNION SELECT l_orderkey FROM a_keys)) AS BIGINT)
              AS exact_union,
            CAST(kth_hash AS BIGINT) AS kth_hash,
-           ROUND(({KMV_UNION_K} - 1) * {KMV_SPACE}.0 / kth_hash, 4) AS union_estimate
+           ROUND(CASE WHEN sketch_size < {KMV_UNION_K} THEN CAST(sketch_size AS DOUBLE)
+                      ELSE ({KMV_UNION_K} - 1) * {KMV_SPACE}.0 / kth_hash END,
+                 4) AS union_estimate
     FROM sk
     """
 
@@ -420,7 +431,8 @@ def kmv_union_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = minset("R").unionByName(minset("A")).distinct()
     sk = merged.orderBy("dg").limit(KMV_UNION_K).agg(
-        F.max("dg").cast("bigint").alias("kth_hash")
+        F.max("dg").cast("bigint").alias("kth_hash"),
+        F.count("*").cast("bigint").alias("sketch_size"),
     )
     exact = (
         li.where(F.col("l_returnflag").isin("R", "A"))
@@ -428,11 +440,19 @@ def kmv_union_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").cast("bigint").alias("exact_union"))
     )
+    # Same partial-sketch guard as kmv_distinct_orders: a merged sketch
+    # smaller than k holds every distinct key, so its size is exact.
     return exact.crossJoin(F.broadcast(sk)).select(
         "exact_union",
         "kth_hash",
         F.round(
-            (KMV_UNION_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash"), 4
+            F.when(
+                F.col("sketch_size") < KMV_UNION_K,
+                F.col("sketch_size").cast("double"),
+            ).otherwise(
+                (KMV_UNION_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash")
+            ),
+            4,
         ).alias("union_estimate"),
     )
 
@@ -464,8 +484,10 @@ def _qsketch_oracle() -> str:
       FROM events
     ),
     binned AS (
-      SELECT LEAST({QSK_BINS} - 1,
-                   CAST(FLOOR((value - vmin) / (vmax - vmin) * {QSK_BINS}) AS BIGINT))
+      SELECT CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+                  ELSE LEAST({QSK_BINS} - 1,
+                             CAST(FLOOR((value - vmin) / (vmax - vmin) * {QSK_BINS})
+                                  AS BIGINT)) END
                AS bin,
              COUNT(*) AS cnt
       FROM events CROSS JOIN ext
@@ -519,14 +541,20 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         e.crossJoin(F.broadcast(ext))
         .select(
-            F.least(
-                F.lit(QSK_BINS - 1),
-                F.floor(
-                    (F.col("value") - F.col("vmin"))
-                    / (F.col("vmax") - F.col("vmin"))
-                    * QSK_BINS
-                ).cast("bigint"),
-            ).alias("bin")
+            # Degenerate extent (all values equal) puts everything in bin
+            # 0 instead of dividing by zero; est then reads out ~vmin.
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(QSK_BINS - 1),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        / (F.col("vmax") - F.col("vmin"))
+                        * QSK_BINS
+                    ).cast("bigint"),
+                )
+            )
+            .alias("bin")
         )
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))

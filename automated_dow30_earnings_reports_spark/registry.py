@@ -45,67 +45,16 @@ _MODULES = [
 ]
 
 # ORDER MATTERS: the driver evaluates correctness in registration order
-# and truncates at ~50 queries per round (r1 and r2 each covered exactly
-# 50). Queries with no green CORRECTNESS row from r1∪r2 are listed here
-# explicitly so round 3's budget lands on precisely the unattested
-# surface (VERDICT r2, "Next round" item 1): the 20 events-family
-# queries that failed in r1 before the loader fix, the 28 never
-# reached in either round, the previously oracle-less
-# similarity_ann_ivf_kmeans (oracled this round), and this round's new
-# queries. Everything else (already driver-green) follows in module
-# order.
+# and truncates at ~50 queries per round. Per-round rotation rule: at
+# round start, every query with a green row in the latest
+# CORRECTNESS_r0N.json moves to the BACK, so the driver's budget lands
+# on never-attested queries first. Round 4 ordering: positions 1-33 are
+# the r3-added queries that were local-green but got no driver row
+# (CORRECTNESS_r03 covered positions 1-50 of the r3 list, all green);
+# positions 34+ are queries newly added in round 4. Already-attested
+# queries follow in module order (everything green across r1∪r2∪r3).
 _PRIORITY = [
-    "similarity_ann_ivf_kmeans",
-    "ir_candidate_urls",
-    "asof_join_tolerance",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "click_attribution_15m",
-    "llm_extract_udtf",
-    "download_ledger",
-    "crawl_bfs",
-    "url_skip_filter",
-    "frontier_politeness_schedule",
-    "robots_disallow_filter",
-    "url_canonicalize",
-    "pipeline_end_to_end",
-    "html_table_scan",
-    "html_clean",
-    "html_dom_table_scan",
-    "html_dom_links",
-    "html_dom_clean",
-    "url_parse",
-    "filename_pipeline",
-    "kv_roundtrip",
-    "json_scalar",
-    "md5_checksum",
-    "truncate_model_select",
-    "word_char_count",
-    "salted_skew_agg",
-    "salted_replicated_join",
-    "histogram_event_type",
-    "distinct_users",
-    "conditional_counts",
-    "success_rate",
-    "q18_large_orders",
-    "value_percentiles",
-    "user_event_deltas",
-    "event_value_stats",
-    "gapfill_daily_locf",
-    "scd2_event_type",
-    "zorder_cluster",
-    "funnel_conversion",
-    "retention_cohorts",
-    "event_anomaly_zscore",
-    "ntile_value_buckets",
-    "event_debounce",
-    "skew_report",
-    "funnel_conversion_onepass",
-    "event_transition_matrix",
-    "concurrency_minute_peak",
-    "time_weighted_avg",
-    # position 51+: new this round — verified in r4 if the driver stops at 50
+    # --- never driver-attested (added in r3, local pytest green) ---
     "ir_candidate_probe",
     "semdedup_prune",
     "unigram_logprob_score",
@@ -139,6 +88,16 @@ _PRIORITY = [
     "gdpr_purge_report",
     "lake_compaction",
     "corpus_curation_funnel",
+    # --- new in round 4 (local-green; driver-attested this round if the
+    # budget reaches them, else rotated to the front in r5) ---
+    "csv_sink_roundtrip",
+    "text_sink_roundtrip",
+    "json_ledger_roundtrip",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
 ]
 
 

@@ -288,7 +288,17 @@ class KVLinksWriter(DataSourceWriter):
             # repr = shortest string that round-trips the exact double
             # (a fixed %.2f would silently corrupt 0.125 -> '0.12')
             return repr(float(v))
-        return str(v)
+        s = str(v)
+        if "'" in s or "\n" in s or "\r" in s:
+            # The key='value' format cannot represent these: the reader
+            # regex '([^']*)' would truncate at the quote and a newline
+            # would split one record into two. Fail the task loudly
+            # instead of publishing corrupt data.
+            raise ValueError(
+                f"kvlinks writer: value for {self._keys[i]!r} contains a "
+                f"quote or newline and cannot round-trip: {s!r}"
+            )
+        return s
 
     def write(self, iterator: Iterator) -> _Commit:
         os.makedirs(self.path, exist_ok=True)
@@ -469,8 +479,10 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(KVLinksDataSource)
-    except Exception:
-        pass  # already registered
+    except Exception as exc:  # re-registration is the only benign failure
+        msg = str(exc)
+        if "already" not in msg.lower() and "exists" not in msg.lower():
+            raise
 
 
 # ---------------------------------------------------------------------------

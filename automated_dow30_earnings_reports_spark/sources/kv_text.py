@@ -50,14 +50,32 @@ def read_document_links(spark: SparkSession, path: str) -> DataFrame:
     return parse_kv_lines(spark.read.text(path))
 
 
+def _serializable(col: Column, name: str) -> Column:
+    """The line format cannot represent ``'`` or newlines inside a value
+    (the reader regex ``'([^']*)'`` would silently truncate, a newline
+    would split one record into two). Fail loudly at write time instead
+    of corrupting silently — same contract as KVLinksWriter."""
+    bad = col.contains("'") | col.contains("\n") | col.contains("\r")
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"kv line format cannot encode quote/newline in {name}: "), col
+            )
+        ),
+    ).otherwise(col)
+
+
 def to_kv_lines(df: DataFrame) -> DataFrame:
     """Serialize DOCUMENT_LINKS-shaped rows to the reference's record
     line format (column order fixed by the schema, field names mapped
-    to the reference's serialized keys)."""
+    to the reference's serialized keys). Values containing ``'`` or a
+    newline raise at execution rather than round-tripping corrupted."""
     parts = []
     for name in _KV_COLUMNS:
         key = _FIELD_TO_KEY.get(name, name)
-        parts.append(F.concat(F.lit(f"{key}='"), F.coalesce(F.col(name), F.lit("")), F.lit("'")))
+        val = _serializable(F.coalesce(F.col(name), F.lit("")), name)
+        parts.append(F.concat(F.lit(f"{key}='"), val, F.lit("'")))
     return df.select(F.concat_ws(" ", *parts).alias("value"))
 
 

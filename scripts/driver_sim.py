@@ -6,7 +6,11 @@ driver brings its own), then:
   2. correctness: every queries()[name] at sf0.01 vs oracle_sql()[name]
      through DuckDB (row count + columns + order-insensitive values)
 
-Exit code 0 iff everything matches. Usage: python scripts/driver_sim.py
+Exit code 0 iff everything matches. Usage:
+  python scripts/driver_sim.py            # full pass (round-end ritual)
+  python scripts/driver_sim.py kmv quant  # only queries whose name
+                                          # contains any given substring
+                                          # (smoke check skipped)
 """
 
 from __future__ import annotations
@@ -32,14 +36,19 @@ def main() -> int:
         .getOrCreate()
     )
 
-    t0 = time.time()
-    df = e.entry(spark)
-    rows = df.collect()
-    print(f"[smoke] entry() -> {len(rows)} rows, schema={df.columns} ({time.time()-t0:.1f}s)")
-    assert len(rows) > 0
+    only = sys.argv[1:]
+    if not only:
+        t0 = time.time()
+        df = e.entry(spark)
+        rows = df.collect()
+        print(f"[smoke] entry() -> {len(rows)} rows, schema={df.columns} ({time.time()-t0:.1f}s)")
+        assert len(rows) > 0
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in only)}
+        print(f"[filter] {len(qs)} queries match {only}")
     sf = "/root/testdata/sf0.01"
     con = duckdb_conn(sf)
     failures = 0

@@ -325,3 +325,17 @@ def test_stream_file_name_with_comma(spark, tmp_path):
 
     assert run_batch() == [1]
     assert run_batch() == []  # NOT re-ingested on the second run
+
+
+def test_writer_rejects_quote_and_newline(spark, tmp_path):
+    """KVLinksWriter fails the task loudly on values the line format
+    cannot represent (ADVICE r3) — no silently corrupt part files."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "kv_bad")
+    df = spark.createDataFrame([("O'Brien", 1, 0.5)], "name string, key bigint, bal double")
+    with _pytest.raises(Exception, match="cannot round-trip|kvlinks writer"):
+        df.write.format("kvlinks").option("path", out).mode("append").save()
+    df2 = spark.createDataFrame([("a\nb", 1, 0.5)], "name string, key bigint, bal double")
+    with _pytest.raises(Exception, match="cannot round-trip|kvlinks writer"):
+        df2.write.format("kvlinks").option("path", out).mode("append").save()

@@ -135,3 +135,28 @@ def test_training_shard_write_roundtrip(spark, sf_smoke, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_kv_line_sink_rejects_quote_and_newline(spark):
+    """The key='value' format cannot encode ' or newlines; the sink must
+    raise at execution instead of silently truncating on read-back
+    (ADVICE r3). Well-formed rows are unaffected."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    base = (
+        "href string, text string, title string, link_type string, file_extension string,"
+        "document_type string, source_url string, full_html string"
+    )
+    bad_quote = spark.createDataFrame(
+        [("https://x.com/a", "O'Brien", None, "page", None, None, None, None)], base
+    )
+    with _pytest.raises(Exception) as ei:
+        to_kv_lines(bad_quote).collect()
+    assert "cannot encode" in str(ei.value)
+    bad_nl = spark.createDataFrame(
+        [("https://x.com/a", "line1\nline2", None, "page", None, None, None, None)], base
+    )
+    with _pytest.raises(Exception) as ei:
+        to_kv_lines(bad_nl).collect()
+    assert "cannot encode" in str(ei.value)

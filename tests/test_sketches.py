@@ -117,3 +117,74 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_correctness):
     assert [r.q for r in rows] == [0.5, 0.95, 0.99]
     for r in rows:
         assert abs(r.est - r.exact) <= bin_w
+
+
+def _tiny_sf(spark, tmp_path, **tables):
+    """Materialize a miniature sf_dir: one parquet per named table."""
+    d = str(tmp_path / "tiny_sf")
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_kmv_partial_sketch_is_exact(spark, tmp_path):
+    """With fewer distinct keys than k the k-min set IS the key set, so
+    the estimate must be the exact count — not (k-1)*space/kth
+    (ADVICE r3: the full-sketch formula is wrong for partial sketches)."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        kmv_distinct_orders,
+    )
+
+    li = spark.range(10).selectExpr("id AS l_orderkey")
+    sf = _tiny_sf(spark, tmp_path, lineitem=li)
+    out = kmv_distinct_orders(spark, sf).collect()[0]
+    assert out.exact_distinct == 10
+    assert out.kmv_estimate == 10.0
+
+
+def test_kmv_union_partial_sketch_is_exact(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        kmv_union_returnflags,
+    )
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.range(8)
+        .selectExpr("id AS l_orderkey")
+        .withColumn("l_returnflag", F.when(F.col("l_orderkey") % 2 == 0, "R").otherwise("A"))
+    )
+    sf = _tiny_sf(spark, tmp_path, lineitem=li)
+    out = kmv_union_returnflags(spark, sf).collect()[0]
+    assert out.exact_union == 8
+    assert out.union_estimate == 8.0
+
+
+def test_quantile_sketch_degenerate_distribution(spark, tmp_path):
+    """All-equal values must yield the trivial answer (est == exact ==
+    the constant), not a divide-by-zero NULL bin (ADVICE r3). Checked
+    against the DuckDB oracle on the same tiny table so the mirrored
+    CASE guard is exercised on both engines."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        ORACLES,
+        quantile_sketch_events,
+    )
+    from tests.oracle_harness import compare
+    from pyspark.sql import functions as F
+
+    ev = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.lit(7.5).alias("value"),
+    )
+    sf = _tiny_sf(spark, tmp_path, events=ev)
+    rows = quantile_sketch_events(spark, sf).collect()
+    assert [r.q for r in rows] == [0.5, 0.95, 0.99]
+    for r in rows:
+        assert r.est == 7.5 and r.exact == 7.5
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark wrote events.parquet as a directory of part files; glob it.
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')")
+    oracle_pdf = con.execute(ORACLES["quantile_sketch_events"]).df()
+    assert compare("quantile_sketch_events", quantile_sketch_events(spark, sf), oracle_pdf) == []
