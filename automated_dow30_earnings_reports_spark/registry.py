@@ -36,6 +36,9 @@ _MODULES = [
     f"{_PKG}.sources.html_dom",
     f"{_PKG}.sources.parquet_lake",
     f"{_PKG}.sources.kv_datasource",
+    f"{_PKG}.sources.csv_sources",
+    f"{_PKG}.sources.kv_text",
+    f"{_PKG}.sources.json_ledger",
     f"{_PKG}.functions.scalars",
     f"{_PKG}.functions.udtfs",
     f"{_PKG}.operators.skew",

@@ -41,8 +41,15 @@ def read_ir_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    """S5 sink (ref get30DowTickers.py:188-223)."""
-    df.write.mode("overwrite").option("header", True).csv(path)
+    """S5 sink (ref get30DowTickers.py:188-223). Timestamps serialize
+    in the reference's ``yyyy-MM-dd HH:mm:ss`` format so a write →
+    ``read_companies`` round trip is lossless at second granularity."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
 
 
 def write_excel(df: DataFrame, path: str) -> bool:
@@ -65,3 +72,79 @@ __all__ = [
     "write_csv",
     "write_excel",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Oracled round trip: derive a companies-style dimension from
+# nation x region — with a comma INSIDE every company name, the exact
+# hazard the reference's dim carries (dow30_companies.csv:27) — write
+# it through the CSV sink, read it back through the companies scan,
+# aggregate. The oracle recomputes from the base tables, so quoting
+# slips, header drift, timestamp-format mismatch, or type loss in the
+# CSV path all break the value hash.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_SCRATCH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "csv_sink",
+)
+
+
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S5 driver-checked round trip (ref write:
+    get30DowTickers.py:188-223, read: orchestrator.py:245-261)."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("ticker"),
+        F.concat(F.col("n_name"), F.lit(", Inc.")).alias("company"),
+        F.col("r_name").alias("sector"),
+        F.concat(F.lit("https://ir.example.com/"), F.lower(F.col("n_name"))).alias(
+            "ir_url"
+        ),
+        F.expr(
+            "make_timestamp(2025, 10, n_nationkey % 28 + 1, 14, 28, n_nationkey % 60)"
+        ).alias("last_updated"),
+    )
+    path = _os.path.join(_SCRATCH, _os.path.basename(sf_dir.rstrip("/")))
+    write_csv(
+        dim.toDF("Ticker", "Company", "Sector", "Investor_Relations_URL", "Last_Updated"),
+        path,
+    )
+    back = read_companies(spark, path)
+    return (
+        back.groupBy("sector")
+        .agg(
+            F.count("*").cast("bigint").alias("n_companies"),
+            F.sum(F.when(F.col("company").contains(","), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quoted"),
+            F.min("ticker").alias("first_ticker"),
+            F.max("last_updated").alias("latest_update"),
+        )
+        .orderBy("sector")
+    )
+
+
+QUERIES["csv_sink_roundtrip"] = csv_sink_roundtrip
+ORACLES["csv_sink_roundtrip"] = """
+    SELECT r.r_name AS sector,
+           CAST(COUNT(*) AS BIGINT) AS n_companies,
+           CAST(COUNT(*) AS BIGINT) AS n_quoted,
+           MIN(n.n_name) AS first_ticker,
+           MAX(make_timestamp(2025, 10, n.n_nationkey % 28 + 1, 14, 28, n.n_nationkey % 60))
+             AS latest_update
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""

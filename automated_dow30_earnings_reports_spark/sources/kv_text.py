@@ -82,3 +82,88 @@ def to_kv_lines(df: DataFrame) -> DataFrame:
 def write_document_links(df: DataFrame, path: str) -> None:
     """S7 sink: one record line per row (ref orchestrator.py:73-84)."""
     to_kv_lines(df).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# Oracled round trip: derive DOCUMENT_LINKS-shaped rows from the
+# documents table, write them through the key='value' text sink
+# (ref orchestrator.py:73-84), read them back through the S2 scan, and
+# aggregate. The oracle recomputes from documents, so serialization
+# slips (key mapping, null-as-empty, boundary anchoring) break the
+# value hash. full_html stays NULL in the derived rows — the '' → NULL
+# nullif channel is part of what the round trip checks.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_SCRATCH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "kv_text_sink",
+)
+
+
+def text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S7 driver-checked round trip of the reference's DocumentLink
+    line format (serialize: orchestrator.py:77-81; parse:
+    orchestrator.py:111-125)."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("n_chars") % 3 == 0, "pdf")
+        .when(F.col("n_chars") % 3 == 1, "html")
+        .otherwise("txt")
+    )
+    links = d.select(
+        F.concat(F.lit("https://docs.example.com/"), F.col("doc_id"), F.lit("."), ext).alias("href"),
+        F.col("source").alias("text"),
+        F.concat(F.lit("doc "), F.col("doc_id")).alias("title"),
+        F.when(ext == "pdf", "document").otherwise("page").alias("link_type"),
+        ext.alias("file_extension"),
+        F.upper(ext).alias("document_type"),
+        F.concat(F.lit("https://docs.example.com/"), F.col("source")).alias("source_url"),
+        F.lit(None).cast("string").alias("full_html"),
+    )
+    path = _os.path.join(_SCRATCH, _os.path.basename(sf_dir.rstrip("/")))
+    write_document_links(links, path)
+    back = read_document_links(spark, path)
+    return (
+        back.groupBy("link_type", "file_extension")
+        .agg(
+            F.count("*").cast("bigint").alias("n_links"),
+            F.count_distinct("href").cast("bigint").alias("n_hrefs"),
+            F.min("href").alias("first_href"),
+            F.sum(F.when(F.col("full_html").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_html"),
+        )
+        .orderBy("link_type", "file_extension")
+    )
+
+
+QUERIES["text_sink_roundtrip"] = text_sink_roundtrip
+ORACLES["text_sink_roundtrip"] = """
+    WITH links AS (
+      SELECT 'https://docs.example.com/' || doc_id || '.' ||
+               CASE WHEN n_chars % 3 = 0 THEN 'pdf'
+                    WHEN n_chars % 3 = 1 THEN 'html'
+                    ELSE 'txt' END AS href,
+             CASE WHEN n_chars % 3 = 0 THEN 'document' ELSE 'page' END AS link_type,
+             CASE WHEN n_chars % 3 = 0 THEN 'pdf'
+                  WHEN n_chars % 3 = 1 THEN 'html'
+                  ELSE 'txt' END AS file_extension
+      FROM documents
+    )
+    SELECT link_type, file_extension,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT href) AS BIGINT) AS n_hrefs,
+           MIN(href) AS first_href,
+           CAST(COUNT(*) AS BIGINT) AS n_null_html
+    FROM links
+    GROUP BY link_type, file_extension
+    ORDER BY link_type, file_extension
+"""

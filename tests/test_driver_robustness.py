@@ -26,7 +26,15 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
 
 
 @pytest.mark.parametrize(
-    "name", ["kv_datasource_roundtrip", "lake_compaction", "orc_lake_roundtrip"]
+    "name",
+    [
+        "kv_datasource_roundtrip",
+        "lake_compaction",
+        "orc_lake_roundtrip",
+        "csv_sink_roundtrip",
+        "text_sink_roundtrip",
+        "json_ledger_roundtrip",
+    ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):
     """Queries that materialize scratch state (connector round trip,

@@ -51,7 +51,9 @@ def test_ledger_json_roundtrip(spark, tmp_path):
     src = read_ledger(spark, "/root/reference/metadata/*.json")
     out = str(tmp_path / "ledger_json")
     write_ledger(src, out)
-    back = read_ledger(spark, out)
+    # write_ledger emits line-delimited JSON — read back in JSONL mode
+    # (multiline=True would silently keep only one record per file).
+    back = read_ledger(spark, out, multiline=False)
     assert back.count() == src.count()
     a = src.select("company", "urls_found", F.size("downloaded_files").alias("nf"))
     b = back.select("company", "urls_found", F.size("downloaded_files").alias("nf"))
@@ -160,3 +162,21 @@ def test_kv_line_sink_rejects_quote_and_newline(spark):
     with _pytest.raises(Exception) as ei:
         to_kv_lines(bad_nl).collect()
     assert "cannot encode" in str(ei.value)
+
+
+def test_ledger_multiline_contract(spark, tmp_path):
+    """Spark's multiLine JSON parses ONE top-level value per file; a
+    multi-record JSONL file read in multiline mode silently keeps only
+    the first record. read_ledger therefore takes an explicit layout
+    flag — this pins both sides of the contract so nobody 'simplifies'
+    the flag away and reintroduces silent data loss."""
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS company", "'T' AS ticker")
+    out = str(tmp_path / "jsonl")
+    df.coalesce(1).write.mode("overwrite").json(out)
+    assert read_ledger(spark, out, multiline=False).count() == 10
+    # documented hazard: multiline mode on the same JSONL file
+    assert read_ledger(spark, out, multiline=True).count() == 1
+    # and the reference's actual layout (pretty, one doc per file) needs
+    # multiline=True — JSONL mode would see corrupt per-line fragments
+    ref = read_ledger(spark, "/root/reference/metadata/*.json", multiline=True)
+    assert ref.filter(ref.company.isNotNull()).count() == ref.count() > 0
