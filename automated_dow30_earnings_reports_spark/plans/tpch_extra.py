@@ -677,3 +677,343 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: the five remaining classic shapes (Q2, Q9, Q11,
+# Q16, Q20), each adapted to the lite schema (no partsupp — lineitem's
+# observed (part, supplier) pairs stand in for it, with unit price
+# MIN(l_extendedprice / l_quantity) as the supply-cost proxy and
+# p_retailprice-derived unit cost for the profit rollup).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name, c.cost,
+             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                ORDER BY c.cost, s.s_suppkey) AS rn
+      FROM cost c
+      JOIN part p     ON c.l_partkey = p.p_partkey AND p.p_size = 11
+      JOIN supplier s ON c.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(cost, 4) AS min_cost
+    FROM cand WHERE rn = 1
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated min-cost supplier: for each size-11
+    part, the cheapest EUROPE supplier by observed unit price, top-100
+    by supplier balance. The spec's correlated scalar subquery
+    (ps_supplycost = MIN over the region's partsupp) becomes ONE
+    window rank over the region-filtered candidates — no re-scan.
+
+    Scale shape: unit costs aggregate per (part, supplier) in one
+    map-side-combined shuffle; part and region filters push into their
+    scans before the joins; nation x region broadcast (bounded dims),
+    supplier carries no hint (fact-scale at 100 TB). The window
+    partitions by p_partkey — same key as the preceding join, so AQE
+    reuses the partitioning. Ties on cost break by s_suppkey and the
+    final cut orders on (acctbal, name, partkey): fully deterministic
+    LIMIT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 11)
+        .select("p_partkey", "p_name")
+    )
+    dims = F.broadcast(
+        load_table(spark, sf_dir, "nation").join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = cost.join(parts, F.col("l_partkey") == F.col("p_partkey")).join(
+        sup, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("cost").asc(), F.col("s_suppkey").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", 4).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * 0.5 * l.l_quantity
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red %'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-profit rollup: profit on red parts by
+    supplier nation and order year. Unit supply cost is proxied as
+    half the part's retail price (no partsupp in the lite schema).
+
+    Scale shape: the selective p_name filter semi-reduces lineitem
+    FIRST (smallest join early), then the two fact-fact joins shuffle
+    on their natural keys (l_suppkey, then l_orderkey — orders is the
+    big probe and comes last so the already-reduced stream is what
+    shuffles); nation broadcasts, supplier/part/orders carry no hints.
+    Per-row profit is computed in double (bit-identical cross-engine)
+    and SUMMED AS DECIMAL so the aggregate is order-independent —
+    the double-sum nondeterminism trap the oracle conventions call
+    out."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.5 * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+    WITH nine AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+    ),
+    per_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS v
+      FROM lineitem JOIN nine ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(v) AS tot FROM per_part)
+    SELECT partkey, ROUND(CAST(v AS DOUBLE), 2) AS part_value
+    FROM per_part CROSS JOIN total
+    WHERE CAST(v AS DOUBLE) > CAST(tot AS DOUBLE) * 0.001
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped group-filter-by-global-scalar: per-part value
+    supplied by NATION_9's suppliers, keeping parts above 0.1% of the
+    nation's total — the HAVING-against-a-scalar-subquery shape.
+
+    Scale shape: the nation filter reduces supplier before touching
+    lineitem; per-part values aggregate in one map-side-combined
+    shuffle; the global total is a 1-row frame broadcast into the
+    filter (a scalar, never a shuffle). Values sum as DECIMAL so both
+    the per-part figures and the threshold comparison are
+    order-independent; the 1-row total carries an explicit broadcast
+    (bounded by construction)."""
+    nine = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_part = (
+        li.join(nine, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(amount).alias("v"))
+    )
+    total = per_part.agg(F.sum("v").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("v").cast("double") > F.col("tot").cast("double") * 0.001)
+        .select("partkey", F.round(F.col("v").cast("double"), 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@_register(
+    "q16_parts_supplier",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (5, 11, 17, 23)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity count: distinct suppliers
+    per (brand, type, size) for a size slice, excluding one brand, one
+    type, and the complained-about suppliers (negative balance stands
+    in for the spec's comment scan) — the NOT-IN-subquery shape,
+    executed as a left-anti join.
+
+    Scale shape: lineitem's observed (part, supplier) pairs dedup in
+    one map-side-combined shuffle BEFORE any join (the partsupp
+    stand-in); the brand/type/size predicates push into the part scan;
+    the exclusion set is an anti join, not a per-row subquery. No
+    fact-side hints."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(5, 11, 17, 23)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "q20_potential_promotion",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+    q AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, qty, SUM(qty) OVER (PARTITION BY l_partkey) AS tot
+        FROM q
+      ) WHERE qty > 0.5 * tot
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN dom ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped dominant-supplier selection: suppliers who
+    shipped more than half of some red part's total 1996 volume (the
+    spec's availqty > 0.5 * sum(l_quantity) correlated subquery,
+    re-expressed as a window share over the same aggregate).
+
+    Scale shape: date + part-name filters push into the scans and
+    semi-reduce lineitem before the per-(part, supplier) aggregate;
+    the correlated total is a window SUM over the aggregate's own
+    partitioning key (no second scan, no re-shuffle — the window
+    reuses the groupBy's hash partitioning); the supplier join is a
+    semi-style inner on the deduped dominant set. Quantities are
+    small integers, so the double sums and the 0.5x comparison are
+    exact cross-engine."""
+    red = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    q = (
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        q.withColumn("tot", F.sum("qty").over(w))
+        .where(F.col("qty") > 0.5 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        sup.join(dom, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -105,6 +105,10 @@ HEADLINE = [
     "temperature_resample",
     "similarity_pq_adc",
     "kv_datasource_roundtrip",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q16_parts_supplier",
+    "json_ledger_roundtrip",
 ]
 
 

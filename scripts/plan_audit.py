@@ -64,6 +64,10 @@ def main() -> int:
         "sql_fulfillment_rollup",
         "dq_constraint_report",
         "gdpr_purge_report",
+        "q11_important_stock",
+        "q20_potential_promotion",
+        "csv_sink_roundtrip",
+        "text_sink_roundtrip",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")
