@@ -161,10 +161,37 @@ IMAGE_DECODE_SCHEMA = StructType(
 
 
 def decode_image_real(data: bytes) -> tuple[int, int, str]:
-    """Full pixel decode hook (PIL.Image.open). Media libs are not in
-    this container; a deployment overrides this. Structural metadata
-    does NOT need it — see parse_image_header below."""
-    raise NotImplementedError("pixel decode requires PIL; inject a decoder")
+    """Full pixel decode, import-gated on Pillow (same pattern as the
+    Excel sink, sources/csv_sources.py write_excel): decodes actual
+    pixels when PIL is installed, raises NotImplementedError otherwise
+    — which ``image_decode_stage`` turns into a ``decode_error``
+    dead-letter row, never a task failure. Structural metadata does
+    NOT need it — see parse_image_header below."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "pixel decode requires PIL (pip install pillow) or an injected decoder"
+        ) from exc
+    import io as _io
+
+    with Image.open(_io.BytesIO(data)) as im:
+        im.load()
+        return im.width, im.height, im.mode
+
+
+def default_image_decoder():
+    """The decoder a deployment gets by default: real pixel decode when
+    Pillow is importable, the deterministic fake otherwise. Registered
+    queries pin ``decode_image_fake`` explicitly so their oracles are
+    environment-independent; pipelines that want best-available decode
+    call ``image_decode_stage(blobs, decoder=default_image_decoder())``."""
+    try:
+        import PIL  # noqa: F401
+
+        return decode_image_real
+    except ImportError:
+        return decode_image_fake
 
 
 _JPEG_SOF_MARKERS = frozenset(

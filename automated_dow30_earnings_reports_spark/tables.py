@@ -120,6 +120,14 @@ def _raw_reads_cleanly(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    import re
+
+    raw = spark.conf.get(key, str(default))
+    m = re.match(r"(\d+)", str(raw))
+    return int(m.group(1)) if m else default
+
+
 def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Raise a scan's partition count for COMPUTE-BOUND downstream stages.
 
@@ -127,14 +135,43 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     1 split and every map-side-heavy operator downstream (shingle
     explode, all-pairs scoring, per-row hashing) runs on one core of 32.
     At 100 TB the scan already yields >= cores splits, so this must NOT
-    add a shuffle there: it is an explicit no-op whenever the plan
-    already has >= ``parts`` partitions. Only apply it where downstream
-    CPU per input byte is high — for plain scans/filters/aggregations the
-    extra exchange costs more than it buys.
+    add a shuffle there: it is an explicit no-op whenever the scan's
+    estimated split count already reaches ``parts``. Only apply it where
+    downstream CPU per input byte is high — for plain scans/filters/
+    aggregations the extra exchange costs more than it buys.
+
+    The split estimate comes from driver-side file metadata
+    (``df.inputFiles`` + local file sizes against maxPartitionBytes /
+    openCostInBytes — the same quantities Spark's own split planner
+    packs on), NOT ``df.rdd`` — converting the plan to an RDD just to
+    count partitions forces a full physical planning pass per call.
+    Non-local storage schemes (s3/hdfs/...) mean a production-scale
+    deployment whose scans are already parallel: no-op there.
     """
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
     if parts is None:
-        parts = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parts) if df.rdd.getNumPartitions() < parts else df
+        parts = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        # Derived plan (post-shuffle): partition count is already governed
+        # by spark.sql.shuffle.partitions / AQE, not split planning.
+        return df
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return df
+        try:
+            total += os.path.getsize(u.path or f)
+        except OSError:
+            return df
+    max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    est_splits = max(1, (total + open_cost * len(files)) // max_split)
+    return df.repartition(parts) if est_splits < parts else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

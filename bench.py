@@ -141,16 +141,20 @@ def main() -> int:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min-of-2 timed runs per query: this shared box shows ±30%
-    # run-to-run noise, and the min is the stable estimator of engine
-    # cost (the max measures the box, not the plan).
+    # min-of-2 timed runs per query (min-of-3 for the >= 2 s tier):
+    # this shared box shows ±30% run-to-run noise, and the min is the
+    # stable estimator of engine cost (the max measures the box, not
+    # the plan). The slow tier dominates the total and cross-round
+    # comparisons, so it gets the extra sample.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         if name not in qs or name in errors:
             continue
         best = None
-        for _ in range(2):
+        runs = 0
+        while runs < 2 or (runs == 2 and best is not None and best >= 2.0):
+            runs += 1
             t0 = time.time()
             try:
                 out = qs[name](spark, SF_DIR).collect()
@@ -178,6 +182,30 @@ def main() -> int:
     # bench_full.json).
     slow = {k: round(v, 2) for k, v in timings.items() if v >= 0.75}
     fast_total = round(sum(v for v in timings.values() if v < 0.75), 2)
+    # Cross-round regression visibility: compare against the newest
+    # recorded BENCH_r*.json (the driver's artifact survives even when
+    # stdout truncates). The full per-query ratio map goes to
+    # bench_full.json; stdout carries only >1.5x regressions so the
+    # compact line stays under the driver's ~2 KB window.
+    prev: dict[str, float] = {}
+    try:
+        import glob
+
+        arts = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        )
+        if arts:
+            with open(arts[-1]) as fh:
+                prev = (json.load(fh).get("parsed") or {}).get("queries") or {}
+    except Exception:  # noqa: BLE001 — delta reporting must never fail the bench
+        prev = {}
+    delta = {
+        k: round(timings[k] / prev[k], 2)
+        for k in timings
+        if k in prev and prev[k] >= 0.2
+    }
+    regressions = {k: v for k, v in delta.items() if v > 1.5}
+
     payload = {
         "metric": "headline_query_wall_clock",
         "value": total,
@@ -187,9 +215,11 @@ def main() -> int:
         "fast_queries_n": len(timings) - len(slow),
         "fast_queries_sec": fast_total,
     }
+    if regressions:
+        payload["regressions_vs_prev"] = regressions
     if errors:
         payload["errors"] = {k: v[:60] for k, v in errors.items()}
-    full = dict(payload, queries=timings, rows=rows, errors=errors)
+    full = dict(payload, queries=timings, rows=rows, errors=errors, delta_vs_prev=delta)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
             json.dump(full, fh, indent=1)

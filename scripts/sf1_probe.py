@@ -1,0 +1,245 @@
+"""sf1 scale probe: 10x the bench data, prove ~linear growth.
+
+The sf0.1 bench can't see a hidden quadratic — a bucket/cell/block
+bound that only bites at 10x the rows. This script materializes an
+sf1-scale dataset (~6M lineitem rows) under .scratch/sf1 by
+replicating sf0.1 ten times with per-replica mutations chosen so the
+WORKLOAD scales linearly instead of degenerating:
+
+  - documents.text goes through a per-replica bijective vowel
+    rotation: within a replica the original near-dup structure is
+    preserved exactly (bijective char map => identical shingle
+    overlap), across replicas no shingle collides — naive exact
+    replication would instead make every doc a 10-way near-dup and
+    grow LSH bucket candidates quadratically BY CONSTRUCTION, which
+    would measure the synthetic data, not the plan.
+  - embeddings rotate by k positions (norm- and distribution-
+    preserving, neighbors change per replica); vec_id offsets.
+  - star-schema keys offset by k * (max_key + 1) consistently across
+    fact/dim so joins keep their selectivity; nation/region stay
+    fixed (dims don't scale with corpus size).
+  - events offset event_id/user_id; value untouched (sketch input).
+
+Then it times the slowest dedup/ANN/sketch/TPC-H headline queries at
+sf0.1 and sf1 (min of 2 runs each, same session) and prints a
+markdown table of wall-clock ratio vs the 10x data ratio. A plan is
+scale-safe when ratio <~ 10 (sublinear ratios are common at this
+size: fixed per-query overhead amortizes).
+
+Usage: python scripts/sf1_probe.py [--regen]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
+)
+REPLICAS = 10
+
+# The families VERDICT r3 asked to probe: dedup, ANN, sketches, plus
+# the heaviest relational shapes. Scratch-writing and effectful
+# queries are excluded (they measure the sink, not the operator).
+PROBE = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_dfcap",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_exact",
+    "similarity_ann_lsh_buckets",
+    "similarity_ann_ivf_kmeans",
+    "similarity_pq_adc",
+    "kmv_distinct_orders",
+    "quantile_sketch_events",
+    "cms_heavy_hitters",
+    "q9_product_profit",
+    "q19_disjunctive_revenue",
+]
+
+VOWELS = "aeiou"
+
+
+def _generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1, exist_ok=True)
+
+    def reps(df, build):
+        out = None
+        for k in range(REPLICAS):
+            part = build(df, k)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # documents: bijective per-replica vowel rotation + doc_id offset
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    n_docs = 5000
+
+    def doc_rep(df, k):
+        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        return df.select(
+            (F.col("doc_id") + k * n_docs).alias("doc_id"),
+            F.translate(F.col("text"), VOWELS, rot).alias("text"),
+            "lang",
+            F.concat(F.col("source"), F.lit(f"_r{k}")).alias("source"),
+            "n_chars",
+        )
+
+    reps(docs, doc_rep).repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/documents.parquet"
+    )
+
+    # embeddings: rotate the vector by k, offset vec_id
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n_emb = 2000
+
+    def emb_rep(df, k):
+        if k == 0:
+            vec = F.col("embedding")
+        else:
+            vec = F.concat(
+                F.slice(F.col("embedding"), k + 1, 10_000),
+                F.slice(F.col("embedding"), 1, k),
+            )
+        return df.select(
+            (F.col("vec_id") + k * n_emb).alias("vec_id"),
+            vec.alias("embedding"),
+            "label",
+        )
+
+    reps(emb, emb_rep).repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/embeddings.parquet"
+    )
+
+    # events: offset ids, keep ts/value/type distributions
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    n_ev, n_users = 100_000, 10_000
+
+    def ev_rep(df, k):
+        return df.select(
+            (F.col("event_id") + k * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * n_users).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+
+    reps(ev, ev_rep).repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/events.parquet"
+    )
+
+    # star schema: offset every key by k * (max+1), consistently
+    offsets = {
+        "orderkey": 150_000,
+        "custkey": 15_000,
+        "partkey": 20_000,
+        "suppkey": 1_000,
+    }
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+
+    def li_rep(df, k):
+        return df.withColumns(
+            {
+                "l_orderkey": F.col("l_orderkey") + k * offsets["orderkey"],
+                "l_partkey": F.col("l_partkey") + k * offsets["partkey"],
+                "l_suppkey": F.col("l_suppkey") + k * offsets["suppkey"],
+            }
+        )
+
+    reps(li, li_rep).repartition(16).write.mode("overwrite").parquet(
+        f"{SF1}/lineitem.parquet"
+    )
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+
+    def o_rep(df, k):
+        return df.withColumns(
+            {
+                "o_orderkey": F.col("o_orderkey") + k * offsets["orderkey"],
+                "o_custkey": F.col("o_custkey") + k * offsets["custkey"],
+            }
+        )
+
+    reps(orders, o_rep).repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/orders.parquet"
+    )
+
+    cust = spark.read.parquet(f"{SF01}/customer.parquet")
+
+    def c_rep(df, k):
+        return df.withColumn("c_custkey", F.col("c_custkey") + k * offsets["custkey"])
+
+    reps(cust, c_rep).repartition(4).write.mode("overwrite").parquet(
+        f"{SF1}/customer.parquet"
+    )
+
+    part = spark.read.parquet(f"{SF01}/part.parquet")
+
+    def p_rep(df, k):
+        return df.withColumn("p_partkey", F.col("p_partkey") + k * offsets["partkey"])
+
+    reps(part, p_rep).repartition(4).write.mode("overwrite").parquet(
+        f"{SF1}/part.parquet"
+    )
+
+    supp = spark.read.parquet(f"{SF01}/supplier.parquet")
+
+    def s_rep(df, k):
+        return df.withColumn("s_suppkey", F.col("s_suppkey") + k * offsets["suppkey"])
+
+    reps(supp, s_rep).repartition(2).write.mode("overwrite").parquet(
+        f"{SF1}/supplier.parquet"
+    )
+
+    # dims: copy through unchanged
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"{SF01}/{dim}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{SF1}/{dim}.parquet")
+
+
+def main() -> int:
+    from automated_dow30_earnings_reports_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("sf1-probe")
+    if "--regen" in sys.argv and os.path.isdir(SF1):
+        shutil.rmtree(SF1)
+    if not os.path.isdir(os.path.join(SF1, "lineitem.parquet")):
+        t0 = time.time()
+        _generate(spark)
+        print(f"generated {SF1} in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    qs = e.queries()
+    print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name in PROBE:
+        times = {}
+        for sf_dir, tag in ((SF01, "small"), (SF1, "big")):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            times[tag] = best
+        ratio = times["big"] / times["small"]
+        print(
+            f"| {name} | {times['small']:.2f} | {times['big']:.2f} | {ratio:.1f}x |"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

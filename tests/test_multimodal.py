@@ -34,9 +34,81 @@ def test_with_blob_types_and_header(spark, docs):
     assert dict(with_blob(docs).dtypes)["blob"] == "binary"
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_real_is_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"IMGv1:xxx")
+    """Without Pillow, decode_image_real raises NotImplementedError
+    (the import gate); with it, a junk payload raises PIL's own decode
+    error. Either way the failure is catchable — image_decode_stage
+    dead-letters it instead of failing the task."""
+    if _pil_available():
+        with pytest.raises(Exception):
+            decode_image_real(b"IMGv1:xxx")  # not a real container
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"IMGv1:xxx")
+
+
+def _tiny_png(width: int, height: int) -> bytes:
+    """Assemble a real, spec-valid RGBA PNG with stdlib only (correct
+    CRCs and zlib-compressed scanlines) — no Pillow needed to BUILD it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f\x00\xff\xff" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_pixels_when_pil_present():
+    """Pinned real-decode path: a genuine PNG decodes to its true
+    dimensions. Skips (does not pass vacuously) where Pillow is not
+    installed."""
+    pytest.importorskip("PIL")
+    w, h, mode = decode_image_real(_tiny_png(5, 3))
+    assert (w, h, mode) == (5, 3, "RGBA")
+
+
+def test_default_image_decoder_gate():
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        default_image_decoder,
+    )
+
+    picked = default_image_decoder()
+    if _pil_available():
+        assert picked is decode_image_real
+    else:
+        assert picked is decode_image_fake
+
+
+def test_decode_real_dead_letters_without_pil(spark, docs):
+    """Running the stage with the REAL decoder in a PIL-less container
+    must produce decode_error rows, not task failures."""
+    if _pil_available():
+        pytest.skip("PIL installed; the no-PIL dead-letter path is moot")
+    out = image_decode_stage(with_blob(docs), decoder=decode_image_real).collect()
+    assert out and all(r.decode_error is not None for r in out)
+    assert all("PIL" in r.decode_error for r in out)
 
 
 def test_image_decode_dead_letter(spark, docs):
