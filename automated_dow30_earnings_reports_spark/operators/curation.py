@@ -647,3 +647,61 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_raw.crossJoin(n_exact).crossJoin(n_q).crossJoin(final)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+# each record draws u ~ U(0,1] from a hash of its key and scores
+# ln(u)/w; the k LARGEST scores are a weight-proportional sample
+# without replacement. One pass, no global sort (top-k = per-partition
+# heaps merged on the driver), fully deterministic under the md5 draw
+# — the sampling primitive behind quality-weighted corpus mixing.
+# ---------------------------------------------------------------------------
+
+ES_SAMPLE_K = 25
+_ES_SPACE = 16 ** 7  # 28-bit digest space, as operators/sketches.py
+
+
+def _es_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.sketches import _DIGEST_SQL
+
+    digest = _DIGEST_SQL.format(t="CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ln(({digest} + 1.0) / {_ES_SPACE + 1}.0) / n_chars AS score
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(score, 6) AS es_score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """
+
+
+@_register("weighted_sample_topk", _es_oracle())
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample of ES_SAMPLE_K docs with
+    weight = n_chars (longer docs proportionally likelier — the usual
+    token-weighted corpus draw). u comes from the 28-bit md5 digest of
+    the doc key, so the draw is reproducible and the oracle recomputes
+    it bit-for-bit; comparing on ln(u)/w instead of u^(1/w) keeps the
+    double spread numerically safe for large weights.
+
+    Scale shape: scoring is map-side arithmetic on the scan; the top-k
+    is orderBy+limit = TakeOrdered per-partition heaps merged on the
+    driver — k rows of driver state however large the corpus, no
+    global sort, no shuffle. Repeatable: same corpus, same k, same
+    sample."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import _digest_col
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (_digest_col(F.col("doc_id").cast("string")) + 1.0) / float(_ES_SPACE + 1)
+    score = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(ES_SAMPLE_K)
+        .select("doc_id", "n_chars", F.round("score", 6).alias("es_score"))
+    )

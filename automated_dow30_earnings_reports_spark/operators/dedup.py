@@ -1055,3 +1055,92 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_small", "id_big", F.round(cont, 3).alias("containment"))
         .orderBy("id_small", "id_big")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span mining (the analysis half of Lee et al. 2022:
+# BEFORE deduplicating, measure how much of each document is made of
+# substrings that also occur elsewhere). Overlapping word 8-grams —
+# distinct from chunk_dedup_reconstruct's non-overlapping chunks: a
+# span repeated at any alignment is caught.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # words per sliding gram
+SPAN_TOPK = 25
+
+
+def _repeated_spans_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - {SPAN_N - 2})) u(i)
+      WHERE len(t) >= {SPAN_N}
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (df.nd > 1) AS BIGINT) AS n_repeated
+      FROM g JOIN df USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_repeated,
+           ROUND(n_repeated * 1.0 / n_grams, 4) AS repeated_frac
+    FROM per_doc
+    ORDER BY repeated_frac DESC, doc_id
+    LIMIT {SPAN_TOPK}
+    """
+
+
+@_register("repeated_ngram_spans", _repeated_spans_oracle())
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span coverage: the fraction of a doc's
+    sliding word 8-grams that occur in at least one OTHER document —
+    the diagnosis pass a corpus runs before choosing dedup thresholds
+    (Lee et al. 2022 measure repeated substrings the same way; the
+    reference has no corpus analytics at all). Top-25 most-boilerplate
+    docs, deterministically cut on (rounded frac, doc_id).
+
+    Scale shape: the gram explode is map-side; cross-doc document
+    frequency is ONE map-side-combined groupBy on the gram; the
+    re-join keys on the same gram so the shuffle partitioning is
+    reused; per-doc rollup is one shuffle on doc_id. At 100 TB the
+    gram key becomes a 28-bit digest (as dedup_ngram_dfcap does) so
+    shuffles move ints, not strings — the string form here keeps the
+    oracle 1:1."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(t) >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (SPAN_N - 1)),
+            lambda i: F.array_join(F.slice(t, i, SPAN_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    df_counts = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        g.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeated"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_repeated",
+            F.round(F.col("n_repeated") / F.col("n_grams"), 4).alias("repeated_frac"),
+        )
+        .orderBy(F.col("repeated_frac").desc(), "doc_id")
+        .limit(SPAN_TOPK)
+    )

@@ -156,3 +156,81 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(
         F.col("id").alias("nation_key"), F.round("r", 6).alias("pagerank")
     ).orderBy("nation_key")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-supply graph — the third classic graph
+# primitive next to PageRank (above) and connected components
+# (operators/dedup.py): build supplier–supplier edges weighted by how
+# many parts both supply, keep the TRI_EDGES strongest (bounded,
+# deterministic), count triangles by the ordered two-path + closing-
+# edge join.
+# ---------------------------------------------------------------------------
+
+TRI_EDGES = 400
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    sup AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {TRI_EDGES})
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1
+                 JOIN e e2 ON e1.sb = e2.sa
+                 JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS BIGINT)
+             AS n_triangles
+    """
+
+
+@_register("triangle_count_cosupply", _triangle_oracle())
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-supply graph. Edges orient
+    low-key → high-key, so each triangle a<b<c is found exactly once
+    as the two-path (a,b)+(b,c) closed by (a,c) — no division by 6,
+    no duplicate wedges.
+
+    Scale shape: the (part, supplier) dedup and the per-part pair
+    explosion are the bounded-fan-out pattern shared with
+    co_occurrence_part_pairs (per-part supplier count caps the
+    quadratic term); the strongest-edge cut (orderBy+limit =
+    TakeOrdered, k rows on the driver) bounds the triangle join input
+    regardless of corpus size — the production form of the same knob
+    is a per-node top-d adjacency cap, which also bounds the wedge
+    join at d^2 per node. The closing joins run on k-row frames (AQE
+    broadcasts them)."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sup = (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    e = sup.orderBy(F.col("c").desc(), "sa", "sb").limit(TRI_EDGES).select("sa", "sb")
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.sb") == F.col("e2.sa"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.sa") == F.col("e1.sa")) & (F.col("e3.sb") == F.col("e2.sb")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")

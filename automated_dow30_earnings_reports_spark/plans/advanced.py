@@ -1374,3 +1374,206 @@ def gdpr_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_subjects",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot CDC diff — the read side of the lakehouse loop whose write
+# side is snapshot_merge_upsert: given two table versions, emit the
+# change feed (insert / update / delete with pre- and post-image
+# aggregates). Table formats derive this from manifests; over plain
+# parquet it is one key-partitioned full outer join.
+# ---------------------------------------------------------------------------
+
+CDC_V1_CUTOFF = "1999-01-01"
+CDC_V2_CUTOFF = "2000-01-01"
+CDC_DELETE_MOD = 97  # keys deleted in v2
+CDC_UPDATE_MOD = 13  # keys whose payload changed in v2
+
+
+def _cdc_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.sketches import _DIGEST_SQL
+
+    digest = _DIGEST_SQL.format(t="CAST(o_orderkey AS VARCHAR)")
+    return f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{CDC_V1_CUTOFF}'
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {CDC_UPDATE_MOD} = 0
+                  THEN o_orderstatus || '*' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{CDC_V2_CUTOFF}'
+        AND o_orderkey % {CDC_DELETE_MOD} <> 0
+    ),
+    d AS (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_orderstatus <> b.o_orderstatus THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_totalprice AS pre_price,
+             b.o_totalprice AS post_price
+      FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({digest}) AS BIGINT) AS key_hash,
+           ROUND(CAST(SUM(CAST(pre_price  AS DECIMAL(18,2))) AS DOUBLE), 2) AS pre_total,
+           ROUND(CAST(SUM(CAST(post_price AS DECIMAL(18,2))) AS DOUBLE), 2) AS post_total
+    FROM d WHERE change_type <> 'unchanged'
+    GROUP BY change_type
+    ORDER BY change_type
+    """
+
+
+@_register("snapshot_diff_cdc", _cdc_oracle())
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshot versions of the orders
+    table (v2 adds 1999's orders, deletes every 97th key, rewrites the
+    status of every 13th): classify every key insert / update / delete
+    and aggregate the pre/post images, with an order-independent
+    28-bit-digest key checksum per change class so the feed content —
+    not just its counts — is value-checked.
+
+    Scale shape: one full outer join, both sides shuffled once on the
+    primary key (a full outer cannot broadcast); classification and
+    image comparison are per-row expressions on the joined stream; the
+    rollup is a bounded 3-group aggregate. Table formats shortcut the
+    join with manifest-level file diffs — this is the format-agnostic
+    fallback that works on plain parquet at the same shuffle cost as
+    one co-partitioned join."""
+    from automated_dow30_earnings_reports_spark.operators.sketches import _digest_col
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    v1 = o.where(F.col("o_orderdate") < F.lit(CDC_V1_CUTOFF)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        o.where(
+            (F.col("o_orderdate") < F.lit(CDC_V2_CUTOFF))
+            & (F.col("o_orderkey") % CDC_DELETE_MOD != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % CDC_UPDATE_MOD == 0,
+                F.concat(F.col("o_orderstatus"), F.lit("*")),
+            )
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(F.col("a.o_orderstatus") != F.col("b.o_orderstatus"), "update")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+    return (
+        j.select(
+            change.alias("change_type"),
+            _digest_col(key.cast("string")).alias("kh"),
+            F.col("a.o_totalprice").alias("pre_price"),
+            F.col("b.o_totalprice").alias("post_price"),
+        )
+        .where(F.col("change_type") != "unchanged")
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("kh").cast("bigint").alias("key_hash"),
+            F.round(
+                F.sum(F.col("pre_price").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("pre_total"),
+            F.round(
+                F.sum(F.col("post_price").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("post_total"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining: co-ordered part pairs with support counts
+# (the frequent-itemset k=2 pass every recommender/affinity pipeline
+# starts with).
+# ---------------------------------------------------------------------------
+
+COOC_TOPK = 20
+
+
+@_register(
+    "co_occurrence_part_pairs",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT * FROM pairs ORDER BY support DESC, part_a, part_b LIMIT {COOC_TOPK}
+    )
+    SELECT t.part_a, pa.p_name AS name_a, t.part_b, pb.p_name AS name_b, t.support
+    FROM top t
+    JOIN part pa ON t.part_a = pa.p_partkey
+    JOIN part pb ON t.part_b = pb.p_partkey
+    ORDER BY t.support DESC, t.part_a, t.part_b
+    """,
+)
+def co_occurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs: distinct parts per order, within-order
+    self-join ordered (part_a < part_b), support counts, top-20 with
+    part names resolved AFTER the cut.
+
+    Scale shape: the pair explosion is bounded by basket size (max 13
+    distinct parts per order here → ≤ 78 pairs; production baskets get
+    a per-basket cap exactly like the dedup DF cap); the self-join
+    co-partitions both sides on l_orderkey — identical subplans, so
+    the shuffle is planned once and reused; pair support is one
+    map-side-combined groupBy; the name join touches only the 20
+    winners (tiny side, AQE broadcasts it — no hint on fact-derived
+    part). Deterministic cut via (support, part_a, part_b)."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    top = pairs.orderBy(F.col("support").desc(), "part_a", "part_b").limit(COOC_TOPK)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        top.join(part.alias("pa"), F.col("part_a") == F.col("pa.p_partkey"))
+        .join(part.alias("pb"), F.col("part_b") == F.col("pb.p_partkey"))
+        .select(
+            "part_a",
+            F.col("pa.p_name").alias("name_a"),
+            "part_b",
+            F.col("pb.p_name").alias("name_b"),
+            "support",
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )

@@ -101,6 +101,11 @@ _PRIORITY = [
     "q11_important_stock",
     "q16_parts_supplier",
     "q20_potential_promotion",
+    "repeated_ngram_spans",
+    "weighted_sample_topk",
+    "snapshot_diff_cdc",
+    "co_occurrence_part_pairs",
+    "triangle_count_cosupply",
 ]
 
 

@@ -109,6 +109,11 @@ HEADLINE = [
     "q9_product_profit",
     "q16_parts_supplier",
     "json_ledger_roundtrip",
+    "repeated_ngram_spans",
+    "snapshot_diff_cdc",
+    "co_occurrence_part_pairs",
+    "triangle_count_cosupply",
+    "weighted_sample_topk",
 ]
 
 

@@ -68,6 +68,7 @@ def main() -> int:
         "q20_potential_promotion",
         "csv_sink_roundtrip",
         "text_sink_roundtrip",
+        "json_ledger_roundtrip",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")

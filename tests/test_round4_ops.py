@@ -1,0 +1,122 @@
+"""Round-4 operator contracts on tiny constructed inputs (the oracle
+parity suite checks them against DuckDB at sf0.01; these pin the
+SEMANTICS on inputs small enough to verify by hand)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _tiny_sf(spark, tmp_path, **tables):
+    d = str(tmp_path / "tiny_sf")
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_repeated_ngram_spans_detects_shared_span(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    shared = "a b c d e f g h"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " x y z", "en", "s", 1),
+            (1, "p q r s t u v w " + shared, "en", "s", 1),
+            (2, "k l m n o only once here words", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _tiny_sf(spark, tmp_path, documents=docs)
+    rows = {r.doc_id: r for r in repeated_ngram_spans(spark, sf).collect()}
+    # doc 0: 4 grams, 1 shared; doc 1: 9 grams, 1 shared; doc 2: none
+    assert rows[0].n_repeated == 1 and rows[0].n_grams == 4
+    assert rows[1].n_repeated == 1 and rows[1].n_grams == 9
+    assert rows[2].n_repeated == 0
+    assert rows[0].repeated_frac == 0.25
+
+
+def test_weighted_sample_is_weight_monotone(spark, tmp_path):
+    """With equal hash draws, a larger weight must never score lower —
+    check the exact formula on controlled weights."""
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        ES_SAMPLE_K,
+        weighted_sample_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 10 + (i % 7) * 100) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _tiny_sf(spark, tmp_path, documents=docs)
+    out = weighted_sample_topk(spark, sf).collect()
+    assert len(out) == ES_SAMPLE_K
+    # scores are ln(u)/w <= 0 and sorted descending
+    scores = [r.es_score for r in out]
+    assert all(s <= 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # heavier docs dominate the sample: mean sampled weight well above
+    # the corpus mean (draws are md5-deterministic, so this is stable)
+    corpus_mean = sum(10 + (i % 7) * 100 for i in range(200)) / 200
+    sample_mean = sum(r.n_chars for r in out) / len(out)
+    assert sample_mean > corpus_mean
+
+
+def test_snapshot_diff_cdc_classes(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        snapshot_diff_cdc,
+    )
+
+    rows = {r.change_type: r for r in snapshot_diff_cdc(spark, sf_smoke).collect()}
+    assert set(rows) == {"insert", "delete", "update"}
+    # inserts have no pre-image, deletes no post-image, updates both
+    assert rows["insert"].pre_total is None and rows["insert"].post_total is not None
+    assert rows["delete"].post_total is None and rows["delete"].pre_total is not None
+    assert rows["update"].pre_total is not None and rows["update"].post_total is not None
+    # an update rewrites status only: pre/post priced identically
+    assert rows["update"].pre_total == rows["update"].post_total
+
+
+def test_triangle_count_on_known_graph(spark, tmp_path):
+    """K4 minus one edge has exactly 2 triangles; encode it as a
+    co-supply pattern (each edge = one shared part)."""
+    from automated_dow30_earnings_reports_spark.operators.graph import (
+        triangle_count_cosupply,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]  # K4 minus (3,4)
+    rows = [
+        (part_id, supp)
+        for part_id, (a, b) in enumerate(edges)
+        for supp in (a, b)
+    ]
+    li = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    sf = _tiny_sf(spark, tmp_path, lineitem=li)
+    out = triangle_count_cosupply(spark, sf).collect()[0]
+    assert out.n_edges == 5
+    assert out.n_triangles == 2  # {1,2,3} and {1,2,4}
+
+
+def test_co_occurrence_counts_distinct_baskets(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        co_occurrence_part_pairs,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # order 1: parts 10, 20 (twice -> must count once)
+            (1, 10), (1, 20), (1, 20),
+            # order 2: parts 10, 20, 30
+            (2, 10), (2, 20), (2, 30),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(10, "ten"), (20, "twenty"), (30, "thirty")], "p_partkey long, p_name string"
+    )
+    sf = _tiny_sf(spark, tmp_path, lineitem=li, part=part)
+    out = {(r.part_a, r.part_b): r for r in co_occurrence_part_pairs(spark, sf).collect()}
+    assert out[(10, 20)].support == 2  # duplicate line in order 1 not double-counted
+    assert out[(10, 30)].support == 1 and out[(20, 30)].support == 1
+    assert out[(10, 20)].name_a == "ten" and out[(10, 20)].name_b == "twenty"
