@@ -1577,3 +1577,255 @@ def co_occurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("support").desc(), "part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / cube / sliding-distinct / per-group regression — the
+# remaining relational API surfaces (df.pivot, df.rollup with
+# grouping_id, distinct-over-sliding-window, closed-form OLS via
+# moment aggregates).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via df.pivot with an EXPLICIT value list (statuses F/
+    O/P). The explicit list matters at scale: without it Spark runs an
+    extra distinct-collect job over the pivot column and the output
+    schema becomes data-dependent — with it, the pivot compiles to the
+    same one-shuffle conditional aggregation the oracle states."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "priority",
+            F.col("F").cast("bigint").alias("n_f"),
+            F.col("O").cast("bigint").alias("n_o"),
+            F.col("P").cast("bigint").alias("n_p"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_register(
+    "rolling_7d_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_users_7d,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over a sliding 7-day window — the aggregate
+    window functions cannot express (COUNT(DISTINCT) OVER a RANGE
+    frame is unsupported in both engines): pre-collapse events to
+    distinct (day, user) pairs, then range-join the day dimension
+    onto them and count distinct per window.
+
+    Scale shape: the heavy input collapses FIRST (events -> at most
+    days x users rows, one map-side-combined distinct); the range join
+    replicates each (day, user) row at most 7x against a broadcast
+    day dimension (bounded: days are calendar-scale, never
+    data-scale); the final distinct count shuffles once on day. The
+    sketch upgrade at 100 TB: per-day KMV k-min sets unioned across
+    each window (operators/sketches.py kmv_union_returnflags is that
+    merge) — swaps exactness for a 7x-smaller shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = F.broadcast(du.select("d").distinct().withColumnRenamed("d", "day"))
+    return (
+        days.join(
+            du,
+            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users_7d"),
+            F.count("*").cast("bigint").alias("n_user_days"),
+        )
+        # string day matches the engine-wide date-output convention
+        # (DuckDB's pandas bridge widens DATE to datetime64)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_users_7d",
+            "n_user_days",
+        )
+        .orderBy("day")
+    )
+
+
+@_register(
+    "value_trend_by_type",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT)   AS sx,
+             SUM(y)                    AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)
+             AS intercept
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope/intercept of value over epoch-day)
+    from closed-form moment sums — regression as ONE map-side-combined
+    aggregate, no per-group iteration. The moments accumulate as
+    BIGINT/DECIMAL (exact, order-independent); only the final
+    slope/intercept arithmetic runs in double, so both engines compute
+    identical results and the 6-decimal round is safe.
+
+    Scale shape: one shuffle with at most |event_type| groups; this is
+    how distributed regression actually ships (sufficient statistics,
+    not gradient loops) when the model is linear in the parameters."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    sy, sxx, sxy = (
+        F.col("sy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx.cast("double") * sx)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands WITHOUT a global sort. The textbook islands trick
+# (key - ROW_NUMBER() OVER (ORDER BY key)) needs a total order — a
+# single-partition window that dies at data scale. The distributed
+# form: island boundaries are set arithmetic (k is an island start iff
+# k-1 is absent — one self-anti-join on a shifted key), and only the
+# BOUNDARY set (|deletions|-sized, orders of magnitude smaller than
+# the key space) is ranked to pair starts with ends.
+# ---------------------------------------------------------------------------
+
+ISLAND_DELETE_MOD = 97  # same simulated deletions as snapshot_diff_cdc
+ISLAND_TOPK = 10
+
+
+@_register(
+    "orderkey_islands",
+    f"""
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % {ISLAND_DELETE_MOD} <> 0
+    ),
+    starts AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM keys
+      WHERE k - 1 NOT IN (SELECT k FROM keys)
+    ),
+    ends AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM keys
+      WHERE k + 1 NOT IN (SELECT k FROM keys)
+    ),
+    islands AS (
+      SELECT s.k AS island_start, e.k AS island_end,
+             CAST(e.k - s.k + 1 AS BIGINT) AS island_len
+      FROM starts s JOIN ends e USING (rn)
+    )
+    SELECT island_start, island_end, island_len
+    FROM islands
+    ORDER BY island_len DESC, island_start
+    LIMIT {ISLAND_TOPK}
+    """,
+)
+def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 longest contiguous runs of surviving order keys after
+    simulated deletions (every {ISLAND_DELETE_MOD}th key) — the
+    gaps-and-islands problem, distributed: boundaries via two
+    left-anti self-joins on k±1 (keys shuffle once on their value, the
+    join Spark plans for both probes), then starts and ends — equal
+    cardinality by construction, one boundary pair per island — are
+    rank-paired. ONLY the boundary set goes through the ordering
+    window (size = number of deletions, not number of keys); the
+    production form at 100 TB range-partitions that window too, but
+    boundaries are already ~2 orders of magnitude smaller than the
+    corpus.
+
+    scd2_event_type solves the value-change variant of run collapse
+    with per-entity windows; this is the key-contiguity variant where
+    no partition key exists — which is exactly when the set-based
+    boundary derivation matters."""
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % ISLAND_DELETE_MOD != 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    prev = keys.select((F.col("k") + 1).alias("k"))
+    nxt = keys.select((F.col("k") - 1).alias("k"))
+    w = Window.orderBy("k")
+    starts = (
+        keys.join(prev, "k", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumnRenamed("k", "island_start")
+    )
+    ends = (
+        keys.join(nxt, "k", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumnRenamed("k", "island_end")
+    )
+    return (
+        starts.join(ends, "rn")
+        .select(
+            "island_start",
+            "island_end",
+            (F.col("island_end") - F.col("island_start") + 1)
+            .cast("bigint")
+            .alias("island_len"),
+        )
+        .orderBy(F.col("island_len").desc(), "island_start")
+        .limit(ISLAND_TOPK)
+    )

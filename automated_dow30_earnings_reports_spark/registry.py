@@ -106,6 +106,10 @@ _PRIORITY = [
     "snapshot_diff_cdc",
     "co_occurrence_part_pairs",
     "triangle_count_cosupply",
+    "pivot_status_by_priority",
+    "orderkey_islands",
+    "rolling_7d_distinct_users",
+    "value_trend_by_type",
 ]
 
 

@@ -114,6 +114,9 @@ HEADLINE = [
     "co_occurrence_part_pairs",
     "triangle_count_cosupply",
     "weighted_sample_topk",
+    "orderkey_islands",
+    "rolling_7d_distinct_users",
+    "value_trend_by_type",
 ]
 
 

@@ -120,3 +120,37 @@ def test_co_occurrence_counts_distinct_baskets(spark, tmp_path):
     assert out[(10, 20)].support == 2  # duplicate line in order 1 not double-counted
     assert out[(10, 30)].support == 1 and out[(20, 30)].support == 1
     assert out[(10, 20)].name_a == "ten" and out[(10, 20)].name_b == "twenty"
+
+
+def test_orderkey_islands_known_runs(spark, tmp_path):
+    """Keys {1..5, 8, 10..13} minus the %97 filter (no-op here) form
+    islands [1-5], [8-8], [10-13] -> lengths 5, 4, 1."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        orderkey_islands,
+    )
+
+    keys = [1, 2, 3, 4, 5, 8, 10, 11, 12, 13]
+    o = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+    sf = _tiny_sf(spark, tmp_path, orders=o)
+    rows = [(r.island_start, r.island_end, r.island_len) for r in orderkey_islands(spark, sf).collect()]
+    assert rows == [(1, 5, 5), (10, 13, 4), (8, 8, 1)]
+
+
+def test_rolling_distinct_window_bounds(spark, tmp_path):
+    """Users seen exactly 7 days before a day are IN its window; 8
+    days before are OUT."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        rolling_7d_distinct_users,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", 1), (1, "2024-01-07 00:00:00", 2),
+         (2, "2024-01-09 00:00:00", 3)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    sf = _tiny_sf(spark, tmp_path, events=ev)
+    out = {r.day: r.n_users_7d for r in rolling_7d_distinct_users(spark, sf).collect()}
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-07"] == 2   # Jan 1 is day-6: inside the window
+    assert out["2024-01-09"] == 2   # Jan 1 fell out; Jan 7 + Jan 9 remain
