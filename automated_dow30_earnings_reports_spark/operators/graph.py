@@ -222,7 +222,17 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    e = sup.orderBy(F.col("c").desc(), "sa", "sb").limit(TRI_EDGES).select("sa", "sb")
+    # The edge list is referenced four times (two-path legs, closing
+    # probe, edge count); localCheckpoint materializes the <= TRI_EDGES
+    # rows once so the (part, supplier) dedup + pair aggregation don't
+    # replan per reference (plan audit showed 4x re-derivation without
+    # it — same bounded-frame pattern as dedup_clusters' rounds).
+    e = (
+        sup.orderBy(F.col("c").desc(), "sa", "sb")
+        .limit(TRI_EDGES)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.sb") == F.col("e2.sa"))
