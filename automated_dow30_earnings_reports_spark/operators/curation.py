@@ -659,17 +659,19 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ES_SAMPLE_K = 25
-_ES_SPACE = 16 ** 7  # 28-bit digest space, as operators/sketches.py
 
 
 def _es_oracle() -> str:
-    from automated_dow30_earnings_reports_spark.operators.sketches import _DIGEST_SQL
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        KMV_SPACE,
+        _DIGEST_SQL,
+    )
 
     digest = _DIGEST_SQL.format(t="CAST(doc_id AS VARCHAR)")
     return f"""
     WITH scored AS (
       SELECT doc_id, n_chars,
-             ln(({digest} + 1.0) / {_ES_SPACE + 1}.0) / n_chars AS score
+             ln(({digest} + 1.0) / {KMV_SPACE + 1}.0) / n_chars AS score
       FROM documents
       WHERE n_chars > 0
     )
@@ -694,10 +696,13 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver — k rows of driver state however large the corpus, no
     global sort, no shuffle. Repeatable: same corpus, same k, same
     sample."""
-    from automated_dow30_earnings_reports_spark.operators.sketches import _digest_col
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        KMV_SPACE,
+        _digest_col,
+    )
 
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    u = (_digest_col(F.col("doc_id").cast("string")) + 1.0) / float(_ES_SPACE + 1)
+    u = (_digest_col(F.col("doc_id").cast("string")) + 1.0) / float(KMV_SPACE + 1)
     score = F.log(u) / F.col("n_chars")
     return (
         d.select("doc_id", "n_chars", score.alias("score"))

@@ -1694,11 +1694,15 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+           ROUND(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                      ELSE (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) END, 6)
              AS slope_per_day,
-           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)
+           ROUND(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                      ELSE (CAST(sy AS DOUBLE)
+                            - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+                           / n END, 6)
              AS intercept
     FROM m
     ORDER BY event_type
@@ -1734,12 +1738,21 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxx").cast("double"),
         F.col("sxy").cast("double"),
     )
-    slope = (n * sxy - sx * sy) / (n * sxx - sx.cast("double") * sx)
+    # Degenerate group (single point, or all points on one day): the
+    # denominator is exactly 0 in the integer moments and the slope is
+    # undefined — NULL, not a DIVIDE_BY_ZERO task failure (the session
+    # runs ANSI mode, where even double/0.0 throws). Mirrored CASE in
+    # the oracle.
+    denom_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom_exact != 0,
+        (n * sxy - sx * sy) / (n * sxx - sx.cast("double") * sx),
+    )
     return m.select(
         "event_type",
         "n",
         F.round(slope, 6).alias("slope_per_day"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.when(denom_exact != 0, (sy - slope * sx) / n), 6).alias("intercept"),
     ).orderBy("event_type")
 
 

@@ -477,12 +477,11 @@ def register(spark) -> None:
     """Idempotently register the connector on this session (and enable
     Python-source filter pushdown, off by default in Spark 4.1)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(KVLinksDataSource)
-    except Exception as exc:  # re-registration is the only benign failure
-        msg = str(exc)
-        if "already" not in msg.lower() and "exists" not in msg.lower():
-            raise
+    # Spark 4.1 re-registration replaces the prior entry with a WARN
+    # (verified: no exception) — so register() needs no exception
+    # shield, and any error that DOES surface is a genuine failure
+    # that must propagate with its root cause.
+    spark.dataSource.register(KVLinksDataSource)
 
 
 # ---------------------------------------------------------------------------

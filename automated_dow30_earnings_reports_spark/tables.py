@@ -149,7 +149,7 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     deployment whose scans are already parallel: no-op there.
     """
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     if parts is None:
@@ -165,7 +165,10 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
         if u.scheme not in ("", "file"):
             return df
         try:
-            total += os.path.getsize(u.path or f)
+            # inputFiles() returns Hadoop URIs, percent-encoded — a path
+            # with a space arrives as %20 and must be unquoted before
+            # the stat call, or every spread() on it would no-op.
+            total += os.path.getsize(unquote(u.path) or f)
         except OSError:
             return df
     max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)

@@ -49,6 +49,10 @@ def main() -> int:
     if only:
         qs = {n: f for n, f in qs.items() if any(s in n for s in only)}
         print(f"[filter] {len(qs)} queries match {only}")
+        if not qs:
+            # A typo'd filter must not read as a green verify run.
+            print("[filter] ERROR: no queries match — check the name(s)")
+            return 2
     sf = "/root/testdata/sf0.01"
     con = duckdb_conn(sf)
     failures = 0

@@ -154,3 +154,37 @@ def test_rolling_distinct_window_bounds(spark, tmp_path):
     assert out["2024-01-01"] == 1
     assert out["2024-01-07"] == 2   # Jan 1 is day-6: inside the window
     assert out["2024-01-09"] == 2   # Jan 1 fell out; Jan 7 + Jan 9 remain
+
+
+def test_value_trend_degenerate_group_yields_null(spark, tmp_path):
+    """All of a type's events on ONE day -> OLS denominator is 0; the
+    slope must be NULL, not an ANSI DIVIDE_BY_ZERO task failure
+    (code-review r4 finding)."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        value_trend_by_type,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "2024-01-01 03:00:00", 1, "oneday", 5.0),
+         (1, "2024-01-01 09:00:00", 2, "oneday", 9.0),
+         (2, "2024-01-01 00:00:00", 3, "twoday", 1.0),
+         (3, "2024-01-02 00:00:00", 4, "twoday", 3.0)],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+    sf = _tiny_sf(spark, tmp_path, events=ev)
+    out = {r.event_type: r for r in value_trend_by_type(spark, sf).collect()}
+    assert out["oneday"].slope_per_day is None and out["oneday"].intercept is None
+    assert out["twoday"].slope_per_day == 2.0  # (3-1)/1 day
+
+
+def test_spread_handles_percent_encoded_paths(spark, tmp_path):
+    """A directory with a space must still be size-estimated (inputFiles
+    returns percent-encoded URIs; code-review r4 finding)."""
+    from automated_dow30_earnings_reports_spark.tables import spread
+
+    d = tmp_path / "with space"
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(str(d))
+    df = spark.read.parquet(str(d))
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
