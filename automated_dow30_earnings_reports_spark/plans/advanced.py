@@ -1842,3 +1842,85 @@ def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("island_len").desc(), "island_start")
         .limit(ISLAND_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: the gap-rule session assembly (streaming's
+# session_window, computed retrospectively over the full log).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30 min idle closes a session
+
+
+@_register(
+    "session_stats_batch",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_S} SECOND
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           ROUND(AVG(dur_s), 4)    AS avg_duration_s,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM per_sess
+    GROUP BY user_id % 10
+    ORDER BY user_bucket
+    """,
+)
+def session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective sessionization by the 30-minute-idle rule: flag
+    session starts with lag, number sessions with a running sum, roll
+    up per-session event counts and wall-clock durations, then report
+    per-user-bucket session statistics.
+
+    Scale shape: both windows partition by user_id — ONE shuffle total
+    (the second window and the per-session groupBy reuse the same
+    hash partitioning); no cross-user state, so skew is bounded by the
+    per-user event count (salt hot users if a device-farm key
+    appears). This is the batch twin of streaming session_window
+    (Q: window_session) — same gap rule, checked against the same
+    kind of oracle, usable for backfills where the streaming job only
+    sees new data. Tie-break on (ts, event_id) makes session numbering
+    deterministic under same-timestamp events."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
+    new_sess = F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0)
+    s = e.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = s.groupBy("user_id", "sess_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy((F.col("user_id") % 10).cast("bigint").alias("user_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg("dur_s"), 4).alias("avg_duration_s"),
+            F.max("n_events").cast("bigint").alias("max_events"),
+        )
+        .orderBy("user_bucket")
+    )

@@ -1017,3 +1017,74 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper (the flagship is the Q5-shaped variant without
+    the local-supplier restriction): revenue from lineitems where the
+    CUSTOMER and the SUPPLIER share a nation, per ASIA nation, one
+    year. The c_nationkey = s_nationkey equi-condition is the defining
+    feature — it rides on the supplier join as an extra key, not a
+    post-filter, so the join output never carries non-local pairs.
+
+    Scale shape: the date filter pushes into the orders scan and the
+    region filter into the dim chain before any fact join; join order
+    is customer->orders (key o_custkey), ->lineitem (o_orderkey),
+    ->supplier (l_suppkey + nation equality); nation x region
+    broadcast. Revenue sums as DECIMAL; DESC cut tie-broken by
+    nation."""
+    cutoff_lo, cutoff_hi = "1996-01-01", "1997-01-01"
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(cutoff_lo))
+            & (F.col("o_orderdate") < F.lit(cutoff_hi))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    dims = F.broadcast(
+        load_table(spark, sf_dir, "nation").join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )

@@ -110,6 +110,12 @@ _PRIORITY = [
     "orderkey_islands",
     "rolling_7d_distinct_users",
     "value_trend_by_type",
+    # --- position 51+: r4 additions beyond the ~50-query budget; if the
+    # driver stops at 50, rotate these to the front in round 5 ---
+    "schema_evolution_read",
+    "file_skipping_stats",
+    "session_stats_batch",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -200,3 +200,162 @@ ORACLES["lake_compaction"] = f"""
     GROUP BY lang
     ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a lake ingests files written under DIFFERENT
+# schema versions (columns added over time). mergeSchema reconciles
+# them at read; rows from pre-evolution files surface NULL for the
+# added columns — never an error, never silent column loss.
+# ---------------------------------------------------------------------------
+
+_SCRATCH_EVO = _os.path.join(_os.path.dirname(_SCRATCH_ORC), "schema_evo")
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as two generations — v1 without the
+    quality column, v2 (doc_id >= 250) with a computed `quality`
+    double — then read the union with mergeSchema and aggregate per
+    generation. The oracle recomputes from the base table, so dropped
+    columns, misaligned NULLs, or generation mix-ups break the hash.
+
+    Scale shape: schema reconciliation happens at footer-read time on
+    the driver (one pass over file footers, not data); the scan itself
+    stays a plain pruned columnar read. The alternative — rewriting
+    history to the new schema — is a full-corpus rewrite; this is why
+    additive evolution + mergeSchema is the production default."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH_EVO, _os.path.basename(sf_dir.rstrip("/")))
+    v1 = d.where(F.col("doc_id") < 250).select("doc_id", "lang", "n_chars")
+    v2 = (
+        d.where(F.col("doc_id") >= 250)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("n_chars") / 100.0, 4).alias("quality"),
+        )
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        _os.path.join(path, "gen=1"), _os.path.join(path, "gen=2")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pre_evolution"),
+            F.round(
+                F.sum(F.coalesce(F.col("quality"), F.lit(0.0)).cast("decimal(18,4)"))
+                .cast("double"),
+                4,
+            ).alias("total_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["schema_evolution_read"] = schema_evolution_read
+ORACLES["schema_evolution_read"] = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (doc_id < 250) AS BIGINT) AS n_pre_evolution,
+           ROUND(CAST(SUM(CASE WHEN doc_id >= 250
+                               THEN CAST(ROUND(n_chars / 100.0, 4) AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4)
+             AS total_quality
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file skipping AS DATA: the decision a lakehouse reader
+# makes from footer min/max stats, materialized so it can be audited.
+# ---------------------------------------------------------------------------
+
+SKIP_N_FILES = 16
+SKIP_PRED_LO = 400.0  # value BETWEEN bounds the predicate probes
+SKIP_PRED_HI = 500.0
+
+
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulate zone-map pruning over a value-clustered lake: orders
+    are range-bucketed into SKIP_N_FILES 'files' by totalprice
+    percentile (ntile — the effect of writing sorted), per-file
+    min/max footer stats are computed, and the predicate
+    `totalprice BETWEEN 400 AND 500` is evaluated AGAINST THE STATS
+    ONLY. Output: per-file stats, whether the file would be skipped,
+    and the row counts proving skip-correctness (a skipped file must
+    contain 0 matching rows).
+
+    Scale shape: this is the arithmetic a reader does per row group
+    from footer metadata — O(files), zero data I/O. Materializing it
+    as a query makes layout quality measurable: the fraction of files
+    skippable for a point/range predicate IS the clustering quality
+    metric (compare zorder_cluster, which builds such a layout).
+    Window ntile orders by (price, key) — deterministic file
+    assignment, mirrored in the oracle."""
+    from pyspark.sql import Window
+
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.withColumn("file_id", F.ntile(SKIP_N_FILES).over(w))
+    stats = binned.groupBy("file_id").agg(
+        F.min("o_totalprice").alias("stat_min"),
+        F.max("o_totalprice").alias("stat_max"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") >= SKIP_PRED_LO)
+                & (F.col("o_totalprice") <= SKIP_PRED_HI),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matching"),
+    )
+    skipped = (F.col("stat_max") < SKIP_PRED_LO) | (F.col("stat_min") > SKIP_PRED_HI)
+    return stats.select(
+        "file_id",
+        F.round("stat_min", 2).alias("stat_min"),
+        F.round("stat_max", 2).alias("stat_max"),
+        "n_rows",
+        "n_matching",
+        skipped.alias("skipped"),
+    ).orderBy("file_id")
+
+
+QUERIES["file_skipping_stats"] = file_skipping_stats
+ORACLES["file_skipping_stats"] = f"""
+    WITH binned AS (
+      SELECT o_totalprice,
+             ntile({SKIP_N_FILES}) OVER (ORDER BY o_totalprice, o_orderkey) AS file_id
+      FROM orders
+    ),
+    stats AS (
+      SELECT file_id,
+             MIN(o_totalprice) AS mn,
+             MAX(o_totalprice) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (o_totalprice BETWEEN {SKIP_PRED_LO} AND {SKIP_PRED_HI})
+                  AS BIGINT) AS n_matching
+      FROM binned GROUP BY file_id
+    )
+    SELECT file_id,
+           ROUND(mn, 2) AS stat_min,
+           ROUND(mx, 2) AS stat_max,
+           n_rows,
+           n_matching,
+           (mx < {SKIP_PRED_LO} OR mn > {SKIP_PRED_HI}) AS skipped
+    FROM stats
+    ORDER BY file_id
+"""

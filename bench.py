@@ -117,6 +117,10 @@ HEADLINE = [
     "orderkey_islands",
     "rolling_7d_distinct_users",
     "value_trend_by_type",
+    "schema_evolution_read",
+    "file_skipping_stats",
+    "session_stats_batch",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -188,3 +188,52 @@ def test_spread_handles_percent_encoded_paths(spark, tmp_path):
     out = spread(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 1000
+
+
+def test_schema_evolution_null_alignment(spark, sf_smoke):
+    """Pre-evolution rows surface NULL quality (counted), and the
+    merged read loses no rows vs the base table."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        schema_evolution_read,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    out = schema_evolution_read(spark, sf_smoke).collect()
+    base = load_table(spark, sf_smoke, "documents")
+    assert sum(r.n_docs for r in out) == base.count()
+    assert sum(r.n_pre_evolution for r in out) == base.where("doc_id < 250").count()
+
+
+def test_file_skipping_is_sound(spark, sf_smoke):
+    """A file the zone-map says to skip must contain ZERO matching
+    rows (false skips would be data loss); with value-clustered
+    layout, most files are skippable for a narrow range predicate."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        SKIP_N_FILES,
+        file_skipping_stats,
+    )
+
+    rows = file_skipping_stats(spark, sf_smoke).collect()
+    assert len(rows) == SKIP_N_FILES
+    for r in rows:
+        if r.skipped:
+            assert r.n_matching == 0
+    assert sum(1 for r in rows if r.skipped) >= SKIP_N_FILES - 3
+
+
+def test_session_gap_rule(spark, tmp_path):
+    """Events 29 min apart share a session; 31 min apart split."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        session_stats_batch,
+    )
+
+    base = 1_700_000_000
+    ev = spark.createDataFrame(
+        [(0, base, 1), (1, base + 29 * 60, 1), (2, base + 29 * 60 + 31 * 60, 1)],
+        "event_id long, es long, user_id long",
+    ).select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    sf = _tiny_sf(spark, tmp_path, events=ev)
+    out = session_stats_batch(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_sessions == 2 and r.max_events == 2
