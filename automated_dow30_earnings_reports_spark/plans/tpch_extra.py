@@ -313,6 +313,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
+    # The aggregate feeds both the winners filter and its own global
+    # max; without materialization Spark re-plans the quarter-filtered
+    # lineitem scan + aggregate for the max branch (plan audit: 2
+    # lineitem scans). localCheckpoint pins the per-supplier frame —
+    # orders of magnitude smaller than the fact slice — so the max
+    # reads the materialized rows.
+    srev = srev.localCheckpoint(eager=True)
     mx = srev.agg(F.max("total_revenue").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

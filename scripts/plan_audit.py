@@ -69,6 +69,10 @@ def main() -> int:
         "csv_sink_roundtrip",
         "text_sink_roundtrip",
         "json_ledger_roundtrip",
+        "schema_evolution_read",
+        "file_skipping_stats",
+        "session_stats_batch",
+        "q5_local_supplier_volume",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")
