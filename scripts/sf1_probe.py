@@ -62,6 +62,15 @@ PROBE = [
     "cms_heavy_hitters",
     "q9_product_profit",
     "q19_disjunctive_revenue",
+    # r4 additions with non-trivial fan-out characteristics
+    "repeated_ngram_spans",
+    "chunk_dedup_reconstruct",
+    "co_occurrence_part_pairs",
+    "triangle_count_cosupply",
+    "session_stats_batch",
+    "rolling_7d_distinct_users",
+    "snapshot_diff_cdc",
+    "q2_min_cost_supplier",
 ]
 
 VOWELS = "aeiou"
