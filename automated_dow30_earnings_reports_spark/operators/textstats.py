@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_dow30_earnings_reports_spark.tables import load_table
+from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -758,4 +758,127 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval — the IR scoring primitive between tf-idf keyword
+# extraction (tfidf_top_terms, per-doc) and embedding ANN (semantic):
+# score the corpus against a fixed query, top-k.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("join", "scan", "window", "vector")  # fixed query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf_{i} > 0) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    # Fixed-order expression tree: term 0 + term 1 + ... — identical
+    # double arithmetic in both engines, no aggregate over doubles.
+    score_terms = " + ".join(
+        f"(ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
+        f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl, {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM per_doc
+    )
+    SELECT d.doc_id, d.dl, ROUND({score_terms}, 6) AS bm25
+    FROM per_doc d CROSS JOIN stats s
+    WHERE {" + ".join(f"d.tf_{i}" for i in range(len(BM25_QUERY)))} > 0
+    ORDER BY {score_terms} DESC, d.doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@_register("bm25_retrieval", _bm25_oracle())
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} retrieval for a fixed query (Robertson/
+    Sparck Jones idf with the +1 floor, k1={BM25_K1}, b={BM25_B}).
+
+    Determinism: every aggregate is INTEGER (per-doc term frequencies,
+    doc lengths, document frequencies, N) — the floating-point score
+    is ONE fixed-order expression tree over those integers plus the
+    avgdl scalar, so both engines compute bit-identical doubles and
+    the top-k cut (score DESC, doc_id) is exact — no double SUM whose
+    fold order could differ.
+
+    Scale shape: term frequencies are map-side array arithmetic on
+    the scan (no explode — the query is a fixed literal list, so tf
+    per term is a filter-count inside the tokens array); the global
+    stats frame is ONE bounded row broadcast back over the corpus;
+    top-k is TakeOrdered. Query-at-a-time over 100 TB in one scan +
+    one 1-row crossJoin — the inverted-index upgrade only pays when
+    queries vastly outnumber scans."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    def _eq(term: str):
+        # single-arg lambda: a two-arg one would hit F.filter's
+        # (element, index) overload and compare tokens to positions
+        return lambda x: x == F.lit(term)
+
+    tf_exprs = [
+        F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf_{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    per_doc = d.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), *tf_exprs
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_QUERY)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{i}") * (BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    any_tf = None
+    for i in range(len(BM25_QUERY)):
+        any_tf = (
+            F.col(f"tf_{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf_{i}")
+        )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(any_tf > 0)
+        .select("doc_id", "dl", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
     )

@@ -116,6 +116,7 @@ _PRIORITY = [
     "file_skipping_stats",
     "session_stats_batch",
     "q5_local_supplier_volume",
+    "bm25_retrieval",
 ]
 
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "file_skipping_stats",
     "session_stats_batch",
     "q5_local_supplier_volume",
+    "bm25_retrieval",
 ]
 
 

@@ -73,6 +73,7 @@ def main() -> int:
         "file_skipping_stats",
         "session_stats_batch",
         "q5_local_supplier_volume",
+        "bm25_retrieval",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")

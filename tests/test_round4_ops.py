@@ -237,3 +237,33 @@ def test_session_gap_rule(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r.n_sessions == 2 and r.max_events == 2
+
+
+def test_bm25_ranks_exact_formula(spark, tmp_path):
+    """Hand-computed BM25 on a 3-doc corpus: doc with both query terms
+    outranks single-term docs; absent-term docs are excluded."""
+    import math
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        bm25_retrieval,
+    )
+
+    t0, t1 = BM25_QUERY[0], BM25_QUERY[1]
+    docs = spark.createDataFrame(
+        [
+            (0, f"{t0} {t1} filler words here", "en", "s", 1),
+            (1, f"{t0} filler words here more", "en", "s", 1),
+            (2, "nothing relevant at all here", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _tiny_sf(spark, tmp_path, documents=docs)
+    rows = bm25_retrieval(spark, sf).collect()
+    assert [r.doc_id for r in rows] == [0, 1]  # doc 2 has no query term
+    # reproduce doc 1's score: N=3, df(t0)=2, tf=1, dl=5, avgdl=5
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    tfc = (1 * (BM25_K1 + 1.0)) / (1 + BM25_K1 * (1.0 - BM25_B + BM25_B * 5 / 5.0))
+    assert abs(rows[1].bm25 - round(idf * tfc, 6)) < 1e-9
