@@ -812,8 +812,8 @@ def _bm25_oracle() -> str:
 
 @_register("bm25_retrieval", _bm25_oracle())
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{BM25_TOPK} retrieval for a fixed query (Robertson/
-    Sparck Jones idf with the +1 floor, k1={BM25_K1}, b={BM25_B}).
+    """BM25 top-10 retrieval for a fixed query (Robertson/Sparck Jones
+    idf with the +1 floor, k1=1.2, b=0.75 — see the module constants).
 
     Determinism: every aggregate is INTEGER (per-doc term frequencies,
     doc lengths, document frequencies, N) — the floating-point score
@@ -824,11 +824,12 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: term frequencies are map-side array arithmetic on
     the scan (no explode — the query is a fixed literal list, so tf
-    per term is a filter-count inside the tokens array); the global
-    stats frame is ONE bounded row broadcast back over the corpus;
-    top-k is TakeOrdered. Query-at-a-time over 100 TB in one scan +
-    one 1-row crossJoin — the inverted-index upgrade only pays when
-    queries vastly outnumber scans."""
+    per term is a filter-count inside the tokens array), materialized
+    once as a narrow int frame that feeds both the global stats row
+    (broadcast back over it) and the scoring pass; top-k is
+    TakeOrdered. Query-at-a-time over 100 TB in one text scan — the
+    inverted-index upgrade only pays when queries vastly outnumber
+    scans."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     def _eq(term: str):
@@ -840,9 +841,15 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf_{i}")
         for i, t in enumerate(BM25_QUERY)
     ]
+    # The narrow (doc_id, dl, tf_*) frame feeds both the global stats
+    # aggregate and the scoring pass; localCheckpoint materializes the
+    # tokenization ONCE (plan audit showed two full documents scans
+    # re-running the regex split without it — ~48 bytes/doc vs
+    # re-reading the text corpus, the same aggregate-feeds-its-own-
+    # global-stat shape q15 pins).
     per_doc = d.select(
         "doc_id", F.size(toks).cast("bigint").alias("dl"), *tf_exprs
-    )
+    ).localCheckpoint(eager=True)
     stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

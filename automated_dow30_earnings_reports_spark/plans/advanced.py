@@ -1856,7 +1856,7 @@ SESSION_GAP_S = 1800  # 30 min idle closes a session
     "session_stats_batch",
     f"""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL {SESSION_GAP_S} SECOND
                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1865,7 +1865,7 @@ SESSION_GAP_S = 1800  # 30 min idle closes a session
     ),
     s AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM o
     ),
@@ -1902,8 +1902,17 @@ def session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under same-timestamp events."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
-    new_sess = F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0)
+    # Microsecond-exact gap via interval arithmetic: unix_timestamp()
+    # floors to seconds, which would merge a 1800.5 s gap the oracle's
+    # interval comparison splits (code-review r4 finding, reproduced) —
+    # every testdata ts carries sub-second micros. Timestamp
+    # subtraction works for both TIMESTAMP and TIMESTAMP_NTZ (the
+    # vanilla driver session reads parquet as NTZ, where unix_micros
+    # would not resolve).
+    gap = F.col("ts") - F.lag("ts").over(w_ord)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.expr(f"INTERVAL {SESSION_GAP_S} SECONDS")), 1
+    ).otherwise(0)
     s = e.withColumn("new_sess", new_sess).withColumn(
         "sess_id",
         F.sum("new_sess").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),

@@ -267,3 +267,29 @@ def test_bm25_ranks_exact_formula(spark, tmp_path):
     idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
     tfc = (1 * (BM25_K1 + 1.0)) / (1 + BM25_K1 * (1.0 - BM25_B + BM25_B * 5 / 5.0))
     assert abs(rows[1].bm25 - round(idf * tfc, 6)) < 1e-9
+
+
+def test_session_gap_is_microsecond_exact(spark, tmp_path):
+    """A 1800.5s gap must SPLIT the session (the code-review repro:
+    second-floored arithmetic merged it while the oracle split it)."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        session_stats_batch,
+    )
+
+    base_us = 1_700_000_000_000_000 + 200_000  # base + 0.2s
+    ev = spark.createDataFrame(
+        [(0, base_us, 1), (1, base_us + 1_800_500_000, 1)],
+        "event_id long, us long, user_id long",
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "user_id")
+    sf = _tiny_sf(spark, tmp_path, events=ev)
+    r = session_stats_batch(spark, sf).collect()[0]
+    assert r.n_sessions == 2 and r.max_events == 1
+    # and exactly 1800.000000s stays ONE session (boundary not >)
+    ev2 = spark.createDataFrame(
+        [(0, base_us, 1), (1, base_us + 1_800_000_000, 1)],
+        "event_id long, us long, user_id long",
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "user_id")
+    sf2 = str(tmp_path / "b")
+    ev2.coalesce(1).write.mode("overwrite").parquet(f"{sf2}/events.parquet")
+    r2 = session_stats_batch(spark, sf2).collect()[0]
+    assert r2.n_sessions == 1 and r2.max_events == 2
