@@ -104,3 +104,29 @@ def test_loaded_schema_matches_contract(spark, sf_smoke, table):
             f"engine expects {allowed}. If /root/testdata was regenerated, "
             f"update tables.load_table (see _load_events) and this contract."
         )
+
+
+def test_priority_names_all_resolve():
+    """Every registry._PRIORITY entry must name a registered query —
+    the list routes the external correctness budget, so a typo'd
+    rotation would silently burn verification slots."""
+    from automated_dow30_earnings_reports_spark import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    missing = [n for n in registry._PRIORITY if n not in qs]
+    assert missing == []
+    assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
+    # every priority query is oracled (the driver's strong check)
+    unoracled = [n for n in registry._PRIORITY if n not in oracles]
+    assert unoracled == []
+
+
+def test_bench_headline_names_all_resolve():
+    import bench
+
+    from automated_dow30_earnings_reports_spark import registry
+
+    qs = registry.all_queries()
+    assert [n for n in bench.HEADLINE if n not in qs] == []
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
