@@ -217,7 +217,14 @@ def main() -> int:
         for k in timings
         if k in prev and prev[k] >= 0.2
     }
-    regressions = {k: v for k, v in delta.items() if v > 1.5}
+    # Cap at the 10 worst so a box-drift round can't overflow the
+    # driver's ~2 KB stdout window with dozens of spurious entries.
+    regressions = dict(
+        sorted(
+            ((k, v) for k, v in delta.items() if v > 1.5),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
 
     payload = {
         "metric": "headline_query_wall_clock",
