@@ -774,3 +774,144 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0
     )
     return d.select("doc_id", *dhash_bands_spark(F.col("text"))).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup signatures — the audio twin of the image
+# dHash above (Shazam/Chromaprint shape reduced to its Spark-relevant
+# core): frame the decoded signal, take per-frame energies, keep the
+# ENERGY-GRADIENT bits (energy rises/falls between adjacent frames —
+# robust to gain changes exactly as dHash gradients are robust to
+# brightness), band the bits for Hamming-LSH pairing. The fake decode
+# expands the blob payload through a salted md5 chain into the frame
+# energies ('~' chain, disjoint from the image '#' chain), keeping
+# every downstream step real, JVM-side, and oracle-mirrored.
+# ---------------------------------------------------------------------------
+
+AFP_BITS = 32  # gradient bits per clip
+AFP_BANDS = 2  # 2 x 16-bit bands: all pairs with hamming <= 1 guaranteed
+
+
+def _afp_frame_spark(text_col: Column, p: int) -> Column:
+    k, off = divmod(p, 16)
+    m = F.md5(F.concat(text_col, F.lit(f"~{k}")).cast("binary"))
+    return F.conv(F.substring(m, 2 * off + 1, 2), 16, 10).cast("int")
+
+
+def _afp_frame_sql(text_expr: str, p: int) -> str:
+    k, off = divmod(p, 16)
+    hx = f"substr(md5({text_expr} || '~{k}'), {2 * off + 1}, 2)"
+    hi = f"(strpos('0123456789abcdef', substr({hx}, 1, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hx}, 2, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def afp_bands_spark(text_col: Column) -> list[Column]:
+    """AFP_BANDS x 16-bit energy-gradient bands."""
+    bands = []
+    bits_per = AFP_BITS // AFP_BANDS
+    for b in range(AFP_BANDS):
+        acc = F.lit(0)
+        for i in range(bits_per):
+            p = b * bits_per + i
+            bit = (
+                _afp_frame_spark(text_col, p + 1) > _afp_frame_spark(text_col, p)
+            ).cast("int")
+            acc = acc + bit * (1 << i)
+        bands.append(acc.cast("int").alias(f"f{b}"))
+    return bands
+
+
+def _afp_bands_sql(text_expr: str) -> list[str]:
+    bands = []
+    bits_per = AFP_BITS // AFP_BANDS
+    for b in range(AFP_BANDS):
+        terms = []
+        for i in range(bits_per):
+            p = b * bits_per + i
+            bit = (
+                f"(CASE WHEN {_afp_frame_sql(text_expr, p + 1)}"
+                f" > {_afp_frame_sql(text_expr, p)} THEN 1 ELSE 0 END)"
+            )
+            terms.append(f"{bit} * {1 << i}")
+        bands.append("CAST(" + " + ".join(terms) + f" AS INTEGER) AS f{b}")
+    return bands
+
+
+def banded_hamming_pairs(
+    signed: DataFrame, band_cols: list[str], max_hamming: int
+) -> DataFrame:
+    """Generic banded Hamming-LSH candidate/verify over integer band
+    columns (generalizes dhash_candidate_pairs): docs sharing ANY band
+    value are candidates — all pairs with hamming <= len(band_cols)-1
+    are guaranteed found — then the exact XOR popcount verifies. One
+    shuffle on (band_idx, band_value), never all-pairs."""
+    n = len(band_cols)
+    bands = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("bi"), F.col(c).alias("bv"))
+                    for i, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.bi", "e.bv")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bi", "bv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = signed.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"xa{i}") for i, c in enumerate(band_cols)],
+    )
+    bsig = signed.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"xb{i}") for i, c in enumerate(band_cols)],
+    )
+    ham = None
+    for i in range(n):
+        t = F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"xb{i}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(a, "doc_a")
+        .join(bsig, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _afp_oracle() -> str:
+    bands = ",\n           ".join(_afp_bands_sql("text"))
+    return f"""
+    SELECT doc_id,
+           {bands}
+    FROM documents
+    WHERE doc_id % 3 = 1
+    ORDER BY doc_id
+    """
+
+
+@_register("multimodal_audio_fingerprint", _afp_oracle())
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio fingerprint (2 x 16 energy-gradient bits) over
+    the deterministically fake-decoded frame energies; pairing via
+    `banded_hamming_pairs` (pinned on constructed duplicates in tests
+    — this corpus has no duplicate audio payloads, so the oracle
+    value-checks the signature arithmetic, exactly as the image dHash
+    and simhash queries do).
+
+    Scale shape: the signature is pure whole-stage codegen (3 md5
+    calls + 33 hex slices per row); blobs never shuffle — only the two
+    small band ints do, and candidates come from band-equality
+    buckets."""
+    from automated_dow30_earnings_reports_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 1
+    )
+    return d.select("doc_id", *afp_bands_spark(F.col("text"))).orderBy("doc_id")

@@ -117,6 +117,7 @@ _PRIORITY = [
     "session_stats_batch",
     "q5_local_supplier_volume",
     "bm25_retrieval",
+    "multimodal_audio_fingerprint",
 ]
 
 

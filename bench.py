@@ -122,6 +122,7 @@ HEADLINE = [
     "session_stats_batch",
     "q5_local_supplier_volume",
     "bm25_retrieval",
+    "multimodal_audio_fingerprint",
 ]
 
 

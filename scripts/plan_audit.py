@@ -74,6 +74,7 @@ def main() -> int:
         "session_stats_batch",
         "q5_local_supplier_volume",
         "bm25_retrieval",
+        "multimodal_audio_fingerprint",
     ]
 
     print("| query | exchanges | python nodes | pushed filters | read cols |")

@@ -375,3 +375,29 @@ def test_dhash_band_range(spark, sf_correctness):
     for r in rows:
         for b in (r.b0, r.b1, r.b2, r.b3):
             assert 0 <= b < 65536
+
+
+def test_audio_fingerprint_banded_pairs(spark):
+    """Constructed duplicate clips pair at hamming 0; a clip differing
+    in one gradient bit still pairs (<= 1 guaranteed by 2 bands); an
+    unrelated clip does not pair."""
+    from automated_dow30_earnings_reports_spark.operators.multimodal import (
+        afp_bands_spark,
+        banded_hamming_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "clip payload alpha"), (1, "clip payload alpha"), (2, "totally different clip")],
+        "doc_id long, text string",
+    )
+    signed = df.select("doc_id", *afp_bands_spark(F.col("text")))
+    pairs = banded_hamming_pairs(signed, ["f0", "f1"], max_hamming=1).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+    # flip one bit of doc 1's f0 band -> still found via the f1 band
+    rows = {r.doc_id: (r.f0, r.f1) for r in signed.collect()}
+    near = spark.createDataFrame(
+        [(0, *rows[0]), (1, rows[1][0] ^ 1, rows[1][1])],
+        "doc_id long, f0 int, f1 int",
+    )
+    got = banded_hamming_pairs(near, ["f0", "f1"], max_hamming=1).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in got] == [(0, 1, 1)]
