@@ -1770,6 +1770,39 @@ ISLAND_DELETE_MOD = 97  # same simulated deletions as snapshot_diff_cdc
 ISLAND_TOPK = 10
 
 
+def _range_row_number(df: DataFrame, key: str, out: str = "rn") -> DataFrame:
+    """Global 1-based row_number over `key` WITHOUT a single-partition
+    window: repartitionByRange on the key (so partition i holds keys
+    strictly below partition i+1), stamp spark_partition_id, rank
+    within each partition in parallel, and add per-partition count
+    offsets. The only unpartitioned window runs over the per-partition
+    count table — ≤ numShufflePartitions rows, cluster-constant, not
+    data-sized — and the offsets broadcast back. localCheckpoint pins
+    the range boundaries + pids so the count branch and the rank
+    branch see identical partitioning."""
+    part = (
+        df.repartitionByRange(key)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # Cumulative offsets via a triangular self-join over the count
+    # table (≤ numShufflePartitions rows) — same result as a running
+    # sum, but no unpartitioned WindowExec anywhere in the plan.
+    lower = counts.select(F.col("_pid").alias("_lp"), F.col("_cnt").alias("_lc"))
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_lp") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("_offset"))
+    )
+    w_in = Window.partitionBy("_pid").orderBy(key)
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.row_number().over(w_in) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
 @_register(
     "orderkey_islands",
     f"""
@@ -1802,11 +1835,12 @@ def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti self-joins on k±1 (keys shuffle once on their value, the
     join Spark plans for both probes), then starts and ends — equal
     cardinality by construction, one boundary pair per island — are
-    rank-paired. ONLY the boundary set goes through the ordering
-    window (size = number of deletions, not number of keys); the
-    production form at 100 TB range-partitions that window too, but
-    boundaries are already ~2 orders of magnitude smaller than the
-    corpus.
+    rank-paired via `_range_row_number`, so the ranking itself is
+    range-partitioned: the only unpartitioned window in the plan runs
+    over the per-partition count table (≤ shuffle-partition-count
+    rows). Boundary-set size = number of deletions — already far
+    below the corpus — and its ranking now parallelizes too, so
+    nothing in the plan is single-task at 100×.
 
     scd2_event_type solves the value-change variant of run collapse
     with per-entity windows; this is the key-contiguity variant where
@@ -1819,16 +1853,11 @@ def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = keys.select((F.col("k") + 1).alias("k"))
     nxt = keys.select((F.col("k") - 1).alias("k"))
-    w = Window.orderBy("k")
-    starts = (
-        keys.join(prev, "k", "left_anti")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumnRenamed("k", "island_start")
+    starts = _range_row_number(keys.join(prev, "k", "left_anti"), "k").withColumnRenamed(
+        "k", "island_start"
     )
-    ends = (
-        keys.join(nxt, "k", "left_anti")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumnRenamed("k", "island_end")
+    ends = _range_row_number(keys.join(nxt, "k", "left_anti"), "k").withColumnRenamed(
+        "k", "island_end"
     )
     return (
         starts.join(ends, "rn")
@@ -1900,7 +1929,13 @@ def session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind of oracle, usable for backfills where the streaming job only
     sees new data. Tie-break on (ts, event_id) makes session numbering
     deterministic under same-timestamp events."""
-    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # Work in TIMESTAMP_NTZ throughout: the oracle's arithmetic is
+    # naive, so a tz-aware session must not leak session-timezone/DST
+    # offsets into gaps or durations (advice r4). Cast is a no-op when
+    # parquet already reads as NTZ (the vanilla driver session).
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Microsecond-exact gap via interval arithmetic: unix_timestamp()
     # floors to seconds, which would merge a 1800.5 s gap the oracle's
@@ -1919,7 +1954,12 @@ def session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_sess = s.groupBy("user_id", "sess_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
-        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        # DuckDB date_diff('second', …) counts second-boundary
+        # crossings; truncating both endpoints to the second and
+        # subtracting reproduces that exactly, timezone-free (the
+        # interval is whole seconds, so the bigint cast is lossless) —
+        # unlike unix_timestamp, which re-interprets NTZ in session tz.
+        (F.date_trunc("second", F.max("ts")) - F.date_trunc("second", F.min("ts")))
         .cast("bigint")
         .alias("dur_s"),
     )

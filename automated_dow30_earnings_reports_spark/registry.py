@@ -38,6 +38,7 @@ _MODULES = [
     f"{_PKG}.sources.kv_datasource",
     f"{_PKG}.sources.csv_sources",
     f"{_PKG}.sources.kv_text",
+    f"{_PKG}.sources.reports_txt",
     f"{_PKG}.sources.json_ledger",
     f"{_PKG}.functions.scalars",
     f"{_PKG}.functions.udtfs",
@@ -51,73 +52,22 @@ _MODULES = [
 # and truncates at ~50 queries per round. Per-round rotation rule: at
 # round start, every query with a green row in the latest
 # CORRECTNESS_r0N.json moves to the BACK, so the driver's budget lands
-# on never-attested queries first. Round 4 ordering: positions 1-33 are
-# the r3-added queries that were local-green but got no driver row
-# (CORRECTNESS_r03 covered positions 1-50 of the r3 list, all green);
-# positions 34+ are queries newly added in round 4. Already-attested
-# queries follow in module order (everything green across r1∪r2∪r3).
+# on never-attested queries first. Round 5 ordering: positions 1-6 are
+# the r4 additions the r4 driver budget didn't reach (local-green, no
+# driver row yet); queries added during round 5 follow, inside the
+# 50-slot budget so they attest same-round. Everything attested across
+# r1∪r2∪r3∪r4 (178/178 green, zero failures) follows in module order
+# and soaks up the rest of the budget as re-attestation.
 _PRIORITY = [
-    # --- never driver-attested (added in r3, local pytest green) ---
-    "ir_candidate_probe",
-    "semdedup_prune",
-    "unigram_logprob_score",
-    "orc_lake_roundtrip",
-    "cms_heavy_hitters",
-    "bloom_join_prune",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q21_sole_failing_supplier",
-    "q22_idle_customers",
-    "kmv_distinct_orders",
-    "kmv_union_returnflags",
-    "multimodal_image_dhash",
-    "temperature_resample",
-    "quantile_sketch_events",
-    "kv_datasource_roundtrip",
-    "similarity_pq_adc",
-    "q6_forecast_revenue",
-    "dedup_containment",
-    "udtf_lateral_links",
-    "sql_fulfillment_rollup",
-    "ewma_user_value",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "dq_constraint_report",
-    "gdpr_purge_report",
-    "lake_compaction",
-    "corpus_curation_funnel",
-    # --- new in round 4 (local-green; driver-attested this round if the
-    # budget reaches them, else rotated to the front in r5) ---
-    "csv_sink_roundtrip",
-    "text_sink_roundtrip",
-    "json_ledger_roundtrip",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_potential_promotion",
-    "repeated_ngram_spans",
-    "weighted_sample_topk",
-    "snapshot_diff_cdc",
-    "co_occurrence_part_pairs",
-    "triangle_count_cosupply",
-    "pivot_status_by_priority",
-    "orderkey_islands",
-    "rolling_7d_distinct_users",
-    "value_trend_by_type",
-    # --- position 51+: r4 additions beyond the ~50-query budget; if the
-    # driver stops at 50, rotate these to the front in round 5 ---
+    # --- never driver-attested (added in r4 past the budget) ---
     "schema_evolution_read",
     "file_skipping_stats",
     "session_stats_batch",
     "q5_local_supplier_volume",
     "bm25_retrieval",
     "multimodal_audio_fingerprint",
+    # --- new in round 5 (appended as they land; local-green) ---
+    "reports_http_filter",
 ]
 
 

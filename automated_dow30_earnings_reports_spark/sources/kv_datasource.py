@@ -478,10 +478,16 @@ def register(spark) -> None:
     Python-source filter pushdown, off by default in Spark 4.1)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # Spark 4.1 re-registration replaces the prior entry with a WARN
-    # (verified: no exception) — so register() needs no exception
-    # shield, and any error that DOES surface is a genuine failure
-    # that must propagate with its root cause.
-    spark.dataSource.register(KVLinksDataSource)
+    # (verified: no exception). Other Spark minors raise on duplicate
+    # registration, so tolerate exactly that error — idempotence is
+    # this function's contract — while every other failure still
+    # propagates with its root cause.
+    try:
+        spark.dataSource.register(KVLinksDataSource)
+    except Exception as exc:  # noqa: BLE001 — filtered re-raise below
+        msg = str(exc).lower()
+        if not ("already" in msg and ("regist" in msg or "exist" in msg)):
+            raise
 
 
 # ---------------------------------------------------------------------------

@@ -287,28 +287,44 @@ SKIP_PRED_HI = 500.0
 
 def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simulate zone-map pruning over a value-clustered lake: orders
-    are range-bucketed into SKIP_N_FILES 'files' by totalprice
-    percentile (ntile — the effect of writing sorted), per-file
-    min/max footer stats are computed, and the predicate
-    `totalprice BETWEEN 400 AND 500` is evaluated AGAINST THE STATS
-    ONLY. Output: per-file stats, whether the file would be skipped,
-    and the row counts proving skip-correctness (a skipped file must
-    contain 0 matching rows).
+    are range-bucketed into SKIP_N_FILES 'files' by equal-width
+    totalprice ranges (the effect of a range-partitioned sorted
+    write), per-file min/max footer stats are computed, and the
+    predicate `totalprice BETWEEN 400 AND 500` is evaluated AGAINST
+    THE STATS ONLY. Output: per-file stats, whether the file would be
+    skipped, and the row counts proving skip-correctness (a skipped
+    file must contain 0 matching rows).
 
     Scale shape: this is the arithmetic a reader does per row group
     from footer metadata — O(files), zero data I/O. Materializing it
     as a query makes layout quality measurable: the fraction of files
     skippable for a point/range predicate IS the clustering quality
     metric (compare zorder_cluster, which builds such a layout).
-    Window ntile orders by (price, key) — deterministic file
-    assignment, mirrored in the oracle."""
-    from pyspark.sql import Window
-
+    File assignment is a broadcast of the 1-row global (min, max)
+    followed by pure-codegen bucket arithmetic — no global sort, no
+    single-partition window (the r4 ntile form put the whole fact
+    table through `Window.orderBy`, one task at 100×; this form is a
+    map-side expression). The identical IEEE-double expression runs
+    in the oracle, so bucket edges agree bit-for-bit."""
     from automated_dow30_earnings_reports_spark.tables import load_table
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.withColumn("file_id", F.ntile(SKIP_N_FILES).over(w))
+    bounds = o.agg(
+        F.min("o_totalprice").alias("price_lo"),
+        F.max("o_totalprice").alias("price_hi"),
+    )
+    # 1-row bound frame: broadcast cross join, then file_id is codegen
+    # arithmetic. Guard the degenerate all-equal-price lake (div by 0
+    # under ANSI mode); floor() of the same double expression both
+    # engines, clamped so price == max lands in the last file.
+    span = F.col("price_hi") - F.col("price_lo")
+    raw = F.floor((F.col("o_totalprice") - F.col("price_lo")) * SKIP_N_FILES / span)
+    binned = o.join(F.broadcast(bounds)).withColumn(
+        "file_id",
+        F.when(span == 0, F.lit(1))
+        .otherwise(F.least(raw + 1, F.lit(SKIP_N_FILES)))
+        .cast("int"),
+    )
     stats = binned.groupBy("file_id").agg(
         F.min("o_totalprice").alias("stat_min"),
         F.max("o_totalprice").alias("stat_max"),
@@ -336,10 +352,19 @@ def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["file_skipping_stats"] = file_skipping_stats
 ORACLES["file_skipping_stats"] = f"""
-    WITH binned AS (
-      SELECT o_totalprice,
-             ntile({SKIP_N_FILES}) OVER (ORDER BY o_totalprice, o_orderkey) AS file_id
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS price_lo, MAX(o_totalprice) AS price_hi
       FROM orders
+    ),
+    binned AS (
+      SELECT o_totalprice,
+             CAST(CASE WHEN price_hi - price_lo = 0 THEN 1
+                  ELSE LEAST(
+                    FLOOR((o_totalprice - price_lo) * {SKIP_N_FILES}
+                          / (price_hi - price_lo)) + 1,
+                    {SKIP_N_FILES})
+                  END AS INTEGER) AS file_id
+      FROM orders, bounds
     ),
     stats AS (
       SELECT file_id,

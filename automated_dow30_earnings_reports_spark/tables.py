@@ -171,9 +171,24 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
             total += os.path.getsize(unquote(u.path) or f)
         except OSError:
             return df
-    max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-    est_splits = max(1, (total + open_cost * len(files)) // max_split)
+    # Mirror FilePartition's actual split sizing, not just
+    # maxPartitionBytes: maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, paddedBytes / minPartitionNum)). Without the
+    # bytesPerCore clamp the estimate undercounts splits for mid-sized
+    # scans and inserts a redundant exchange the planner would not need.
+    padded = total + open_cost * len(files)
+    try:
+        # conf.get validates any supplied default against the entry's
+        # type/bounds, so probe with no default and fall back on error
+        # (unset optional entry raises / returns None).
+        min_parts = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:  # noqa: BLE001 — unset conf, any Spark minor's error shape
+        min_parts = spark.sparkContext.defaultParallelism
+    bytes_per_core = padded // max(1, min_parts)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    est_splits = max(1, padded // max(1, max_split))
     return df.repartition(parts) if est_splits < parts else df
 
 

@@ -196,21 +196,28 @@ def main() -> int:
     # bench_full.json).
     slow = {k: round(v, 2) for k, v in timings.items() if v >= 0.75}
     fast_total = round(sum(v for v in timings.values() if v < 0.75), 2)
-    # Cross-round regression visibility: compare against the newest
-    # recorded BENCH_r*.json (the driver's artifact survives even when
-    # stdout truncates). The full per-query ratio map goes to
-    # bench_full.json; stdout carries only >1.5x regressions so the
-    # compact line stays under the driver's ~2 KB window.
+    # Cross-round regression visibility: baseline = the previous run's
+    # bench_full.json when present (full per-query timings, so a
+    # fast-tier query that regresses past 0.75 s is still caught —
+    # BENCH_r*.json's parsed.queries only carries the slow tier), else
+    # the newest recorded BENCH_r*.json artifact. The full per-query
+    # ratio map goes to bench_full.json; stdout carries only >1.5x
+    # regressions so the compact line stays under the driver's ~2 KB
+    # window.
     prev: dict[str, float] = {}
     try:
         import glob
 
-        arts = sorted(
-            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
-        )
-        if arts:
-            with open(arts[-1]) as fh:
-                prev = (json.load(fh).get("parsed") or {}).get("queries") or {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        full_path = os.path.join(here, "bench_full.json")
+        if os.path.exists(full_path):
+            with open(full_path) as fh:
+                prev = json.load(fh).get("queries") or {}
+        if not prev:
+            arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+            if arts:
+                with open(arts[-1]) as fh:
+                    prev = (json.load(fh).get("parsed") or {}).get("queries") or {}
     except Exception:  # noqa: BLE001 — delta reporting must never fail the bench
         prev = {}
     delta = {
