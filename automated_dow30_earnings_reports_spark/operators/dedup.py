@@ -451,7 +451,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         # Materialize the edge list ONCE. Edge generation upstream is the
         # expensive part (e.g. a shingle self-join); without this cut every
-        # iteration's join would re-run that whole subplan.
+        # iteration's join would re-run that whole subplan. Probed (r5):
+        # pre-repartitioning on dst before the cut does NOT let rounds
+        # reuse the layout — under AQE the checkpointed LogicalRDD reports
+        # unknown outputPartitioning, so the join re-exchanges regardless
+        # (verified via executedPlan at sf0.1). The per-round exchange is
+        # over the candidate EDGE set (orders below corpus size); a
+        # many-round production deployment would persist `both` as a
+        # bucketed table on dst to delete it.
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -71,6 +71,12 @@ PROBE = [
     "rolling_7d_distinct_users",
     "snapshot_diff_cdc",
     "q2_min_cost_supplier",
+    # r4-tail + r5 additions (VERDICT r4 task 5). schema_evolution_read
+    # and reports_http_filter are scratch-writing → excluded by policy.
+    "bm25_retrieval",
+    "file_skipping_stats",
+    "multimodal_audio_fingerprint",
+    "orderkey_islands",
 ]
 
 VOWELS = "aeiou"
