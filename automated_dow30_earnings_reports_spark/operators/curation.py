@@ -710,3 +710,88 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ES_SAMPLE_K)
         .select("doc_id", "n_chars", F.round("score", 6).alias("es_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware train/val/test split: assignment is a function of the
+# DUPLICATE CLUSTER (content digest), not the document, so exact dups
+# can never straddle splits — the eval-set leakage that per-doc
+# hashing permits. Reports how many docs the cluster rule re-routed
+# vs naive per-doc splitting (the would-have-leaked volume).
+# ---------------------------------------------------------------------------
+
+_SPLIT_P = (
+    "(ascii(substr(md5(CAST({k} AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST({k} AS VARCHAR)), 2, 1))) % 100"
+)
+
+
+def _split_col(key) -> "F.Column":
+    h = F.md5(key.cast("string"))
+    p = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+    return F.when(p < 80, "train").when(p < 90, "val").otherwise("test")
+
+
+@_register(
+    "cluster_aware_split",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+    ),
+    clusters AS (
+      SELECT digest, MIN(doc_id) AS canonical, COUNT(*) AS sz
+      FROM docs GROUP BY digest
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             c.digest,
+             CASE WHEN {_SPLIT_P.format(k="c.canonical")} < 80 THEN 'train'
+                  WHEN {_SPLIT_P.format(k="c.canonical")} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN {_SPLIT_P.format(k="d.doc_id")} < 80 THEN 'train'
+                  WHEN {_SPLIT_P.format(k="d.doc_id")} < 90 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM docs d JOIN clusters c USING (digest)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) FILTER (naive_split <> split) AS BIGINT) AS n_rerouted
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split by cluster canonical id (min doc_id per content digest):
+    every member of a duplicate cluster lands in the SAME split by
+    construction — the fix for near-dup eval contamination that
+    per-document hashing (deterministic_split) cannot give.
+    `n_rerouted` counts docs whose naive per-doc split disagrees with
+    their cluster's split — exactly the volume that would have leaked.
+
+    Scale shape: one digest groupBy (map-side combinable) + one join
+    back on digest (both sides hash-partition on the digest — the
+    shuffle key production MinHash dedup already uses); zero windows,
+    zero driver state. The same pattern extends to near-dup clusters
+    by swapping the digest for dedup_clusters' cluster_id."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    clusters = d.groupBy("digest").agg(F.min("doc_id").alias("canonical"))
+    assigned = d.join(clusters, "digest").select(
+        "digest",
+        _split_col(F.col("canonical")).alias("split"),
+        _split_col(F.col("doc_id")).alias("naive_split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("digest").cast("bigint").alias("n_clusters"),
+            F.sum(F.when(F.col("naive_split") != F.col("split"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rerouted"),
+        )
+        .orderBy("split")
+    )

@@ -1197,3 +1197,94 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification: assign every vector to the closest
+# label centroid (squared-L2 via the dot-product identity) and report
+# the confusion matrix — the eval loop for prototype classifiers and
+# the assignment step k-means itself iterates (see
+# similarity_ann_ivf_kmeans for the trained-codebook variant).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "knn_classify_centroid",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, i, ROUND(AVG(emb[i]), 6) AS c
+      FROM e, range(1, {EMB_DIM + 1}) t(i)
+      GROUP BY c_label, i
+    ),
+    cvec AS (
+      SELECT c_label, list(c ORDER BY i) AS cv FROM cent GROUP BY c_label
+    ),
+    cn AS (
+      SELECT c_label, cv, list_dot_product(cv, cv) AS cn2 FROM cvec
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, cn.c_label,
+             list_dot_product(e.emb, cn.cv) - 0.5 * cn.cn2 AS score
+      FROM e, cn
+    ),
+    best AS (
+      SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, c_label) AS rnk
+      FROM scored
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(c_label AS BIGINT) AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM best WHERE rnk = 1
+    GROUP BY true_label, assigned_label
+    ORDER BY true_label, assigned_label
+    """,
+)
+def knn_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of nearest-centroid assignment. argmin ||x-c||²
+    == argmax (x·c − ½||c||²), so each vector scores |labels| dot
+    products against a broadcast centroid table — never materializing
+    distances to every other VECTOR (the brute-force trap). Centroids
+    round to 6 dp before scoring so the Spark and DuckDB averages
+    (different summation orders, last-ulp apart) pin to identical
+    inputs and the argmax cannot drift between engines.
+
+    Scale shape: centroid build is the posexplode map-side aggregate
+    (see embedding_centroid); scoring is a broadcast nested-loop over
+    |labels| rows; the argmax is a per-vector window (partitioned on
+    vec_id — parallel). Corpus-size-independent driver state."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cvec = (
+        cent.groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+        .select("c_label", F.transform("s", lambda kv: kv["c"]).alias("cv"))
+    )
+    cn = cvec.withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+    scored = e.join(F.broadcast(cn)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (dot(F.col("emb"), F.col("cv")) - 0.5 * F.col("cn2")).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "c_label")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("c_label").cast("bigint").alias("assigned_label"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )

@@ -1973,3 +1973,204 @@ def session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyless interval-overlap join via time-bucket banding: when no equi
+# key exists, band both interval sets by coarse time buckets so the
+# join is equi on the band, then apply the exact overlap predicate as
+# a residual. The bands bound the join fan-out by interval density per
+# bucket — the production alternative to a cartesian product.
+# ---------------------------------------------------------------------------
+
+OVERLAP_TOP_A = 50  # probe set: top urgent orders by value
+OVERLAP_A_DAYS = 30  # urgent fulfillment window [start, start+30d)
+OVERLAP_B_DAYS = 15  # high-priority window [start, start+15d)
+
+
+@_register(
+    "interval_overlap_join",
+    f"""
+    WITH a AS (
+      SELECT o_orderkey AS a_key, o_totalprice AS a_price,
+             o_orderdate AS a_start,
+             o_orderdate + INTERVAL {OVERLAP_A_DAYS} DAY AS a_end
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT {OVERLAP_TOP_A}
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+             o_orderdate + INTERVAL {OVERLAP_B_DAYS} DAY AS b_end
+      FROM orders WHERE o_orderpriority = '2-HIGH'
+    ),
+    hits AS (
+      SELECT a_key, COUNT(*) AS n
+      FROM a JOIN b ON a_start < b_end AND b_start < a_end
+      GROUP BY a_key
+    )
+    SELECT a.a_key AS a_orderkey,
+           ROUND(a.a_price, 2) AS a_price,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlaps
+    FROM a LEFT JOIN hits h ON h.a_key = a.a_key
+    ORDER BY a_orderkey
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many high-priority order windows overlap each top-urgent
+    order's fulfillment window — interval×interval overlap with NO
+    shared key. Both sides explode their interval into the calendar
+    months it touches (a superset band is fine — the exact predicate
+    runs as a residual), join equi on the month, dedup pairs, then
+    count. The month band bounds join fan-out by per-month interval
+    density; the oracle joins on the raw predicate directly, so any
+    band that under-covers (a lost pair) breaks the value hash.
+
+    Scale shape: the probe side is top-k (driver-bounded, broadcast);
+    the big side shuffles once on the band key. Compare
+    range_join_ship_window (equi key + range residual) and the
+    streaming interval join (equi user key) — this is the third
+    variant, where banding MANUFACTURES the equi key."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(OVERLAP_TOP_A)
+        .select(
+            F.col("o_orderkey").alias("a_key"),
+            F.col("o_totalprice").alias("a_price"),
+            F.col("o_orderdate").alias("a_start"),
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {OVERLAP_A_DAYS} DAYS")).alias("a_end"),
+        )
+        .localCheckpoint(eager=True)  # referenced by the band join AND the final left join
+    )
+    b = o.where(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr(f"INTERVAL {OVERLAP_B_DAYS} DAYS")).alias("b_end"),
+    )
+
+    def banded(df: DataFrame, start: str, end: str) -> DataFrame:
+        months = F.sequence(
+            F.date_trunc("month", F.col(start)),
+            F.date_trunc("month", F.col(end)),
+            F.expr("INTERVAL 1 MONTH"),
+        )
+        return df.withColumn("band", F.explode(months))
+
+    pairs = (
+        banded(F.broadcast(a), "a_start", "a_end")
+        .join(banded(b, "b_start", "b_end"), "band")
+        .where((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
+        .select("a_key", "b_key")
+        .distinct()
+    )
+    hits = pairs.groupBy("a_key").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        a.join(hits, "a_key", "left")
+        .select(
+            F.col("a_key").alias("a_orderkey"),
+            F.round("a_price", 2).alias("a_price"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlaps"),
+        )
+        .orderBy("a_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) without a global sort: equal-width
+# value buckets give a cross-bucket dominance prefix (bucket-count
+# rows, broadcast); within-bucket dominance uses a partitioned window
+# over distinct values. The oracle is the NOT EXISTS definition.
+# ---------------------------------------------------------------------------
+
+SKY_BUCKETS = 32
+
+
+@_register(
+    "skyline_price_date",
+    """
+    SELECT o1.o_orderkey,
+           ROUND(o1.o_totalprice, 2) AS price,
+           strftime(o1.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders o1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE (o2.o_totalprice > o1.o_totalprice AND o2.o_orderdate >= o1.o_orderdate)
+         OR (o2.o_totalprice >= o1.o_totalprice AND o2.o_orderdate > o1.o_orderdate)
+    )
+    ORDER BY o1.o_totalprice DESC, o1.o_orderkey
+    """,
+)
+def skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders maximizing (totalprice, orderdate):
+    a row survives iff nothing strictly dominates it. The classic
+    single-node algorithm sorts globally by price and keeps a running
+    max of date — a one-task window at scale. Distributed form: (1)
+    equal-width price buckets from a broadcast (min,max) — bucket id
+    is monotone in price, so everything in a higher bucket has
+    strictly higher price; (2) per-bucket max date → triangular
+    self-join over the SKY_BUCKETS-row table gives each bucket the
+    max date among all higher buckets (the cross-bucket dominance
+    prefix, broadcast back); (3) within a bucket, a PARTITIONED
+    window over distinct prices (rows preceding in price-desc order =
+    strictly higher price) gives the in-bucket prefix. A row is
+    dominated iff either prefix-max date ≥ its date, or an equal-price
+    row has a strictly later date (the per-price group max). Same
+    split as _range_row_number: the only non-partitioned work is over
+    bucket-count rows, cluster-constant.
+
+    Oracle is the textbook NOT EXISTS dominance test — any row the
+    bucketed plan wrongly keeps or drops breaks the hash."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    bounds = o.agg(
+        F.min("o_totalprice").alias("p_lo"), F.max("o_totalprice").alias("p_hi")
+    )
+    span = F.col("p_hi") - F.col("p_lo")
+    raw = F.floor((F.col("o_totalprice") - F.col("p_lo")) * SKY_BUCKETS / span)
+    ob = (
+        o.join(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.when(span == 0, F.lit(1))
+            .otherwise(F.least(raw + 1, F.lit(SKY_BUCKETS)))
+            .cast("int"),
+        )
+        .drop("p_lo", "p_hi")
+    )
+    # Per distinct (bucket, price): latest date (covers the equal-price
+    # dominance case) …
+    pg = ob.groupBy("bucket", "o_totalprice").agg(F.max("o_orderdate").alias("e_max"))
+    # … and the in-bucket strictly-higher-price prefix (distinct prices,
+    # so "rows preceding" == "strictly higher").
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pg = pg.withColumn("h_in", F.max("e_max").over(w_in))
+    # Cross-bucket prefix: bucket-count rows, triangular self-join.
+    bmax = pg.groupBy("bucket").agg(F.max("e_max").alias("bm"))
+    upper = bmax.select(F.col("bucket").alias("u_bucket"), F.col("bm").alias("u_bm"))
+    h_hi = (
+        bmax.join(F.broadcast(upper), F.col("u_bucket") > F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.max("u_bm").alias("h_hi"))
+    )
+    enriched = ob.join(pg, ["bucket", "o_totalprice"]).join(
+        F.broadcast(h_hi), "bucket", "left"
+    )
+    h = F.greatest("h_in", "h_hi")  # greatest skips NULLs
+    dominated = F.coalesce(h >= F.col("o_orderdate"), F.lit(False)) | (
+        F.col("e_max") > F.col("o_orderdate")
+    )
+    return (
+        enriched.where(~dominated)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("price").desc(), "o_orderkey")
+    )

@@ -1,0 +1,254 @@
+"""Warehouse maintenance shapes: incremental materialized-view
+refresh, merge-on-read deletes, and anti-entropy table fingerprints.
+
+These are the recurring jobs around a 100 TB lake that aren't queries
+a user writes but the engine must run well: keeping a rollup current
+without re-aggregating history, reading under a deletion vector
+without rewriting files, and proving two replicas hold the same rows
+without shipping the rows. All pure JVM plans with DuckDB oracles that
+recompute the same result from first principles — so the maintenance
+shortcut (partial-agg merge, tombstone probe, checksum) is
+value-checked against the non-incremental ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_dow30_earnings_reports_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh: merge a delta batch's partial
+# aggregates into a base snapshot's partial aggregates. The oracle is
+# the full recompute — the invariant incremental maintenance must hold.
+# ---------------------------------------------------------------------------
+
+MV_CUTOFF = "1997-06-01"  # orders strictly before = base MV, rest = delta
+
+
+@_register(
+    "mv_incremental_refresh",
+    f"""
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             MAX(o_orderdate) AS mx
+      FROM orders WHERE o_orderdate < TIMESTAMP '{MV_CUTOFF}'
+      GROUP BY o_orderstatus
+    ),
+    delta AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             MAX(o_orderdate) AS mx
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{MV_CUTOFF}'
+      GROUP BY o_orderstatus
+    ),
+    merged AS (
+      SELECT o_orderstatus, n, s, mx FROM base
+      UNION ALL
+      SELECT o_orderstatus, n, s, mx FROM delta
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(s) AS DOUBLE), 2) AS total_price,
+           strftime(MAX(mx), '%Y-%m-%d') AS latest_order_date
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized rollup (orders by status) maintained incrementally:
+    the base snapshot's partial aggregates (count / decimal sum / max)
+    merge with the delta batch's partials via the aggregates' own
+    combine functions — the base history is NEVER re-scanned in a real
+    deployment (here both sides derive from one table for the oracle's
+    sake; the partial→merge shape is identical).
+
+    Scale shape: each side is one map-side-combined groupBy on a tiny
+    key; the merge is a groupBy over 2×|keys| rows. Sums in
+    DECIMAL(18,2) so merge order cannot drift the value vs the full
+    recompute (the invariant the oracle checks). This is the algebraic-
+    aggregate contract that makes a rollup maintainable at 100 TB:
+    count/sum/min/max merge; exact median wouldn't."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    # String literal coerces to o_orderdate's own timestamp flavor
+    # (TIMESTAMP in the tuned session, TIMESTAMP_NTZ in the vanilla
+    # driver session) — no explicit cast, so both work.
+    cutoff = F.lit(MV_CUTOFF)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.max("o_orderdate").alias("mx"),
+        )
+
+    base = partials(o.where(F.col("o_orderdate") < cutoff))
+    delta = partials(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.round(F.sum("s").cast("double"), 2).alias("total_price"),
+            F.date_format(F.max("mx"), "yyyy-MM-dd").alias("latest_order_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes: a deletion vector (tombstone key set) is
+# probed at read time; no data file is rewritten. The oracle applies
+# the same tombstone rule inline.
+# ---------------------------------------------------------------------------
+
+DV_MOD = 7
+DV_REM = 3  # o_orderkey % 7 == 3 rows are tombstoned
+
+
+@_register(
+    "merge_on_read_deletes",
+    f"""
+    WITH flagged AS (
+      SELECT o_orderstatus, o_totalprice,
+             (o_orderkey % {DV_MOD} = {DV_REM}) AS deleted
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (NOT deleted) AS BIGINT) AS n_live,
+           CAST(COUNT(*) FILTER (deleted) AS BIGINT) AS n_deleted,
+           ROUND(CAST(SUM(CASE WHEN NOT deleted
+                          THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+             AS live_price
+    FROM flagged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read: facts stay immutable, deletes live in a separate
+    tombstone key table, and the reader left-joins the tombstones to
+    mask deleted rows — the Iceberg/Delta deletion-vector read path,
+    expressed relationally. The audit output counts both channels per
+    status so a tombstone leak (deleted row surviving, live row
+    masked) flips a value.
+
+    Scale shape: tombstones are typically ≪ facts, so the probe join
+    is AQE-broadcastable; no rewrite of the fact table, which is the
+    entire point of MoR at 100 TB (compare lake_compaction, which IS
+    the rewrite, run on its own schedule)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tombstones = (
+        o.where(F.col("o_orderkey") % DV_MOD == DV_REM)
+        .select("o_orderkey")
+        .withColumn("_deleted", F.lit(True))
+    )
+    read = o.join(tombstones, "o_orderkey", "left")
+    live = F.col("_deleted").isNull()
+    return (
+        read.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(live, 1).otherwise(0)).cast("bigint").alias("n_live"),
+            F.sum(F.when(live, 0).otherwise(1)).cast("bigint").alias("n_deleted"),
+            F.round(
+                F.sum(
+                    F.when(live, F.col("o_totalprice").cast("decimal(18,2)")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("live_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy fingerprint: per-bucket order-independent content
+# checksums. Two replicas compare 16 (bucket, checksum) rows instead
+# of shipping the table; a mismatched bucket pinpoints where to sync.
+# ---------------------------------------------------------------------------
+
+FP_BUCKETS = 16
+
+# 28-bit row digest over the STABLE string form of the row (no doubles
+# in the hashed text — float formatting differs across engines).
+_FP_NIBBLES = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(row_str), {p}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(1, 8)
+)
+
+
+@_register(
+    "table_fingerprint",
+    f"""
+    WITH rows_ AS (
+      SELECT o_orderkey % {FP_BUCKETS} AS bucket,
+             o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority
+               || '|' || strftime(o_orderdate, '%Y-%m-%d') AS row_str
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_FP_NIBBLES}) AS BIGINT) AS checksum
+    FROM rows_
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication / backup validation: hash each row's stable string
+    form to a 28-bit digest, SUM digests per key-bucket (sum is
+    commutative — the checksum is independent of row order and
+    partitioning, which is what makes it comparable across replicas
+    that shuffled differently). Doubles are excluded from the hashed
+    text because their decimal rendering is engine-specific; key,
+    enums, and a formatted date pin the row identity.
+
+    Scale shape: pure map-side expression + one 16-key groupBy —
+    the cheapest possible full-table pass; at 100 TB this is
+    I/O-bound by design. 28-bit digests × 1.5e9 rows stays far under
+    int64; a collision-avoidant deployment widens to two digest
+    columns rather than one wider sum."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    fp = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 7), 16, 10).cast("bigint")
+    return (
+        o.select((F.col("o_orderkey") % FP_BUCKETS).cast("bigint").alias("bucket"), fp.alias("fp"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("fp").cast("bigint").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

@@ -46,6 +46,7 @@ _MODULES = [
     f"{_PKG}.plans.relational",
     f"{_PKG}.plans.advanced",
     f"{_PKG}.plans.tpch_extra",
+    f"{_PKG}.plans.maintenance",
 ]
 
 # ORDER MATTERS: the driver evaluates correctness in registration order
@@ -68,6 +69,13 @@ _PRIORITY = [
     "multimodal_audio_fingerprint",
     # --- new in round 5 (appended as they land; local-green) ---
     "reports_http_filter",
+    "mv_incremental_refresh",
+    "merge_on_read_deletes",
+    "table_fingerprint",
+    "interval_overlap_join",
+    "skyline_price_date",
+    "cluster_aware_split",
+    "knn_classify_centroid",
 ]
 
 

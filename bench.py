@@ -123,6 +123,15 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "bm25_retrieval",
     "multimodal_audio_fingerprint",
+    # round 5
+    "reports_http_filter",
+    "mv_incremental_refresh",
+    "merge_on_read_deletes",
+    "table_fingerprint",
+    "interval_overlap_join",
+    "skyline_price_date",
+    "cluster_aware_split",
+    "knn_classify_centroid",
 ]
 
 

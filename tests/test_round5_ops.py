@@ -1,0 +1,299 @@
+"""Round-5 operator contracts on tiny constructed inputs (the oracle
+parity suite checks them against DuckDB at sf0.01; these pin the
+SEMANTICS on inputs small enough to verify by hand)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _tiny_sf(spark, tmp_path, **tables):
+    d = str(tmp_path / "tiny_sf")
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# skyline_price_date
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        skyline_price_date,
+    )
+
+    got = {r.o_orderkey for r in skyline_price_date(spark, sf_smoke).collect()}
+    rows = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+
+    def dominated(r):
+        return any(
+            (s.o_totalprice > r.o_totalprice and s.o_orderdate >= r.o_orderdate)
+            or (s.o_totalprice >= r.o_totalprice and s.o_orderdate > r.o_orderdate)
+            for s in rows
+        )
+
+    want = {r.o_orderkey for r in rows if not dominated(r)}
+    assert got == want and got  # non-empty frontier, exact membership
+
+
+def test_skyline_keeps_equal_price_date_ties(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        skyline_price_date,
+    )
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "O", 100.0, t, "1-URGENT"),
+        (2, 1, "O", 100.0, t, "1-URGENT"),  # exact tie — both survive
+        (3, 1, "O", 50.0, t, "1-URGENT"),  # dominated (lower price, same date)
+    ]
+    sf = _tiny_sf(spark, tmp_path, orders=_orders(spark, rows))
+    got = {r.o_orderkey for r in skyline_price_date(spark, sf).collect()}
+    assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_bruteforce(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        OVERLAP_A_DAYS,
+        OVERLAP_B_DAYS,
+        OVERLAP_TOP_A,
+        interval_overlap_join,
+    )
+    import datetime as dt
+
+    got = {r.a_orderkey: r.n_overlaps for r in interval_overlap_join(spark, sf_smoke).collect()}
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet").collect()
+    urgent = sorted(
+        (r for r in o if r.o_orderpriority == "1-URGENT"),
+        key=lambda r: (-r.o_totalprice, r.o_orderkey),
+    )[:OVERLAP_TOP_A]
+    high = [r for r in o if r.o_orderpriority == "2-HIGH"]
+    want = {}
+    for a in urgent:
+        a0, a1 = a.o_orderdate, a.o_orderdate + dt.timedelta(days=OVERLAP_A_DAYS)
+        n = sum(
+            1
+            for b in high
+            if a0 < b.o_orderdate + dt.timedelta(days=OVERLAP_B_DAYS)
+            and b.o_orderdate < a1
+        )
+        want[a.o_orderkey] = n
+    assert got == want
+    assert len(got) == min(OVERLAP_TOP_A, len(urgent))  # zero-overlap rows kept
+
+
+# ---------------------------------------------------------------------------
+# maintenance trio
+# ---------------------------------------------------------------------------
+
+
+def test_mv_incremental_equals_full_recompute(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        mv_incremental_refresh,
+    )
+
+    got = {r.o_orderstatus: r for r in mv_incremental_refresh(spark, sf_smoke).collect()}
+    full = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("s"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx"),
+        )
+        .collect()
+    )
+    assert got
+    for r in full:
+        g = got[r.o_orderstatus]
+        assert (g.n_orders, g.total_price, g.latest_order_date) == (r.n, r.s, r.mx)
+
+
+def test_merge_on_read_channels_partition_the_table(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        DV_MOD,
+        DV_REM,
+        merge_on_read_deletes,
+    )
+
+    out = merge_on_read_deletes(spark, sf_smoke).collect()
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    total = o.count()
+    deleted = o.where(F.col("o_orderkey") % DV_MOD == DV_REM).count()
+    assert sum(r.n_live + r.n_deleted for r in out) == total
+    assert sum(r.n_deleted for r in out) == deleted
+
+
+def test_table_fingerprint_is_order_and_partitioning_independent(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        table_fingerprint,
+    )
+    import shutil
+    import tempfile
+
+    base = {(r.bucket): (r.n_rows, r.checksum) for r in table_fingerprint(spark, sf_smoke).collect()}
+    # Re-layout the same rows: different order, different partitioning.
+    tmp = tempfile.mkdtemp(prefix="fp_relayout_")
+    try:
+        (
+            spark.read.parquet(f"{sf_smoke}/orders.parquet")
+            .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+            .repartition(7)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/orders.parquet")
+        )
+        relaid = {
+            (r.bucket): (r.n_rows, r.checksum)
+            for r in table_fingerprint(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert relaid == base
+    # … and a single-row change flips exactly that row's bucket.
+
+
+def test_table_fingerprint_detects_single_row_drift(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        FP_BUCKETS,
+        table_fingerprint,
+    )
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(k, 1, "O", 10.0, t, "1-URGENT") for k in range(40)]
+    sf_a = _tiny_sf(spark, tmp_path / "a", orders=_orders(spark, rows))
+    rows_b = list(rows)
+    rows_b[17] = (17, 1, "F", 10.0, t, "1-URGENT")  # one status flip
+    sf_b = _tiny_sf(spark, tmp_path / "b", orders=_orders(spark, rows_b))
+    a = {r.bucket: r.checksum for r in table_fingerprint(spark, sf_a).collect()}
+    b = {r.bucket: r.checksum for r in table_fingerprint(spark, sf_b).collect()}
+    diff = {k for k in a if a[k] != b.get(k)}
+    assert diff == {17 % FP_BUCKETS}
+
+
+# ---------------------------------------------------------------------------
+# cluster_aware_split
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_split_has_zero_leakage(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        cluster_aware_split,
+    )
+
+    # 30 clusters of 3 exact dups each; per-doc hashing WOULD scatter
+    # some cluster across splits, the cluster rule must not.
+    docs = spark.createDataFrame(
+        [
+            (c * 3 + i, f"shared text of cluster {c}", "en", "s", 10)
+            for c in range(30)
+            for i in range(3)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _tiny_sf(spark, tmp_path, documents=docs)
+    out = cluster_aware_split(spark, sf).collect()
+    assert sum(r.n_docs for r in out) == 90
+    assert sum(r.n_clusters for r in out) == 30
+    # independent leakage check: recompute assignment, group by digest
+    assigned = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical"))
+    )
+    # every digest has ONE canonical → one split; nothing to scatter
+    assert assigned.count() == 30
+    # naive-vs-cluster disagreement exists in a 90-doc corpus w.h.p.
+    assert sum(r.n_rerouted for r in out) > 0
+
+
+# ---------------------------------------------------------------------------
+# knn_classify_centroid
+# ---------------------------------------------------------------------------
+
+
+def test_knn_centroid_assignment_is_total_and_exact(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        knn_classify_centroid,
+    )
+
+    # Two well-separated labels: centroids at ~(0,0,…) and ~(10,10,…),
+    # so every vector must classify to its own label.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        label = vid % 2
+        base = 0.0 if label == 0 else 10.0
+        rows.append((vid, [base + rng.uniform(-0.5, 0.5) for _ in range(64)], label))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    sf = _tiny_sf(spark, tmp_path, embeddings=emb)
+    out = knn_classify_centroid(spark, sf).collect()
+    assert sum(r.n for r in out) == 40
+    assert all(r.true_label == r.assigned_label for r in out)
+
+
+# ---------------------------------------------------------------------------
+# reports_http_filter (P8)
+# ---------------------------------------------------------------------------
+
+
+def test_http_split_gates_schemes(spark):
+    from automated_dow30_earnings_reports_spark.sources.reports_txt import (
+        split_http_only,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "https://x/1"),
+            ("b", "http://x/2"),
+            ("c", "ftp://x/3"),
+            ("d", "javascript:void(0)"),
+            ("e", None),
+        ],
+        "title string, url string",
+    )
+    ok, dead = split_http_only(df)
+    assert {r.title for r in ok.collect()} == {"a", "b"}
+    assert {r.title for r in dead.collect()} == {"c", "d", "e"}
+
+
+# ---------------------------------------------------------------------------
+# _range_row_number (the scalable global-ranking helper)
+# ---------------------------------------------------------------------------
+
+
+def test_range_row_number_is_exact_permutation(spark):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        _range_row_number,
+    )
+    import random
+
+    vals = list(range(0, 2000, 3))
+    random.Random(3).shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(13)
+    out = {r.k: r.rn for r in _range_row_number(df, "k").collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert out == want
