@@ -2158,15 +2158,23 @@ def skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("u_bm").alias("h_hi"))
     )
-    enriched = ob.join(pg, ["bucket", "o_totalprice"]).join(
-        F.broadcast(h_hi), "bucket", "left"
-    )
+    # Survivor groups resolve ENTIRELY at the (bucket, price) grain:
+    # within a price group only date == e_max rows can survive (an
+    # earlier date is dominated by the group max itself), and the
+    # group survives iff no strictly-higher price reaches e_max. So
+    # filter pg BEFORE joining back — the join-back side shrinks from
+    # the full aggregate to the candidate skyline (AQE broadcasts it
+    # when small; no hint, since adversarial data can make a skyline
+    # corpus-sized).
     h = F.greatest("h_in", "h_hi")  # greatest skips NULLs
-    dominated = F.coalesce(h >= F.col("o_orderdate"), F.lit(False)) | (
-        F.col("e_max") > F.col("o_orderdate")
+    survivors = (
+        pg.join(F.broadcast(h_hi), "bucket", "left")
+        .where(F.coalesce(h < F.col("e_max"), F.lit(True)))
+        .select("bucket", "o_totalprice", "e_max")
     )
     return (
-        enriched.where(~dominated)
+        ob.join(survivors, ["bucket", "o_totalprice"])
+        .where(F.col("o_orderdate") == F.col("e_max"))
         .select(
             "o_orderkey",
             F.round("o_totalprice", 2).alias("price"),

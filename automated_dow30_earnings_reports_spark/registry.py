@@ -76,6 +76,7 @@ _PRIORITY = [
     "skyline_price_date",
     "cluster_aware_split",
     "knn_classify_centroid",
+    "dpp_partitioned_join",
 ]
 
 

@@ -384,3 +384,73 @@ ORACLES["file_skipping_stats"] = f"""
     FROM stats
     ORDER BY file_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the fact side is hive-partitioned on
+# o_year, the dim side's filter is on a NON-partition attribute — so
+# static pruning can't help, and the scan's partition filter must come
+# from the dim subquery AT RUNTIME (DPP). The plan carries
+# `dynamicpruningexpression` in PartitionFilters (pinned in
+# tests/test_parquet_lake.py); the oracle recomputes the join from the
+# unpartitioned base table.
+# ---------------------------------------------------------------------------
+
+_SCRATCH_DPP = _os.path.join(_os.path.dirname(_SCRATCH_ORC), "dpp_lake")
+
+
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per probe-year over a year-partitioned orders lake,
+    probe years selected by a dim-side attribute filter. At 100 TB
+    this is THE mechanism that keeps star joins off cold partitions:
+    the broadcast of the filtered dim doubles as the partition filter,
+    so directories for non-probe years are never listed past the
+    index, let alone read. Cited shape: every reference query that
+    filters by (year, quarter) after joining metadata
+    (download_reports.py:302-347) becomes this plan once the lake is
+    partitioned on year."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _os.path.join(_SCRATCH_DPP, _os.path.basename(sf_dir.rstrip("/")))
+    (
+        o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        o.select(F.year("o_orderdate").cast("int").alias("o_year"))
+        .distinct()
+        .withColumn(
+            "tag", F.when(F.col("o_year") % 3 == 0, "probe").otherwise("other")
+        )
+    )
+    return (
+        fact.join(dim.where(F.col("tag") == "probe").drop("tag"), "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("o_year")
+    )
+
+
+QUERIES["dpp_partitioned_join"] = dpp_partitioned_join
+ORACLES["dpp_partitioned_join"] = """
+    WITH y AS (
+      SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders
+    ),
+    probe AS (SELECT o_year FROM y WHERE o_year % 3 = 0)
+    SELECT p.o_year AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders o JOIN probe p ON CAST(year(o.o_orderdate) AS INTEGER) = p.o_year
+    GROUP BY p.o_year
+    ORDER BY o_year
+"""

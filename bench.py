@@ -132,6 +132,7 @@ HEADLINE = [
     "skyline_price_date",
     "cluster_aware_split",
     "knn_classify_centroid",
+    "dpp_partitioned_join",
 ]
 
 

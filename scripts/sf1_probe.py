@@ -77,6 +77,15 @@ PROBE = [
     "file_skipping_stats",
     "multimodal_audio_fingerprint",
     "orderkey_islands",
+    # r5 additions (scratch-writing reports_http_filter, dpp_partitioned_join
+    # and schema_evolution_read stay excluded by the standing policy)
+    "mv_incremental_refresh",
+    "merge_on_read_deletes",
+    "table_fingerprint",
+    "interval_overlap_join",
+    "skyline_price_date",
+    "cluster_aware_split",
+    "knn_classify_centroid",
 ]
 
 VOWELS = "aeiou"

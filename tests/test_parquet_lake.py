@@ -115,3 +115,24 @@ def test_lake_compaction_file_counts(spark, sf_correctness):
         1 for f in os.listdir(os.path.join(base, "compacted")) if f.endswith(".parquet")
     )
     assert (n_frag, n_comp) == (COMPACT_FRAGMENTS, COMPACT_TARGET_FILES)
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_smoke):
+    """The partitioned-fact ⋈ filtered-dim join must carry a
+    dynamicpruningexpression in the fact scan's PartitionFilters —
+    runtime directory pruning, not static."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        dpp_partitioned_join,
+    )
+    from pyspark.sql import functions as F
+
+    out = dpp_partitioned_join(spark, sf_smoke)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = out.collect()
+    assert rows and all(r.o_year % 3 == 0 for r in rows)
+    # cross-check one year against the base table
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    y = rows[0].o_year
+    n = o.where(F.year("o_orderdate") == y).count()
+    assert rows[0].n_orders == n
