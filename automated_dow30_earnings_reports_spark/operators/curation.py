@@ -50,10 +50,13 @@ def split_bucket(key: Column) -> Column:
 
 # DuckDB twins of the helpers above (kept adjacent so drift is obvious).
 _SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
-_SQL_BUCKET = (
-    "(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
-    " + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100"
+# Parameterized form (key expression substituted) — _SQL_BUCKET is the
+# doc_id instance every earlier query uses.
+_SQL_BUCKET_OF = (
+    "(ascii(substr(md5(CAST({k} AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST({k} AS VARCHAR)), 2, 1))) % 100"
 )
+_SQL_BUCKET = _SQL_BUCKET_OF.format(k="doc_id")
 
 
 @_register(
@@ -720,15 +723,8 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs naive per-doc splitting (the would-have-leaked volume).
 # ---------------------------------------------------------------------------
 
-_SPLIT_P = (
-    "(ascii(substr(md5(CAST({k} AS VARCHAR)), 1, 1)) * 256"
-    " + ascii(substr(md5(CAST({k} AS VARCHAR)), 2, 1))) % 100"
-)
-
-
-def _split_col(key) -> "F.Column":
-    h = F.md5(key.cast("string"))
-    p = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+def _split_col(key: Column) -> Column:
+    p = split_bucket(key)
     return F.when(p < 80, "train").when(p < 90, "val").otherwise("test")
 
 
@@ -745,11 +741,11 @@ def _split_col(key) -> "F.Column":
     assigned AS (
       SELECT d.doc_id,
              c.digest,
-             CASE WHEN {_SPLIT_P.format(k="c.canonical")} < 80 THEN 'train'
-                  WHEN {_SPLIT_P.format(k="c.canonical")} < 90 THEN 'val'
+             CASE WHEN {_SQL_BUCKET_OF.format(k="c.canonical")} < 80 THEN 'train'
+                  WHEN {_SQL_BUCKET_OF.format(k="c.canonical")} < 90 THEN 'val'
                   ELSE 'test' END AS split,
-             CASE WHEN {_SPLIT_P.format(k="d.doc_id")} < 80 THEN 'train'
-                  WHEN {_SPLIT_P.format(k="d.doc_id")} < 90 THEN 'val'
+             CASE WHEN {_SQL_BUCKET_OF.format(k="d.doc_id")} < 80 THEN 'train'
+                  WHEN {_SQL_BUCKET_OF.format(k="d.doc_id")} < 90 THEN 'val'
                   ELSE 'test' END AS naive_split
       FROM docs d JOIN clusters c USING (digest)
     )

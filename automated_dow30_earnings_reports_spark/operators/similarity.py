@@ -1215,7 +1215,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
     ),
     cent AS (
-      SELECT label AS c_label, i, ROUND(AVG(emb[i]), 6) AS c
+      SELECT label AS c_label, i, ROUND(AVG(emb[i]), 4) AS c
       FROM e, range(1, {EMB_DIM + 1}) t(i)
       GROUP BY c_label, i
     ),
@@ -1249,9 +1249,14 @@ def knn_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     == argmax (x·c − ½||c||²), so each vector scores |labels| dot
     products against a broadcast centroid table — never materializing
     distances to every other VECTOR (the brute-force trap). Centroids
-    round to 6 dp before scoring so the Spark and DuckDB averages
+    round to 4 dp before scoring so the Spark and DuckDB averages
     (different summation orders, last-ulp apart) pin to identical
-    inputs and the argmax cannot drift between engines.
+    inputs — coarser than the 6 dp other oracles use because the
+    boundary-straddle probability scales with rounding granularity,
+    and a flipped centroid coordinate here would flip an argmax, not
+    just a displayed digit. Once the pinned centroids agree, the
+    score folds are bit-identical (same sequential fold both
+    engines), so the argmax cannot drift.
 
     Scale shape: centroid build is the posexplode map-side aggregate
     (see embedding_centroid); scoring is a broadcast nested-loop over
@@ -1263,7 +1268,7 @@ def knn_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         e.select("label", F.posexplode("emb").alias("pos", "x"))
         .groupBy(F.col("label").alias("c_label"), "pos")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .agg(F.round(F.avg("x"), 4).alias("c"))
     )
     cvec = (
         cent.groupBy("c_label")
