@@ -889,3 +889,126 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional-postings phrase search: build (token, doc, position)
+# postings, pick the corpus's top bigram as the probe phrase, and
+# answer "which documents contain the phrase, how often" by
+# intersecting the two words' postings on position adjacency — the
+# boolean/phrase half of an IR stack (bm25_retrieval is the ranked
+# half). The production property: once postings exist, a phrase query
+# touches ONLY the query words' posting lists, never the corpus.
+# ---------------------------------------------------------------------------
+
+PHRASE_TOP_DOCS = 10
+
+
+def _phrase_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    big AS (
+      SELECT (u).w1 AS w1, (u).w2 AS w2 FROM (
+        SELECT unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                       FOR i IN range(1, len(t))]) AS u
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    phrase AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2
+      ) QUALIFY row_number() OVER (ORDER BY cb DESC, w1, w2) = 1
+    ),
+    postings AS (
+      SELECT doc_id, (u).tok AS tok, (u).pos AS pos FROM (
+        SELECT doc_id,
+               unnest([{{'tok': t[i], 'pos': i}} FOR i IN range(1, len(t) + 1)]) AS u
+        FROM toks
+      )
+    ),
+    hits AS (
+      SELECT p1.doc_id, COUNT(*) AS n_occurrences
+      FROM phrase ph
+      JOIN postings p1 ON p1.tok = ph.w1
+      JOIN postings p2 ON p2.doc_id = p1.doc_id
+                      AND p2.pos = p1.pos + 1
+                      AND p2.tok = ph.w2
+      GROUP BY p1.doc_id
+    )
+    SELECT ph.w1, ph.w2,
+           CAST(h.doc_id AS BIGINT) AS doc_id,
+           CAST(h.n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits h CROSS JOIN phrase ph
+    QUALIFY row_number() OVER (ORDER BY h.n_occurrences DESC, h.doc_id)
+            <= {PHRASE_TOP_DOCS}
+    ORDER BY n_occurrences DESC, doc_id
+    """
+
+
+@_register("phrase_search_postings", _phrase_oracle())
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top documents for the corpus's most frequent bigram, answered
+    through positional postings. Two stages: (1) the probe phrase is
+    the top (count, w1, w2)-tie-broken bigram from the same map-side
+    tail-zip pmi_bigrams uses — a 1-row frame, broadcast; (2) postings
+    are FILTERED to the two query words by that broadcast semi-probe
+    BEFORE the adjacency self-join, so the position intersection runs
+    over two posting lists, not the corpus — the inverted-index
+    contract that keeps phrase queries per-term-frequency-sized at
+    100 TB (the full postings build is the one corpus-sized pass,
+    amortized across every query in a real deployment).
+
+    Tie and duplicate semantics: occurrences count at the position
+    grain (overlapping repeats each count); the top-doc cut is
+    (n_occurrences DESC, doc_id) — deterministic both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    big = (
+        d.where(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    phrase = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .orderBy(F.desc("cb"), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    postings = d.select(
+        "doc_id", F.posexplode(t).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    p1 = postings.join(
+        F.broadcast(phrase), postings.tok == phrase.w1, "left_semi"
+    ).select("doc_id", F.col("pos").alias("pos1"), F.col("tok").alias("tok1"))
+    p2 = postings.join(
+        F.broadcast(phrase), postings.tok == phrase.w2, "left_semi"
+    ).select(F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
+    # phrase is exactly one row (limit 1), so the two semi-filtered
+    # posting lists already pin tok1=w1 / tok2=w2 — the adjacency join
+    # needs only (doc, position).
+    hits = (
+        p1.join(
+            p2,
+            (F.col("doc_id2") == F.col("doc_id")) & (F.col("pos2") == F.col("pos1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        hits.orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(PHRASE_TOP_DOCS)
+        .crossJoin(F.broadcast(phrase))
+        .select(
+            "w1",
+            "w2",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_occurrences",
+        )
+    )

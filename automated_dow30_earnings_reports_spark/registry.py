@@ -77,6 +77,7 @@ _PRIORITY = [
     "cluster_aware_split",
     "knn_classify_centroid",
     "dpp_partitioned_join",
+    "phrase_search_postings",
 ]
 
 

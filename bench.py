@@ -133,6 +133,7 @@ HEADLINE = [
     "cluster_aware_split",
     "knn_classify_centroid",
     "dpp_partitioned_join",
+    "phrase_search_postings",
 ]
 
 

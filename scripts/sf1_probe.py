@@ -86,6 +86,7 @@ PROBE = [
     "skyline_price_date",
     "cluster_aware_split",
     "knn_classify_centroid",
+    "phrase_search_postings",
 ]
 
 VOWELS = "aeiou"

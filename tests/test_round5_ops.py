@@ -297,3 +297,32 @@ def test_range_row_number_is_exact_permutation(spark):
     out = {r.k: r.rn for r in _range_row_number(df, "k").collect()}
     want = {v: i + 1 for i, v in enumerate(sorted(vals))}
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# phrase_search_postings
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_counts_positionally(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        phrase_search_postings,
+    )
+
+    # "a b" is the dominant bigram; doc 0 has it twice (incl. back to
+    # back "a b a b"), doc 1 once, doc 2 contains both words but never
+    # adjacent — must NOT match.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b x", "en", "s", 9),
+            (1, "z a b z", "en", "s", 7),
+            (2, "a x b a y b", "en", "s", 11),
+            (3, "a b q q", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _tiny_sf(spark, tmp_path, documents=docs)
+    rows = phrase_search_postings(spark, sf).collect()
+    assert all((r.w1, r.w2) == ("a", "b") for r in rows)
+    got = {r.doc_id: r.n_occurrences for r in rows}
+    assert got == {0: 2, 1: 1, 3: 1}
