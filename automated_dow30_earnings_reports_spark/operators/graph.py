@@ -244,3 +244,113 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops — the fourth classic graph primitive here next to
+# PageRank (above), connected components (operators/dedup.py) and
+# triangle counting: hop distance from a deterministic source over the
+# strongest-edge co-supply graph, as an iterative frontier expansion.
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 6
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    sup AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {TRI_EDGES}),
+    und AS (
+      SELECT sa AS src, sb AS dst FROM e
+      UNION ALL SELECT sb, sa FROM e
+    ),
+    s0 AS (SELECT MIN(sa) AS s FROM e),
+    walk(node, d) AS (
+      SELECT s, 0 FROM s0
+      UNION
+      SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.d < {BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT node, MIN(d) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS INTEGER) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MIN(node) AS BIGINT) AS min_supplier
+    FROM dist GROUP BY dist ORDER BY dist
+    """
+
+
+@_register("supplier_hops_bfs", _bfs_oracle())
+def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram from the lowest-keyed supplier in the
+    strongest-edge co-supply graph (same bounded edge list as
+    triangle_count_cosupply), BFS-expanded for at most BFS_MAX_HOPS
+    rounds. Per round: frontier ⋈ edges, anti-join against settled
+    nodes, localCheckpoint lineage cut — structurally the crawl_bfs /
+    connected_components loop, here with an EXACT recursive-CTE oracle
+    (UNION-dedup recursion caps the path blowup the same way the
+    anti-join does in Spark).
+
+    Scale shape: every frame is node-bounded (the edge cut keeps this
+    demo small, but the loop shape is the production one — frontier
+    joins shuffle on the node key, settled set grows monotonically,
+    rounds = graph diameter). Early exit when a round adds nothing."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sup = (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb"))
+        .agg(F.count("*").alias("c"))
+    )
+    e = (
+        sup.orderBy(F.col("c").desc(), "sa", "sb")
+        .limit(TRI_EDGES)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
+    und = e.selectExpr("sa AS src", "sb AS dst").unionByName(
+        e.selectExpr("sb AS src", "sa AS dst")
+    )
+    settled = (
+        e.agg(F.min("sa").alias("node"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for k in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(k))
+        )
+        new = reached.join(settled, "node", "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return (
+        settled.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.min("node").cast("bigint").alias("min_supplier"),
+        )
+        .orderBy("dist")
+    )

@@ -78,6 +78,7 @@ _PRIORITY = [
     "knn_classify_centroid",
     "dpp_partitioned_join",
     "phrase_search_postings",
+    "supplier_hops_bfs",
 ]
 
 

@@ -134,6 +134,7 @@ HEADLINE = [
     "knn_classify_centroid",
     "dpp_partitioned_join",
     "phrase_search_postings",
+    "supplier_hops_bfs",
 ]
 
 

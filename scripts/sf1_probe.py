@@ -87,6 +87,7 @@ PROBE = [
     "cluster_aware_split",
     "knn_classify_centroid",
     "phrase_search_postings",
+    "supplier_hops_bfs",
 ]
 
 VOWELS = "aeiou"

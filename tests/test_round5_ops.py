@@ -326,3 +326,30 @@ def test_phrase_search_counts_positionally(spark, tmp_path):
     assert all((r.w1, r.w2) == ("a", "b") for r in rows)
     got = {r.doc_id: r.n_occurrences for r in rows}
     assert got == {0: 2, 1: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# supplier_hops_bfs
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_on_known_path_graph(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.graph import (
+        supplier_hops_bfs,
+    )
+
+    # Parts shared pairwise chain suppliers 1-2-3-4; supplier 9 isolated
+    # (shares no part). Distances from min edge endpoint (1): 0,1,2,3.
+    rows = []
+    for part, (a, b) in enumerate([(1, 2), (2, 3), (3, 4)]):
+        for s in (a, b):
+            rows.append((100 + part, s))
+    rows.append((200, 9))
+    li = spark.createDataFrame(
+        [(i, p, s, 1.0, 1.0, None) for i, (p, s) in enumerate(rows)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_shipdate timestamp",
+    )
+    sf = _tiny_sf(spark, tmp_path, lineitem=li)
+    got = {r.dist: (r.n_suppliers, r.min_supplier) for r in supplier_hops_bfs(spark, sf).collect()}
+    assert got == {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}  # 9 unreachable
