@@ -791,3 +791,87 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the release-gate counterpart to pii_redact
+# (masking) and gdpr_purge_report (erasure): before publishing a
+# "de-identified" extract, verify every quasi-identifier combination
+# is shared by at least K individuals, and quantify what generalizing
+# the noisiest attribute buys.
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+ACCTBAL_BAND = 1000.0  # generalization: account balance → $1000 bands
+
+
+@_register(
+    "k_anonymity_audit",
+    f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {ACCTBAL_BAND}) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    fine AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
+      FROM q GROUP BY 1, 2, 3
+    ),
+    coarse AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM q GROUP BY 1, 2
+    )
+    SELECT 'nation+segment+balband' AS qi_level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (sz < {K_ANON}) AS BIGINT) AS n_below_k,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_group
+    FROM fine
+    UNION ALL
+    SELECT 'nation+segment',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (sz < {K_ANON}) AS BIGINT),
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT),
+           CAST(MIN(sz) AS BIGINT)
+    FROM coarse
+    ORDER BY qi_level
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size audit over two quasi-identifier granularities: the
+    fine QI tuple (nation, segment, $1000 balance band) and the
+    generalized one (drop the band). A release is k-anonymous at a
+    level iff n_below_k = 0; n_rows_at_risk is the re-identifiable
+    population the generalization rescues.
+
+    Scale shape: two map-side-combined groupBys + a 2-row union —
+    group COUNTS are the working set, never individuals; the same
+    audit at 100 TB is exactly this plan. Rollup-style single-scan
+    (grouping sets over both levels) would also work; two explicit
+    aggregates keep the per-level k-threshold arithmetic readable and
+    cost the same single fact scan with exchange reuse."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("bigint").alias("bal_band"),
+    )
+
+    def level(df: DataFrame, cols: list, name: str) -> DataFrame:
+        sizes = df.groupBy(*cols).agg(F.count("*").alias("sz"))
+        return sizes.agg(
+            F.lit(name).alias("qi_level"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_k"),
+            F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.min("sz").cast("bigint").alias("min_group"),
+        )
+
+    fine = level(q, ["c_nationkey", "c_mktsegment", "bal_band"], "nation+segment+balband")
+    coarse = level(q, ["c_nationkey", "c_mktsegment"], "nation+segment")
+    return fine.unionByName(coarse).orderBy("qi_level")

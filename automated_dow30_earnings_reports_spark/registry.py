@@ -79,6 +79,7 @@ _PRIORITY = [
     "dpp_partitioned_join",
     "phrase_search_postings",
     "supplier_hops_bfs",
+    "k_anonymity_audit",
 ]
 
 

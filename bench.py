@@ -135,6 +135,7 @@ HEADLINE = [
     "dpp_partitioned_join",
     "phrase_search_postings",
     "supplier_hops_bfs",
+    "k_anonymity_audit",
 ]
 
 

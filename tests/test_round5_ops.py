@@ -353,3 +353,36 @@ def test_bfs_hops_on_known_path_graph(spark, tmp_path):
     sf = _tiny_sf(spark, tmp_path, lineitem=li)
     got = {r.dist: (r.n_suppliers, r.min_supplier) for r in supplier_hops_bfs(spark, sf).collect()}
     assert got == {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}  # 9 unreachable
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_counts_groups_below_k(spark, tmp_path):
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        K_ANON,
+        k_anonymity_audit,
+    )
+
+    # fine level: (1, 'A', band0) has 6 members (safe), (1, 'A', band1)
+    # has 2 (at risk), (2, 'B', band0) has 1 (at risk).
+    rows = (
+        [(i, f"c{i}", 1, 500.0, "A") for i in range(6)]
+        + [(10, "cA", 1, 1500.0, "A"), (11, "cB", 1, 1500.0, "A")]
+        + [(20, "cC", 2, 500.0, "B")]
+    )
+    cust = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    sf = _tiny_sf(spark, tmp_path, customer=cust)
+    out = {r.qi_level: r for r in k_anonymity_audit(spark, sf).collect()}
+    fine = out["nation+segment+balband"]
+    assert (fine.n_groups, fine.n_below_k, fine.n_rows_at_risk, fine.min_group) == (3, 2, 3, 1)
+    coarse = out["nation+segment"]
+    # generalizing merges (1,A) to 8 members (safe); (2,B) still 1
+    assert (coarse.n_groups, coarse.n_below_k, coarse.n_rows_at_risk) == (2, 1, 1)
+    assert K_ANON == 5
