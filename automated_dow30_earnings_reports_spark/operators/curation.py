@@ -813,28 +813,21 @@ ACCTBAL_BAND = 1000.0  # generalization: account balance → $1000 bands
              CAST(FLOOR(c_acctbal / {ACCTBAL_BAND}) AS BIGINT) AS bal_band
       FROM customer
     ),
-    fine AS (
+    sizes AS (
       SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
-      FROM q GROUP BY 1, 2, 3
-    ),
-    coarse AS (
-      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
-      FROM q GROUP BY 1, 2
+      FROM q
+      GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment, bal_band),
+                              (c_nationkey, c_mktsegment))
     )
-    SELECT 'nation+segment+balband' AS qi_level,
+    SELECT CASE WHEN bal_band IS NULL THEN 'nation+segment'
+                ELSE 'nation+segment+balband' END AS qi_level,
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(COUNT(*) FILTER (sz < {K_ANON}) AS BIGINT) AS n_below_k,
            CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
              AS n_rows_at_risk,
            CAST(MIN(sz) AS BIGINT) AS min_group
-    FROM fine
-    UNION ALL
-    SELECT 'nation+segment',
-           CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (sz < {K_ANON}) AS BIGINT),
-           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT),
-           CAST(MIN(sz) AS BIGINT)
-    FROM coarse
+    FROM sizes
+    GROUP BY qi_level
     ORDER BY qi_level
     """,
 )
@@ -845,23 +838,34 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     level iff n_below_k = 0; n_rows_at_risk is the re-identifiable
     population the generalization rescues.
 
-    Scale shape: two map-side-combined groupBys + a 2-row union —
-    group COUNTS are the working set, never individuals; the same
-    audit at 100 TB is exactly this plan. Rollup-style single-scan
-    (grouping sets over both levels) would also work; two explicit
-    aggregates keep the per-level k-threshold arithmetic readable and
-    cost the same single fact scan with exchange reuse."""
+    Scale shape: ONE fact scan — both granularities come out of a
+    single grouping-sets aggregate (rollup over (nation, segment,
+    band) filtered to the two wanted levels by grouping_id, Expand
+    before the shuffle), then a 2-key re-aggregate over group COUNTS;
+    individuals never leave the first map-side combine. The level tag
+    derives from band-NULLness, which is unambiguous because real
+    bands are never NULL (c_acctbal is non-null)."""
     c = load_table(spark, sf_dir, "customer")
     q = c.select(
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("bigint").alias("bal_band"),
     )
-
-    def level(df: DataFrame, cols: list, name: str) -> DataFrame:
-        sizes = df.groupBy(*cols).agg(F.count("*").alias("sz"))
-        return sizes.agg(
-            F.lit(name).alias("qi_level"),
+    sizes = (
+        q.rollup("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("sz"), F.grouping_id().alias("gid"))
+        # rollup emits (n,s,band)=0, (n,s)=1, (n)=3, ()=7 — keep the
+        # two audited levels.
+        .where(F.col("gid").isin(0, 1))
+    )
+    qi_level = (
+        F.when(F.col("bal_band").isNull(), "nation+segment")
+        .otherwise("nation+segment+balband")
+        .alias("qi_level")
+    )
+    return (
+        sizes.groupBy(qi_level)
+        .agg(
             F.count("*").cast("bigint").alias("n_groups"),
             F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0))
             .cast("bigint")
@@ -871,7 +875,5 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_rows_at_risk"),
             F.min("sz").cast("bigint").alias("min_group"),
         )
-
-    fine = level(q, ["c_nationkey", "c_mktsegment", "bal_band"], "nation+segment+balband")
-    coarse = level(q, ["c_nationkey", "c_mktsegment"], "nation+segment")
-    return fine.unionByName(coarse).orderBy("qi_level")
+        .orderBy("qi_level")
+    )

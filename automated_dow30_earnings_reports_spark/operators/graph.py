@@ -169,17 +169,51 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_EDGES = 400
 
-
-def _triangle_oracle() -> str:
-    return f"""
-    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+# Shared ps/sup/e derivation (Spark helper + SQL fragment below): ONE
+# definition of the strongest-edge co-supply graph, used by both
+# triangle_count_cosupply and supplier_hops_bfs so the "same bounded
+# edge list" claim cannot drift.
+_COSUPPLY_SQL = f"""ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
     sup AS (
       SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
       FROM ps a JOIN ps b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2
     ),
-    e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {TRI_EDGES})
+    e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {TRI_EDGES})"""
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sa, sb) strongest-TRI_EDGES co-supply edges, sa < sb, cut
+    deterministically by (shared-part count DESC, sa, sb) —
+    localCheckpointed because every caller references it repeatedly
+    (triangle legs / BFS rounds)."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sup = (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        sup.orderBy(F.col("c").desc(), "sa", "sb")
+        .limit(TRI_EDGES)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH {_COSUPPLY_SQL}
     SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(*)
                  FROM e e1
@@ -205,34 +239,12 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-node top-d adjacency cap, which also bounds the wedge
     join at d^2 per node. The closing joins run on k-row frames (AQE
     broadcasts them)."""
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    sup = (
-        ps.alias("a")
-        .join(
-            ps.alias("b"),
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
-        )
-        .agg(F.count("*").alias("c"))
-    )
     # The edge list is referenced four times (two-path legs, closing
-    # probe, edge count); localCheckpoint materializes the <= TRI_EDGES
-    # rows once so the (part, supplier) dedup + pair aggregation don't
-    # replan per reference (plan audit showed 4x re-derivation without
-    # it — same bounded-frame pattern as dedup_clusters' rounds).
-    e = (
-        sup.orderBy(F.col("c").desc(), "sa", "sb")
-        .limit(TRI_EDGES)
-        .select("sa", "sb")
-        .localCheckpoint(eager=True)
-    )
+    # probe, edge count); _cosupply_edges localCheckpoints the
+    # <= TRI_EDGES rows once so the (part, supplier) dedup + pair
+    # aggregation don't replan per reference (plan audit showed 4x
+    # re-derivation without it).
+    e = _cosupply_edges(spark, sf_dir)
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.sb") == F.col("e2.sa"))
@@ -258,16 +270,7 @@ BFS_MAX_HOPS = 6
 
 def _bfs_oracle() -> str:
     return f"""
-    WITH RECURSIVE ps AS (
-      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-    ),
-    sup AS (
-      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
-      FROM ps a JOIN ps b
-        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2
-    ),
-    e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {TRI_EDGES}),
+    WITH RECURSIVE {_COSUPPLY_SQL},
     und AS (
       SELECT sa AS src, sb AS dst FROM e
       UNION ALL SELECT sb, sa FROM e
@@ -302,29 +305,7 @@ def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo small, but the loop shape is the production one — frontier
     joins shuffle on the node key, settled set grows monotonically,
     rounds = graph diameter). Early exit when a round adds nothing."""
-    from automated_dow30_earnings_reports_spark.tables import load_table
-
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    sup = (
-        ps.alias("a")
-        .join(
-            ps.alias("b"),
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb"))
-        .agg(F.count("*").alias("c"))
-    )
-    e = (
-        sup.orderBy(F.col("c").desc(), "sa", "sb")
-        .limit(TRI_EDGES)
-        .select("sa", "sb")
-        .localCheckpoint(eager=True)
-    )
+    e = _cosupply_edges(spark, sf_dir)
     und = e.selectExpr("sa AS src", "sb AS dst").unionByName(
         e.selectExpr("sb AS src", "sa AS dst")
     )

@@ -645,6 +645,23 @@ def _pmi_oracle() -> str:
     """
 
 
+def _doc_bigrams(d: DataFrame) -> DataFrame:
+    """Map-side tail-zip (w1, w2) bigrams over whitespace tokens —
+    shared by pmi_bigrams (statistics) and phrase_search_postings
+    (probe-phrase selection), so the two operators cannot drift on
+    tokenization or the size>=2 guard."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    return (
+        d.where(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
 @_register("pmi_bigrams", _pmi_oracle())
 def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: pointwise mutual information of the corpus's
@@ -655,17 +672,8 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars. Top-N is tie-broken on (count, w1, w2) so the cutoff is
     deterministic across engines."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = F.arrays_zip(
-        F.slice(t, 1, F.size(t) - 1).alias("w1"),
-        F.slice(t, 2, F.size(t) - 1).alias("w2"),
-    )
-    big = (
-        d.where(F.size(t) >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
-    uni = d.select(F.explode(t).alias("tok"))
+    big = _doc_bigrams(d)
+    uni = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
     uc = uni.groupBy("tok").agg(F.count("*").alias("cu"))
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     total_uni = uni.agg(F.count("*").alias("total_uni"))
@@ -964,35 +972,31 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain (overlapping repeats each count); the top-doc cut is
     (n_occurrences DESC, doc_id) — deterministic both engines."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = F.arrays_zip(
-        F.slice(t, 1, F.size(t) - 1).alias("w1"),
-        F.slice(t, 2, F.size(t) - 1).alias("w2"),
-    )
-    big = (
-        d.where(F.size(t) >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
+    # The 1-row probe phrase is referenced three times (two semi-probes
+    # + the output join); cut the corpus-sized bigram pipeline behind
+    # it so it runs once (the bounded-frame-referenced->1x rule).
     phrase = (
-        big.groupBy("w1", "w2")
+        _doc_bigrams(d)
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
         .orderBy(F.desc("cb"), "w1", "w2")
         .limit(1)
         .select("w1", "w2")
+        .localCheckpoint(eager=True)
     )
+    t = F.split(F.trim(F.col("text")), r"\s+")
     postings = d.select(
         "doc_id", F.posexplode(t).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # phrase is exactly one row (limit 1), so the semi-filtered posting
+    # lists pin tok=w1 / tok=w2 — tok itself need not travel through
+    # the adjacency join.
     p1 = postings.join(
         F.broadcast(phrase), postings.tok == phrase.w1, "left_semi"
-    ).select("doc_id", F.col("pos").alias("pos1"), F.col("tok").alias("tok1"))
+    ).select("doc_id", F.col("pos").alias("pos1"))
     p2 = postings.join(
         F.broadcast(phrase), postings.tok == phrase.w2, "left_semi"
-    ).select(F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
-    # phrase is exactly one row (limit 1), so the two semi-filtered
-    # posting lists already pin tok1=w1 / tok2=w2 — the adjacency join
-    # needs only (doc, position).
+    ).select(F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2"))
     hits = (
         p1.join(
             p2,

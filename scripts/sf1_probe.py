@@ -88,6 +88,7 @@ PROBE = [
     "knn_classify_centroid",
     "phrase_search_postings",
     "supplier_hops_bfs",
+    "k_anonymity_audit",
 ]
 
 VOWELS = "aeiou"
