@@ -877,3 +877,133 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qi_level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-size stratified draw — the eval-set construction rule
+# ("exactly K docs per language"), complementing stratified_sample's
+# RATE-based gate: ranks within each stratum by the content-addressed
+# md5 digest (so the draw is reproducible and ingest-order-free) and
+# keeps the first EVAL_PER_STRATUM.
+# ---------------------------------------------------------------------------
+
+EVAL_PER_STRATUM = 40
+
+
+@_register(
+    "stratified_fixed_k",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+      FROM h
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_drawn,
+           CAST(SUM(n_chars) AS BIGINT) AS drawn_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked WHERE rk <= {EVAL_PER_STRATUM}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly EVAL_PER_STRATUM docs per language, drawn by ranking on
+    the md5 of the doc key: content-addressed (same corpus → same
+    draw, regardless of partitioning, ingest order, or cluster size),
+    uniform within the stratum (hash order is unrelated to any data
+    attribute), and tie-broken by doc_id for byte-stable cuts.
+
+    Scale shape: one window PARTITIONED by the stratum key — parallel
+    across strata, state per task bounded by stratum size (a
+    production variant with billion-row strata switches to the
+    per-partition-top-K + merge pattern, same as TakeOrdered, keyed
+    per stratum). Contrast stratified_sample: rate-based gate, no
+    exact size guarantee; this is the exact-K form eval sets need."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= EVAL_PER_STRATUM)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_drawn"),
+            F.sum("n_chars").cast("bigint").alias("drawn_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — outlier capping for model features: per-event-type
+# exact p01/p99 fences (broadcast) clip the value column, and the
+# report quantifies what clipping moved. The two-pass broadcast shape
+# (tiny aggregate → map-side clip) is the alternative to a per-row
+# percent_rank window over the full fact table.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@_register(
+    "winsorize_values",
+    f"""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (e.value < f.lo) AS BIGINT) AS n_clipped_lo,
+           CAST(COUNT(*) FILTER (e.value > f.hi) AS BIGINT) AS n_clipped_hi,
+           ROUND(AVG(e.value), 6) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, f.lo), f.hi)), 6) AS mean_winsorized
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized feature stats: exact percentile fences from
+    one bounded-cardinality aggregate, broadcast back onto the fact
+    scan, clip as pure codegen (least/greatest), report raw vs
+    winsorized means plus clip counts.
+
+    Scale shape: fences are |event_type| rows — the fact table never
+    sorts, never windows; `percentile` is Spark's exact interpolated
+    percentile matching DuckDB quantile_cont (the value_percentiles
+    parity). At 100 TB the exact percentile's per-group sort can be
+    swapped for percentile_approx without touching the clip side."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    fences = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    j = e.join(F.broadcast(fences), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )

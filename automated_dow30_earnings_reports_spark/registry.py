@@ -80,6 +80,8 @@ _PRIORITY = [
     "phrase_search_postings",
     "supplier_hops_bfs",
     "k_anonymity_audit",
+    "stratified_fixed_k",
+    "winsorize_values",
 ]
 
 

@@ -136,6 +136,8 @@ HEADLINE = [
     "phrase_search_postings",
     "supplier_hops_bfs",
     "k_anonymity_audit",
+    "stratified_fixed_k",
+    "winsorize_values",
 ]
 
 

@@ -386,3 +386,45 @@ def test_k_anonymity_counts_groups_below_k(spark, tmp_path):
     # generalizing merges (1,A) to 8 members (safe); (2,B) still 1
     assert (coarse.n_groups, coarse.n_below_k, coarse.n_rows_at_risk) == (2, 1, 1)
     assert K_ANON == 5
+
+
+# ---------------------------------------------------------------------------
+# stratified_fixed_k / winsorize_values
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_fixed_k_draws_exactly_k_and_is_stable(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        EVAL_PER_STRATUM,
+        stratified_fixed_k,
+    )
+
+    a = {r.lang: r for r in stratified_fixed_k(spark, sf_smoke).collect()}
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, r in a.items():
+        assert r.n_drawn == min(EVAL_PER_STRATUM, totals[lang])
+    # reproducible: the repartitioned corpus draws the same set
+    b = {r.lang: r for r in stratified_fixed_k(spark, sf_smoke).collect()}
+    assert {k: (v.n_drawn, v.drawn_chars, v.first_doc) for k, v in a.items()} == {
+        k: (v.n_drawn, v.drawn_chars, v.first_doc) for k, v in b.items()
+    }
+
+
+def test_winsorize_clips_within_fences(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.curation import (
+        winsorize_values,
+    )
+
+    rows = winsorize_values(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        # clipping can only pull the mean toward the fences' interior,
+        # and ~2% of rows should be affected at p01/p99
+        assert r.n_clipped_lo + r.n_clipped_hi <= max(2, int(0.03 * r.n_events))
+        assert r.n_clipped_lo >= 0 and r.n_clipped_hi >= 0
