@@ -89,6 +89,8 @@ PROBE = [
     "phrase_search_postings",
     "supplier_hops_bfs",
     "k_anonymity_audit",
+    "stratified_fixed_k",
+    "winsorize_values",
 ]
 
 VOWELS = "aeiou"
