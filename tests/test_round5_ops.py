@@ -428,3 +428,60 @@ def test_winsorize_clips_within_fences(spark, sf_smoke):
         # and ~2% of rows should be affected at p01/p99
         assert r.n_clipped_lo + r.n_clipped_hi <= max(2, int(0.03 * r.n_events))
         assert r.n_clipped_lo >= 0 and r.n_clipped_hi >= 0
+
+
+# ---------------------------------------------------------------------------
+# degenerate-distribution branches (span == 0 guards) and ranking dups
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_all_equal_prices_keeps_latest_dates(spark, tmp_path):
+    """span == 0 branch: every row lands in bucket 1; survivors are
+    exactly the equal-price rows carrying the global max date."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        skyline_price_date,
+    )
+    import datetime as dt
+
+    rows = [
+        (1, 1, "O", 42.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 42.0, dt.datetime(2024, 3, 1), "1-URGENT"),
+        (3, 1, "O", 42.0, dt.datetime(2024, 3, 1), "1-URGENT"),
+        (4, 1, "O", 42.0, dt.datetime(2024, 2, 1), "1-URGENT"),
+    ]
+    sf = _tiny_sf(spark, tmp_path, orders=_orders(spark, rows))
+    got = {r.o_orderkey for r in skyline_price_date(spark, sf).collect()}
+    assert got == {2, 3}
+
+
+def test_file_skipping_all_equal_prices_single_bucket(spark, tmp_path):
+    """span == 0 branch: one file holds everything; it matches the
+    probe range iff the constant price falls inside it."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        file_skipping_stats,
+    )
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(k, 1, "O", 450.0, t, "1-URGENT") for k in range(10)]
+    sf = _tiny_sf(spark, tmp_path, orders=_orders(spark, rows))
+    out = file_skipping_stats(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.file_id, r.n_rows, r.n_matching, bool(r.skipped)) == (1, 10, 10, False)
+
+
+def test_range_row_number_handles_duplicate_keys(spark):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        _range_row_number,
+    )
+    import random
+
+    vals = [v for v in range(100) for _ in range(3)]  # every key ×3
+    random.Random(11).shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(9)
+    rows = _range_row_number(df, "k").collect()
+    ranks = sorted(r.rn for r in rows)
+    assert ranks == list(range(1, len(vals) + 1))  # exact permutation
+    by_rank = [r.k for r in sorted(rows, key=lambda r: r.rn)]
+    assert by_rank == sorted(vals)  # rank order == key order (ties adjacent)
