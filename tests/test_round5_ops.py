@@ -485,3 +485,33 @@ def test_range_row_number_handles_duplicate_keys(spark):
     assert ranks == list(range(1, len(vals) + 1))  # exact permutation
     by_rank = [r.k for r in sorted(rows, key=lambda r: r.rn)]
     assert by_rank == sorted(vals)  # rank order == key order (ties adjacent)
+
+
+# ---------------------------------------------------------------------------
+# timezone independence of timestamp arithmetic (the r5 session fix)
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_queries_are_session_timezone_free(spark, sf_smoke):
+    """session_stats_batch and mv_incremental_refresh must produce
+    identical results under a DST-observing session timezone — the
+    oracle's arithmetic is naive, so any session-tz leak (the
+    unix_timestamp bug the r4 advice flagged) breaks this."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        session_stats_batch,
+    )
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        mv_incremental_refresh,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base_s = [tuple(r) for r in session_stats_batch(spark, sf_smoke).collect()]
+    base_m = [tuple(r) for r in mv_incremental_refresh(spark, sf_smoke).collect()]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        tz_s = [tuple(r) for r in session_stats_batch(spark, sf_smoke).collect()]
+        tz_m = [tuple(r) for r in mv_incremental_refresh(spark, sf_smoke).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert tz_s == base_s
+    assert tz_m == base_m
