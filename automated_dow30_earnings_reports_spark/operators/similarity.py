@@ -1293,3 +1293,106 @@ def knn_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("true_label", "assigned_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index lifecycle: the IVF index (centroid table + posting
+# lists) is SAVED as parquet tables and the search runs from the
+# loaded index — the build-once/search-many contract of a production
+# vector store, where the O(N·K) assignment pass is amortized across
+# every future query batch instead of re-run per query. The oracle is
+# the from-scratch IVF computation, so the round trip is proven
+# lossless (a narrowed float, a dropped posting, or a centroid drift
+# breaks the hash).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_SCRATCH_IVF = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "ivf_index",
+)
+
+
+@_register("ivf_index_roundtrip", _ivf_oracle())
+def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_ann_ivf's exact semantics, but through a persisted
+    index: (1) BUILD — seed centroids + nearest-centroid cell
+    assignment, written as two parquet tables (`centroids`: cid,
+    vector, norm; `postings`: vec_id, cell, vector, norm — the
+    inverted lists, partitioned BY cell so a cell probe is a
+    directory-pruned read); (2) SEARCH — query vectors re-assign
+    against the LOADED centroid table and scan only their cell's
+    postings. Arrays round-trip as array<double> — lossless — so the
+    result hash-matches the never-persisted oracle.
+
+    Scale shape: the build pass is the one O(N·K) job; the search
+    touches K centroid rows + one posting partition per query. At
+    100 TB the postings table IS the index — rewritten only on
+    re-cluster, appended on ingest (dedup_incremental_batch's
+    new-vs-old pattern applies unchanged)."""
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "norm",
+        "cid",
+        (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
+    )
+    path = _os.path.join(_SCRATCH_IVF, _os.path.basename(sf_dir.rstrip("/")))
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    cells.write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(path, "postings")
+    )
+
+    # --- search phase: ONLY the persisted index + the query vectors ---
+    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    qvec = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    q_scored = qvec.join(F.broadcast(idx_cents)).select(
+        "query_id",
+        "qe",
+        "qnorm",
+        "cid",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("ccos"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
+    q = (
+        q_scored.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cid").alias("cell"), "qe", "qnorm")
+    )
+    cand = postings.join(F.broadcast(q), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored_q = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored_q.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -82,6 +82,7 @@ _PRIORITY = [
     "k_anonymity_audit",
     "stratified_fixed_k",
     "winsorize_values",
+    "ivf_index_roundtrip",
 ]
 
 

@@ -138,6 +138,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "stratified_fixed_k",
     "winsorize_values",
+    "ivf_index_roundtrip",
 ]
 
 

@@ -515,3 +515,29 @@ def test_timestamp_queries_are_session_timezone_free(spark, sf_smoke):
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert tz_s == base_s
     assert tz_m == base_m
+
+
+# ---------------------------------------------------------------------------
+# ivf_index_roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_layout_and_equivalence(spark, sf_smoke):
+    """The persisted index is cell-partitioned on disk (a cell probe is
+    a pruned directory read) and searching from it reproduces the
+    from-scratch IVF results exactly."""
+    import os
+
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        _SCRATCH_IVF,
+        ivf_index_roundtrip,
+        similarity_ann_ivf,
+    )
+
+    from_index = [tuple(r) for r in ivf_index_roundtrip(spark, sf_smoke).collect()]
+    from_scratch = [tuple(r) for r in similarity_ann_ivf(spark, sf_smoke).collect()]
+    assert from_index == from_scratch and from_index
+    postings = os.path.join(
+        _SCRATCH_IVF, os.path.basename(sf_smoke.rstrip("/")), "postings"
+    )
+    assert any(d.startswith("cell=") for d in os.listdir(postings))
