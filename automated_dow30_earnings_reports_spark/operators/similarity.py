@@ -1396,3 +1396,108 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Append-only index maintenance: new vectors are assigned against the
+# STORED centroids and appended to the posting lists — the ingest path
+# of a production vector store (no re-cluster, no rebuild). The oracle
+# is the full-corpus IVF: because seed centroids come from the lowest
+# vec_ids, the incremental index must equal the from-scratch one, and
+# the hash proves the append lost/duplicated nothing.
+# ---------------------------------------------------------------------------
+
+IVF_APPEND_SPLIT = 1600  # vec_id < split = initial build; rest = appended batch
+
+
+@_register("ivf_index_append", _ivf_oracle())
+def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the IVF index on the initial corpus slice (vec_id <
+    IVF_APPEND_SPLIT), then ingest the remainder by assigning it
+    against the PERSISTED centroid table and appending cell-partitioned
+    postings (dynamic partition append — only touched cells change).
+    Search runs over the merged posting lists and must hash-match the
+    full-corpus from-scratch IVF oracle: centroids are the lowest
+    vec_ids, so a correct append converges to the same index a rebuild
+    would produce.
+
+    Scale shape: ingest cost is O(batch × K) assignment + an append
+    write — independent of existing index size; exactly
+    dedup_incremental_batch's new-vs-old contract applied to ANN."""
+    e = _emb(spark, sf_dir)
+    path = _os.path.join(
+        _SCRATCH_IVF, _os.path.basename(sf_dir.rstrip("/")) + "_append"
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.join(F.broadcast(cents)).select(
+            "vec_id",
+            "emb",
+            "norm",
+            "cid",
+            (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias(
+                "ccos"
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
+        )
+
+    # --- initial build on the old slice ---
+    old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
+    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    assign(old, cents).write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(path, "postings")
+    )
+    # --- ingest: new batch vs STORED centroids, appended postings ---
+    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    new = e.where(F.col("vec_id") >= IVF_APPEND_SPLIT)
+    assign(new, idx_cents).write.mode("append").partitionBy("cell").parquet(
+        _os.path.join(path, "postings")
+    )
+    # --- search over the merged index ---
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    qvec = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    q_scored = qvec.join(F.broadcast(idx_cents)).select(
+        "query_id",
+        "qe",
+        "qnorm",
+        "cid",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("ccos"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
+    q = (
+        q_scored.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cid").alias("cell"), "qe", "qnorm")
+    )
+    cand = postings.join(F.broadcast(q), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored_q = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored_q.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

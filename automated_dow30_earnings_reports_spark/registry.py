@@ -83,6 +83,7 @@ _PRIORITY = [
     "stratified_fixed_k",
     "winsorize_values",
     "ivf_index_roundtrip",
+    "ivf_index_append",
 ]
 
 

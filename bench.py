@@ -139,6 +139,7 @@ HEADLINE = [
     "stratified_fixed_k",
     "winsorize_values",
     "ivf_index_roundtrip",
+    "ivf_index_append",
 ]
 
 

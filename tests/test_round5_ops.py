@@ -541,3 +541,19 @@ def test_ivf_index_layout_and_equivalence(spark, sf_smoke):
         _SCRATCH_IVF, os.path.basename(sf_smoke.rstrip("/")), "postings"
     )
     assert any(d.startswith("cell=") for d in os.listdir(postings))
+
+
+def test_ivf_append_is_idempotent_and_rebuild_equivalent(spark, sf_smoke):
+    """Running the append lifecycle twice must not duplicate postings
+    (the per-invocation overwrite resets the index), and the merged
+    index must equal a full rebuild."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        ivf_index_append,
+        similarity_ann_ivf,
+    )
+
+    first = [tuple(r) for r in ivf_index_append(spark, sf_smoke).collect()]
+    second = [tuple(r) for r in ivf_index_append(spark, sf_smoke).collect()]
+    assert first == second and first
+    rebuild = [tuple(r) for r in similarity_ann_ivf(spark, sf_smoke).collect()]
+    assert first == rebuild
