@@ -305,19 +305,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
     )
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id",
-        "emb",
-        "norm",
-        "cid",
-        (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
-    )
+    cells = _assign_cells(e, cents)
     q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
@@ -1306,6 +1294,7 @@ def knn_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks the hash).
 # ---------------------------------------------------------------------------
 
+import hashlib as _hashlib
 import os as _os
 
 _SCRATCH_IVF = _os.path.join(
@@ -1315,54 +1304,19 @@ _SCRATCH_IVF = _os.path.join(
 )
 
 
-@_register("ivf_index_roundtrip", _ivf_oracle())
-def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """similarity_ann_ivf's exact semantics, but through a persisted
-    index: (1) BUILD — seed centroids + nearest-centroid cell
-    assignment, written as two parquet tables (`centroids`: cid,
-    vector, norm; `postings`: vec_id, cell, vector, norm — the
-    inverted lists, partitioned BY cell so a cell probe is a
-    directory-pruned read); (2) SEARCH — query vectors re-assign
-    against the LOADED centroid table and scan only their cell's
-    postings. Arrays round-trip as array<double> — lossless — so the
-    result hash-matches the never-persisted oracle.
+def _index_path(sf_dir: str, tag: str) -> str:
+    """Scratch path keyed by the RESOLVED dataset path (hashed), not
+    just its basename — distinct datasets with equal basenames (two
+    sf0.001 dirs) must not share an index directory."""
+    ap = _os.path.abspath(sf_dir.rstrip("/"))
+    key = _hashlib.md5(ap.encode()).hexdigest()[:8]
+    return _os.path.join(_SCRATCH_IVF, f"{_os.path.basename(ap)}_{key}{tag}")
 
-    Scale shape: the build pass is the one O(N·K) job; the search
-    touches K centroid rows + one posting partition per query. At
-    100 TB the postings table IS the index — rewritten only on
-    re-cluster, appended on ingest (dedup_incremental_batch's
-    new-vs-old pattern applies unchanged)."""
-    e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id",
-        "emb",
-        "norm",
-        "cid",
-        (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
-    )
-    path = _os.path.join(_SCRATCH_IVF, _os.path.basename(sf_dir.rstrip("/")))
-    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
-    cells.write.mode("overwrite").partitionBy("cell").parquet(
-        _os.path.join(path, "postings")
-    )
 
-    # --- search phase: ONLY the persisted index + the query vectors ---
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
-    qvec = e.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.col("norm").alias("qnorm"),
-    )
+def _search_index(postings: DataFrame, idx_cents: DataFrame, qvec: DataFrame) -> DataFrame:
+    """Top-k search from a loaded (centroids, postings) index — shared
+    by the roundtrip and append queries so the search arithmetic
+    cannot drift between them."""
     q_scored = qvec.join(F.broadcast(idx_cents)).select(
         "query_id",
         "qe",
@@ -1396,6 +1350,51 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def _query_vectors(e: DataFrame) -> DataFrame:
+    return e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+
+
+@_register("ivf_index_roundtrip", _ivf_oracle())
+def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_ann_ivf's exact semantics, but through a persisted
+    index: (1) BUILD — seed centroids + nearest-centroid cell
+    assignment, written as two parquet tables (`centroids`: cid,
+    vector, norm; `postings`: vec_id, cell, vector, norm — the
+    inverted lists, partitioned BY cell via write_partitioned so each
+    cell is one file and a cell probe is a directory-pruned read);
+    (2) SEARCH — query vectors re-assign against the LOADED centroid
+    table and scan only their cell's postings. Arrays round-trip as
+    array<double> — lossless — so the result hash-matches the
+    never-persisted oracle.
+
+    Scale shape: the build pass is the one O(N·K) job; the search
+    touches K centroid rows + one posting partition per query. At
+    100 TB the postings table IS the index — rewritten only on
+    re-cluster, appended on ingest (ivf_index_append)."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    path = _index_path(sf_dir, "")
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(e, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
+    )
+
+    # --- search phase: ONLY the persisted index + the query vectors ---
+    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    return _search_index(postings, idx_cents, _query_vectors(e))
 
 
 # ---------------------------------------------------------------------------
@@ -1407,7 +1406,10 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the hash proves the append lost/duplicated nothing.
 # ---------------------------------------------------------------------------
 
-IVF_APPEND_SPLIT = 1600  # vec_id < split = initial build; rest = appended batch
+IVF_APPEND_SPLIT = 300  # vec_id < split = initial build; rest = appended
+# batch. 300 < the 500-vector sf0.001/sf0.01 corpus, so the append path
+# moves real rows at every ORACLE-CHECKED scale (not just the sf0.1
+# bench) — an out-of-range split would make the hash check vacuous.
 
 
 @_register("ivf_index_append", _ivf_oracle())
@@ -1415,36 +1417,22 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the IVF index on the initial corpus slice (vec_id <
     IVF_APPEND_SPLIT), then ingest the remainder by assigning it
     against the PERSISTED centroid table and appending cell-partitioned
-    postings (dynamic partition append — only touched cells change).
-    Search runs over the merged posting lists and must hash-match the
-    full-corpus from-scratch IVF oracle: centroids are the lowest
-    vec_ids, so a correct append converges to the same index a rebuild
-    would produce.
+    postings (only touched cells change). Search runs over the merged
+    posting lists and must hash-match the full-corpus from-scratch IVF
+    oracle: centroids are the lowest vec_ids, so a correct append
+    converges to the same index a rebuild would produce. Idempotent per
+    invocation: the build's static overwrite resets the postings
+    directory before the append lands.
 
     Scale shape: ingest cost is O(batch × K) assignment + an append
     write — independent of existing index size; exactly
     dedup_incremental_batch's new-vs-old contract applied to ANN."""
-    e = _emb(spark, sf_dir)
-    path = _os.path.join(
-        _SCRATCH_IVF, _os.path.basename(sf_dir.rstrip("/")) + "_append"
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
     )
 
-    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = vectors.join(F.broadcast(cents)).select(
-            "vec_id",
-            "emb",
-            "norm",
-            "cid",
-            (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias(
-                "ccos"
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cell"), "emb", "norm")
-        )
+    e = _emb(spark, sf_dir)
+    path = _index_path(sf_dir, "_append")
 
     # --- initial build on the old slice ---
     old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
@@ -1452,52 +1440,18 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
     )
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
-    assign(old, cents).write.mode("overwrite").partitionBy("cell").parquet(
-        _os.path.join(path, "postings")
+    write_partitioned(
+        _assign_cells(old, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
     )
     # --- ingest: new batch vs STORED centroids, appended postings ---
     idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
     new = e.where(F.col("vec_id") >= IVF_APPEND_SPLIT)
-    assign(new, idx_cents).write.mode("append").partitionBy("cell").parquet(
-        _os.path.join(path, "postings")
+    write_partitioned(
+        _assign_cells(new, idx_cents),
+        _os.path.join(path, "postings"),
+        ["cell"],
+        mode="append",
     )
     # --- search over the merged index ---
     postings = spark.read.parquet(_os.path.join(path, "postings"))
-    qvec = e.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.col("norm").alias("qnorm"),
-    )
-    q_scored = qvec.join(F.broadcast(idx_cents)).select(
-        "query_id",
-        "qe",
-        "qnorm",
-        "cid",
-        (dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("ccos"),
-    )
-    w_q = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
-    q = (
-        q_scored.withColumn("rn", F.row_number().over(w_q))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("cid").alias("cell"), "qe", "qnorm")
-    )
-    cand = postings.join(F.broadcast(q), "cell").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored_q = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored_q.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-        .orderBy("query_id", "rnk")
-    )
+    return _search_index(postings, idx_cents, _query_vectors(e))

@@ -409,8 +409,23 @@ def test_stratified_fixed_k_draws_exactly_k_and_is_stable(spark, sf_smoke):
     }
     for lang, r in a.items():
         assert r.n_drawn == min(EVAL_PER_STRATUM, totals[lang])
-    # reproducible: the repartitioned corpus draws the same set
-    b = {r.lang: r for r in stratified_fixed_k(spark, sf_smoke).collect()}
+    # reproducible under a genuinely different physical layout: write a
+    # shuffled, re-partitioned copy of the corpus and draw again
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="strat_relayout_")
+    try:
+        (
+            spark.read.parquet(f"{sf_smoke}/documents.parquet")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id").desc())
+            .repartition(7)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/documents.parquet")
+        )
+        b = {r.lang: r for r in stratified_fixed_k(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     assert {k: (v.n_drawn, v.drawn_chars, v.first_doc) for k, v in a.items()} == {
         k: (v.n_drawn, v.drawn_chars, v.first_doc) for k, v in b.items()
     }
