@@ -1015,4 +1015,8 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("bigint").alias("doc_id"),
             "n_occurrences",
         )
+        # Terminal sort AFTER the crossJoin: the pre-limit orderBy only
+        # survives by the current physical plan (TakeOrdered), not by
+        # contract — every registered query must end in an orderBy.
+        .orderBy(F.desc("n_occurrences"), "doc_id")
     )

@@ -544,7 +544,7 @@ def test_ivf_index_layout_and_equivalence(spark, sf_smoke):
     import os
 
     from automated_dow30_earnings_reports_spark.operators.similarity import (
-        _SCRATCH_IVF,
+        _index_path,
         ivf_index_roundtrip,
         similarity_ann_ivf,
     )
@@ -552,9 +552,7 @@ def test_ivf_index_layout_and_equivalence(spark, sf_smoke):
     from_index = [tuple(r) for r in ivf_index_roundtrip(spark, sf_smoke).collect()]
     from_scratch = [tuple(r) for r in similarity_ann_ivf(spark, sf_smoke).collect()]
     assert from_index == from_scratch and from_index
-    postings = os.path.join(
-        _SCRATCH_IVF, os.path.basename(sf_smoke.rstrip("/")), "postings"
-    )
+    postings = os.path.join(_index_path(sf_smoke, ""), "postings")
     assert any(d.startswith("cell=") for d in os.listdir(postings))
 
 
