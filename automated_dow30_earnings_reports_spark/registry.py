@@ -50,46 +50,63 @@ _MODULES = [
 ]
 
 # ORDER MATTERS: the driver evaluates correctness in registration order
-# and truncates at ~50 queries per round. Per-round rotation rule: at
-# round start, every query with a green row in the latest
-# CORRECTNESS_r0N.json moves to the BACK, so the driver's budget lands
-# on never-attested queries first. Round 5 ordering: positions 1-6 are
-# the r4 additions the r4 driver budget didn't reach (local-green, no
-# driver row yet); queries added during round 5 follow, inside the
-# 50-slot budget so they attest same-round. Everything attested across
-# r1∪r2∪r3∪r4 (178/178 green, zero failures) follows in module order
-# and soaks up the rest of the budget as re-attestation.
-_PRIORITY = [
-    # --- never driver-attested (added in r4 past the budget) ---
-    "schema_evolution_read",
-    "file_skipping_stats",
-    "session_stats_batch",
-    "q5_local_supplier_volume",
-    "bm25_retrieval",
-    "multimodal_audio_fingerprint",
-    # --- new in round 5 (appended as they land; local-green) ---
-    "reports_http_filter",
-    "mv_incremental_refresh",
-    "merge_on_read_deletes",
-    "table_fingerprint",
-    "interval_overlap_join",
-    "skyline_price_date",
-    "cluster_aware_split",
-    "knn_classify_centroid",
-    "dpp_partitioned_join",
-    "phrase_search_postings",
-    "supplier_hops_bfs",
-    "k_anonymity_audit",
-    "stratified_fixed_k",
-    "winsorize_values",
-    "ivf_index_roundtrip",
-    "ivf_index_append",
-]
+# and truncates at ~50 queries per round. Rotation rule since round 6:
+# LEAST-RECENTLY-ATTESTED FIRST. With every query green at least once,
+# the risk is no longer coverage but staleness — a query last attested
+# in r1 could silently rot for rounds while the budget re-checks recent
+# ones. The ordering is computed from the CORRECTNESS_r*.json artifacts
+# themselves: never-attested queries (no green row in any round) sort
+# first (last_round = -1, i.e. new queries keep head priority
+# automatically), then ascending by the round of their most recent
+# green row; ties keep registration (module) order via stable sort. The
+# manual _PRIORITY override below is applied ahead of the LRU order for
+# explicit same-round routing of queries whose rows the artifact scan
+# can't know about yet (e.g. a rename).
+_PRIORITY: list[str] = []
+
+
+def _last_attested() -> dict[str, int]:
+    """query name -> most recent round with a green driver row, scanned
+    from CORRECTNESS_r*.json at the repo root. Green = no err and no
+    explicit False among rows/schema/hash match flags (hash_match may
+    be null for rows-only checks). Any read problem degrades to 'never
+    attested' rather than breaking the driver import."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+            if any(v is False for v in flags):
+                continue
+            out[name] = max(out.get(name, -1), rnd)
+    return out
 
 
 def _prioritize(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
-    return head | {k: v for k, v in d.items() if k not in head}
+    last = _last_attested()
+    tail = sorted(
+        (k for k in d if k not in head), key=lambda k: last.get(k, -1)
+    )  # stable: registration order within each cohort
+    return head | {k: d[k] for k in tail}
 
 
 def _iter_modules():

@@ -1,0 +1,168 @@
+"""Round-6 operators: persisted-index maintenance (skew-triggered
+re-cluster), and the other round-6 production surfaces.
+
+Reference parity: the reference has no vector index at all — this is
+engine-side forward surface (VERDICT r5 task list), held to the same
+oracle bar as the reference-derived operators.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ivf_index_recluster — the maintenance phase of the index lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _build_and_append(spark, sf_dir, path, corpus):
+    """The build+append prefix of the lifecycle (shared by the trigger
+    tests): initial slice with seed centroids, then the rest of
+    ``corpus`` appended against the STORED centroids."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_APPEND_SPLIT,
+        IVF_CELLS,
+        _assign_cells,
+    )
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    old = corpus.where(F.col("vec_id") < IVF_APPEND_SPLIT)
+    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(old, cents), os.path.join(path, "postings"), ["cell"],
+        dynamic=False,
+    )
+    idx_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(corpus.where(F.col("vec_id") >= IVF_APPEND_SPLIT), idx_cents),
+        os.path.join(path, "postings"),
+        ["cell"],
+        mode="append",
+    )
+
+
+def test_adversarial_append_triggers_recluster(spark, sf_smoke, tmp_path):
+    """A drifted ingest batch must push the stored index past the skew
+    threshold (with margin — the gate is a real branch), and the
+    re-cluster must actually rewrite the quantizer."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        RECLUSTER_SKEW_THRESHOLD,
+        _drifted_corpus,
+        _emb,
+        _index_skew_ratio,
+        _recluster_index,
+    )
+
+    path = str(tmp_path / "idx")
+    corpus = _drifted_corpus(_emb(spark, sf_smoke)).localCheckpoint(eager=True)
+    _build_and_append(spark, sf_smoke, path, corpus)
+
+    ratio = _index_skew_ratio(spark.read.parquet(os.path.join(path, "postings")))
+    assert ratio >= RECLUSTER_SKEW_THRESHOLD * 1.25, ratio
+
+    before = {
+        (r["cid"], tuple(r["ce"]))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    _recluster_index(spark, path)
+    after = {
+        (r["cid"], tuple(r["ce"]))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    assert after != before  # the rewrite re-trained, not just re-wrote
+    # re-clustering must relieve the skew it was triggered by
+    relieved = _index_skew_ratio(spark.read.parquet(os.path.join(path, "postings")))
+    assert relieved < ratio
+    # layout contract survives the rewrite: postings stay cell-partitioned
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "postings"))
+    )
+
+
+def test_natural_append_stays_under_threshold(spark, sf_smoke, tmp_path):
+    """A non-drifted append must NOT trigger maintenance — the natural
+    corpus's cell occupancy sits well under the threshold, so the gate
+    distinguishes drift from noise."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        RECLUSTER_SKEW_THRESHOLD,
+        _emb,
+        _index_skew_ratio,
+    )
+
+    path = str(tmp_path / "idx")
+    corpus = _emb(spark, sf_smoke).localCheckpoint(eager=True)
+    _build_and_append(spark, sf_smoke, path, corpus)
+    ratio = _index_skew_ratio(spark.read.parquet(os.path.join(path, "postings")))
+    assert ratio < RECLUSTER_SKEW_THRESHOLD * 0.75, ratio
+
+
+def test_recluster_search_matches_pure_lloyd(spark, sf_smoke):
+    """The registered lifecycle query (build -> drifted append -> skew
+    gate -> re-cluster -> search) must equal the never-persisted Lloyd
+    computation over the same drifted corpus — the persistence layer
+    adds nothing and loses nothing."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_CELLS,
+        KMEANS_ROUNDS,
+        TOP_K,
+        N_QUERY_VECS,
+        Window,
+        _assign_cells,
+        _drifted_corpus,
+        _emb,
+        _update_centroids,
+        dot,
+        ivf_index_recluster,
+    )
+
+    got = [tuple(r) for r in ivf_index_recluster(spark, sf_smoke).collect()]
+
+    e = _drifted_corpus(_emb(spark, sf_smoke)).localCheckpoint(eager=True)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(KMEANS_ROUNDS):
+        cents = _update_centroids(_assign_cells(e, cents))
+    cells = _assign_cells(e, cents)
+    q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = cells.join(F.broadcast(q), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    want = [
+        tuple(r)
+        for r in cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias(
+                "cos"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    assert got == want and got
