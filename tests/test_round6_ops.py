@@ -166,3 +166,46 @@ def test_recluster_search_matches_pure_lloyd(spark, sf_smoke):
         .collect()
     ]
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_index — persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_index_idempotent_and_batch_equivalent(spark, sf_smoke):
+    """Running the lifecycle twice must not duplicate index rows (the
+    build overwrite resets all three tables), and the persisted path
+    must equal the never-persisted dedup_incremental_batch."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        dedup_incremental_batch,
+        dedup_incremental_index,
+    )
+
+    first = [tuple(r) for r in dedup_incremental_index(spark, sf_smoke).collect()]
+    second = [tuple(r) for r in dedup_incremental_index(spark, sf_smoke).collect()]
+    assert first == second and first
+    pure = [tuple(r) for r in dedup_incremental_batch(spark, sf_smoke).collect()]
+    assert first == pure
+
+
+def test_dedup_index_layout_bucket_partitioned(spark, sf_smoke):
+    """The band table is bucket-partitioned on disk (a probe with known
+    buckets is a directory-pruned read) and holds BOTH corpus slices
+    after the append."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        DEDUP_INDEX_BUCKETS,
+        _dedup_index_path,
+        dedup_incremental_index,
+    )
+
+    dedup_incremental_index(spark, sf_smoke).collect()
+    path = _dedup_index_path(sf_smoke)
+    band_dirs = [
+        d for d in os.listdir(os.path.join(path, "bands")) if d.startswith("bucket=")
+    ]
+    assert band_dirs and len(band_dirs) <= DEDUP_INDEX_BUCKETS
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    new_n = bands.where(F.col("doc_id") % 5 == 4).count()
+    old_n = bands.where(F.col("doc_id") % 5 != 4).count()
+    assert new_n > 0 and old_n > 0
