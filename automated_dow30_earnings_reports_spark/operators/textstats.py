@@ -1020,3 +1020,106 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contract — every registered query must end in an orderBy.
         .orderBy(F.desc("n_occurrences"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality tier 3 — linear classifier (the fastText/CCNet/DCLM shape).
+# The quality stack so far has hard rules (quality_filter_rules,
+# Gopher) and a unigram LM (unigram_logprob_score, CCNet); modern
+# corpus pipelines add a learned linear gate: hash each token bigram
+# into a D-dim feature space, dot the (sparse) feature counts against
+# a weight vector, squash with a sigmoid, keep score >= 0.5. The
+# weight vector here is a deterministic literal — w[j] derives from j
+# by exact integer arithmetic — i.e. the degenerate form of the
+# broadcast weights dim (no table needed at all; a trained model would
+# broadcast its D floats the way ir_candidate_urls broadcasts its
+# dims).
+#
+# Cross-engine exactness: per-document we sum INTEGER weights
+# ((fid*37+11) % 97 - 48, exact bigint in both engines, products
+# < 2^42), divide ONCE by 97*n, and sigmoid — so the only FP
+# divergence surface is exp(), collapsed by the 6-dp rounding that
+# also drives the keep gate (both engines gate on the ROUNDED score,
+# so a green hash implies identical gates).
+# ---------------------------------------------------------------------------
+
+QC_DIM = 256  # hashed feature-space width
+
+
+def _qc_fid(s: Column) -> Column:
+    """bigram string -> feature id: 28-bit md5 digest mod QC_DIM (the
+    dedup family's digest contract, operators/dedup.py doc_shingle_hashes)."""
+    return (
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10).cast("bigint")
+        % QC_DIM
+    )
+
+
+def quality_classifier_cols(text: Column) -> tuple[Column, Column]:
+    """(score, keep) columns for an arbitrary text column — the shared
+    gate expression, composable with the curation funnel the same way
+    quality_pass_col is."""
+    t = tokens_col(text)
+    ws = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: (_qc_fid(F.array_join(F.slice(t, i, 2), " ")) * 37 + 11) % 97
+            - 48,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sum_k = F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    n = F.size(ws)
+    x = F.when(n > 0, sum_k / (F.lit(97.0) * n)).otherwise(F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6)
+    return score, score >= F.lit(0.5)
+
+
+def _qc_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.dedup import _h_of
+
+    h_bigram = _h_of("toks[i] || ' ' || toks[i+1]")
+    w_of = f"((({h_bigram}) % {QC_DIM}) * 37 + 11) % 97 - 48"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN [{w_of} FOR i IN range(1, len(toks))]
+                  ELSE CAST([] AS BIGINT[]) END AS ws
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-(CASE WHEN len(ws) > 0
+                    THEN list_aggregate(ws, 'sum') / (97.0 * len(ws))
+                    ELSE 0.0 END))), 6) AS qc_score,
+             CAST(len(ws) AS BIGINT) AS n_feats
+      FROM feats
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, qc_score,
+           (qc_score >= 0.5) AS keep, n_feats
+    FROM scored ORDER BY doc_id
+    """
+
+
+@_register("quality_classifier_linear", _qc_oracle())
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear quality score + keep gate. One corpus scan,
+    entirely map-side codegen (the feature hash, the integer weight
+    sum, and the sigmoid are all per-row array expressions — no
+    explode, no shuffle, no Python); the terminal orderBy is the only
+    exchange. At 100 TB this is the cheapest operator in the quality
+    stack: a wide map over the text column."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = tokens_col(F.col("text"))
+    score, keep = quality_classifier_cols(F.col("text"))
+    n_feats = F.when(F.size(t) >= 2, F.size(t) - 1).otherwise(0).cast("bigint")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        score.alias("qc_score"),
+        keep.alias("keep"),
+        n_feats.alias("n_feats"),
+    ).orderBy("doc_id")

@@ -209,3 +209,46 @@ def test_dedup_index_layout_bucket_partitioned(spark, sf_smoke):
     new_n = bands.where(F.col("doc_id") % 5 == 4).count()
     old_n = bands.where(F.col("doc_id") % 5 != 4).count()
     assert new_n > 0 and old_n > 0
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_linear — learned-gate tier of the quality stack
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_gate_composes_with_curation_funnel(spark, sf_smoke):
+    """The classifier keep-gate must slot into the curation funnel as a
+    fourth stage: applied after the Gopher rules it keeps a non-trivial
+    strict subset (a real learned gate, not a constant), and the funnel
+    stays monotone."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        quality_classifier_cols,
+        quality_pass_col,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    n_raw = d.count()
+    rules = d.where(quality_pass_col(F.col("text")))
+    n_rules = rules.count()
+    _, keep = quality_classifier_cols(F.col("text"))
+    n_both = rules.where(keep).count()
+    assert n_raw >= n_rules >= n_both
+    assert 0 < n_both < n_rules  # the gate splits, both classes populated
+
+
+def test_classifier_score_bounds_and_gate_consistency(spark, sf_smoke):
+    """Scores live in (0,1); the keep flag equals the >= 0.5 gate on
+    the rounded score for every document; short docs (< 2 tokens, no
+    bigram features) score exactly sigmoid(bias)=0.5 and are kept."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        quality_classifier_linear,
+    )
+
+    rows = quality_classifier_linear(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["qc_score"] < 1.0
+        assert r["keep"] == (r["qc_score"] >= 0.5)
+        if r["n_feats"] == 0:
+            assert r["qc_score"] == 0.5 and r["keep"]
