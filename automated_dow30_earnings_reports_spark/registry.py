@@ -29,6 +29,7 @@ _MODULES = [
     f"{_PKG}.operators.sketches",
     f"{_PKG}.operators.asof",
     f"{_PKG}.streaming.windows",
+    f"{_PKG}.streaming.incremental",
     f"{_PKG}.pipeline.queries",
     f"{_PKG}.pipeline.discovery",
     f"{_PKG}.pipeline.orchestrate",

@@ -144,3 +144,159 @@ def dedup_links_within_watermark(
     explicit TTL — the form you run over an unbounded crawl where
     re-seeing a URL after a day SHOULD re-fetch it."""
     return links.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["href"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> persisted-index composition: the "continuously-ingesting
+# vector store". The kvlinks streaming source tails a landing directory
+# of ARRIVAL records (vec_id per line — the CDC shape: the stream says
+# what landed, the payload stays in the lake); each micro-batch joins
+# the ids back to the embeddings table, assigns them against the STORED
+# centroid table (ivf_index_append's ingest contract,
+# operators/similarity.py), and appends cell-partitioned postings.
+# Replay-safe: an anti-join against the already-committed postings
+# makes a replayed or duplicate-arrival batch a no-op, exactly
+# start_incremental_crawl's sink contract. Checkpointed, so a restart
+# resumes from the last committed file-set offset.
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_SCRATCH_SIVF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "streaming_ivf",
+)
+
+
+def start_ivf_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    emb: DataFrame,
+    available_now: bool = True,
+):
+    """Tail ``landing_dir`` (kvlinks arrival records, schema
+    ``vec_id bigint``) and append each micro-batch into the persisted
+    IVF index at ``index_path``. Ingest cost per batch is
+    O(batch x K) assignment + an append write — independent of index
+    size; duplicate/replayed arrivals are dropped against the
+    committed postings before the write."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        _assign_cells,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    register(spark)
+    arrivals = (
+        spark.readStream.format("kvlinks")
+        .schema("vec_id bigint")
+        .option("path", landing_dir)
+        .load()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        idx_cents = sess.read.parquet(os.path.join(index_path, "centroids"))
+        batch_vecs = emb.join(batch_df.select("vec_id").distinct(), "vec_id")
+        committed = sess.read.parquet(os.path.join(index_path, "postings")).select(
+            "vec_id"
+        )
+        fresh = batch_vecs.join(committed, "vec_id", "left_anti")
+        write_partitioned(
+            _assign_cells(fresh, idx_cents),
+            os.path.join(index_path, "postings"),
+            ["cell"],
+            mode="append",
+        )
+
+    writer = arrivals.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composition, driver-oracled: (1) BUILD the IVF index on
+    the initial corpus slice (vec_id < IVF_APPEND_SPLIT, seed
+    centroids); (2) publish the remaining vec_ids as kvlinks arrival
+    files in a fresh landing directory; (3) run the checkpointed
+    ingest stream to exhaustion (availableNow); (4) SEARCH the
+    persisted index. Converges to the same index a batch append (or a
+    full rebuild) produces — the oracle is the from-scratch IVF
+    (rows-equivalence through a streaming engine, the window_* oracle
+    pattern), so the hash proves the streaming path lost/duplicated
+    nothing. Restart/replay safety is pinned in
+    tests/test_round6_ops.py."""
+    import shutil
+
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_APPEND_SPLIT,
+        IVF_CELLS,
+        _assign_cells,
+        _emb,
+        _query_vectors,
+        _search_index,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    register(spark)
+    import hashlib
+
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    key = hashlib.md5(ap.encode()).hexdigest()[:8]
+    base = os.path.join(_SCRATCH_SIVF, f"{os.path.basename(ap)}_{key}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh lifecycle per invocation
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    index_path = os.path.join(base, "index")
+
+    e = _emb(spark, sf_dir)
+    old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
+    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    write_partitioned(
+        _assign_cells(old, cents),
+        os.path.join(index_path, "postings"),
+        ["cell"],
+        dynamic=False,
+    )
+
+    e.where(F.col("vec_id") >= IVF_APPEND_SPLIT).select("vec_id").write.format(
+        "kvlinks"
+    ).option("path", landing).mode("append").save()
+
+    q = start_ivf_ingest_stream(spark, landing, index_path, ckpt, e)
+    q.awaitTermination(300)
+
+    idx_cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    postings = spark.read.parquet(os.path.join(index_path, "postings"))
+    return _search_index(postings, idx_cents, _query_vectors(e))
+
+
+def _sivf_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        _ivf_oracle,
+    )
+
+    return _ivf_oracle()
+
+
+QUERIES["streaming_ivf_ingest"] = streaming_ivf_ingest
+ORACLES["streaming_ivf_ingest"] = _sivf_oracle()

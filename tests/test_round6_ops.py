@@ -252,3 +252,81 @@ def test_classifier_score_bounds_and_gate_consistency(spark, sf_smoke):
         assert r["keep"] == (r["qc_score"] >= 0.5)
         if r["n_feats"] == 0:
             assert r["qc_score"] == 0.5 and r["keep"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_ivf_ingest — streaming -> persisted-index composition
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ivf_restart_resume_and_replay_safety(spark, sf_smoke, tmp_path):
+    """Two stream runs against one checkpoint: the second batch contains
+    BOTH already-ingested arrival ids (duplicates/replay) and new ones.
+    Committed ids must not re-append (anti-join replay safety), the new
+    ids must land, and the final index must equal the never-streamed
+    full-corpus IVF."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_APPEND_SPLIT,
+        IVF_CELLS,
+        _assign_cells,
+        _emb,
+        _query_vectors,
+        _search_index,
+        similarity_ann_ivf,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        start_ivf_ingest_stream,
+    )
+
+    register(spark)
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "index")
+
+    e = _emb(spark, sf_smoke).localCheckpoint(eager=True)
+    old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
+    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    write_partitioned(
+        _assign_cells(old, cents),
+        os.path.join(index_path, "postings"),
+        ["cell"],
+        dynamic=False,
+    )
+
+    mid = IVF_APPEND_SPLIT + 100
+    # run 1: arrivals [SPLIT, mid)
+    e.where(F.col("vec_id").between(IVF_APPEND_SPLIT, mid - 1)).select(
+        "vec_id"
+    ).write.format("kvlinks").option("path", landing).mode("append").save()
+    start_ivf_ingest_stream(spark, landing, index_path, ckpt, e).awaitTermination(180)
+    p1 = spark.read.parquet(os.path.join(index_path, "postings"))
+    assert p1.where(F.col("vec_id") >= IVF_APPEND_SPLIT).count() == 100
+    assert p1.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+
+    # run 2 (restart, same checkpoint): a new arrival file carrying
+    # replayed ids from run 1 PLUS the remaining tail
+    e.where(F.col("vec_id") >= mid - 50).select("vec_id").write.format(
+        "kvlinks"
+    ).option("path", landing).mode("append").save()
+    start_ivf_ingest_stream(spark, landing, index_path, ckpt, e).awaitTermination(180)
+    p2 = spark.read.parquet(os.path.join(index_path, "postings"))
+    assert p2.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+    assert p2.count() == e.count()  # every vector present exactly once
+
+    # the streamed index answers queries identically to the pure IVF
+    idx_cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    got = [
+        tuple(r)
+        for r in _search_index(p2, idx_cents, _query_vectors(e)).collect()
+    ]
+    want = [tuple(r) for r in similarity_ann_ivf(spark, sf_smoke).collect()]
+    assert got == want and got
