@@ -91,6 +91,11 @@ PROBE = [
     "k_anonymity_audit",
     "stratified_fixed_k",
     "winsorize_values",
+    # r6 additions (scratch-writing dedup_incremental_index,
+    # ivf_index_recluster and streaming_ivf_ingest excluded by the
+    # standing policy; their search/probe hot paths are covered by
+    # --index-search below)
+    "quality_classifier_linear",
 ]
 
 VOWELS = "aeiou"
@@ -236,6 +241,35 @@ def _generate(spark) -> None:
         ).parquet(f"{SF1}/{dim}.parquet")
 
 
+def _time_index_search(spark, sf_dir: str) -> float:
+    """Search-only wall clock over a PRE-BUILT persisted IVF index:
+    the loaded-index hot path (similarity._search_index) with the
+    build amortized away — the standing scratch-writer exclusion is
+    right for the build phase, but search is what runs per query
+    batch in production, so it gets its own probe row."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        _emb,
+        _index_path,
+        _query_vectors,
+        _search_index,
+        ivf_index_roundtrip,
+    )
+
+    path = _index_path(sf_dir, "")
+    if not os.path.isdir(os.path.join(path, "postings")):
+        ivf_index_roundtrip(spark, sf_dir).collect()  # untimed build
+    qvec = _query_vectors(_emb(spark, sf_dir))
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        cents = spark.read.parquet(os.path.join(path, "centroids"))
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        _search_index(postings, cents, qvec).collect()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
 def main() -> int:
     from automated_dow30_earnings_reports_spark.session import get_spark
 
@@ -249,10 +283,14 @@ def main() -> int:
         _generate(spark)
         print(f"generated {SF1} in {time.time()-t0:.0f}s", file=sys.stderr)
 
+    filters = [a for a in sys.argv[1:] if not a.startswith("--")]
+    probe = (
+        [n for n in PROBE if any(f in n for f in filters)] if filters else PROBE
+    )
     qs = e.queries()
     print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
     print("|---|---|---|---|")
-    for name in PROBE:
+    for name in probe:
         times = {}
         for sf_dir, tag in ((SF01, "small"), (SF1, "big")):
             best = None
@@ -265,6 +303,13 @@ def main() -> int:
         ratio = times["big"] / times["small"]
         print(
             f"| {name} | {times['small']:.2f} | {times['big']:.2f} | {ratio:.1f}x |"
+        )
+    if not filters or "--index-search" in sys.argv:
+        t_small = _time_index_search(spark, SF01)
+        t_big = _time_index_search(spark, SF1)
+        print(
+            f"| ivf_index_search (loaded, build amortized) | {t_small:.2f} "
+            f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
         )
     spark.stop()
     return 0
