@@ -1213,40 +1213,17 @@ def _banded(shd: DataFrame) -> DataFrame:
     )
 
 
-@_register("dedup_incremental_index", _incremental_oracle())
-def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dedup through a PERSISTED signature index:
-    (1) BUILD — the already-ingested corpus's band keys, shingle
-    digests, and set sizes written once as bucket-partitioned parquet;
-    (2) INGEST — the arriving batch (every 5th doc, the
-    dedup_incremental_batch split) is shingled/signed in isolation
-    (cost ∝ batch) and appended; (3) PROBE — new band keys join stored
-    band keys on (bucket, band_id, band_key); (4) VERIFY — exact
-    jaccard from the stored digest lists, sizes from the stored size
-    table. Everything after the writes reads ONLY the index, so the
-    green hash additionally proves signatures survive the parquet
-    round trip.
-
-    Idempotent per invocation: the build's static overwrite resets all
-    three tables before the append lands (ivf_index_append's pattern).
-
-    Scale shape: build is the one O(corpus) pass, amortized across
-    every future batch; ingest is O(batch) signing + an append write;
-    the probe shuffles only band keys (integers + 32-char digests,
-    never text), and the verification join is bounded by the candidate
-    set. This closes VERDICT r5 gap #3: dedup_incremental_batch's
-    O(corpus)-per-run re-derivation becomes a one-time build."""
+def _build_signature_index(shd_old: DataFrame, path: str) -> None:
+    """Write the three index tables from the old corpus's (doc_id, h)
+    working set — static overwrite, so re-running a lifecycle resets
+    any earlier appends (the idempotency contract)."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    is_new = F.col("doc_id") % 5 == 4
-    path = _dedup_index_path(sf_dir)
-
-    # --- build: old corpus, one amortized pass ---
-    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
-    write_partitioned(_banded(shd_old), _os.path.join(path, "bands"), ["bucket"], dynamic=False)
+    write_partitioned(
+        _banded(shd_old), _os.path.join(path, "bands"), ["bucket"], dynamic=False
+    )
     write_partitioned(
         shd_old.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
         _os.path.join(path, "shd"),
@@ -1257,8 +1234,14 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(_os.path.join(path, "sizes"))
 
-    # --- ingest: the batch only, appended to all three tables ---
-    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
+
+def _append_signature_index(shd_new: DataFrame, path: str) -> None:
+    """Append one batch's rows to all three tables — the ingest write,
+    shared with the streaming path (streaming_dedup_ingest)."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
     write_partitioned(
         _banded(shd_new), _os.path.join(path, "bands"), ["bucket"], mode="append"
     )
@@ -1268,11 +1251,15 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["dbucket"],
         mode="append",
     )
-    shd_new.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode("append").parquet(
-        _os.path.join(path, "sizes")
-    )
+    shd_new.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode(
+        "append"
+    ).parquet(_os.path.join(path, "sizes"))
 
-    # --- probe + verify: PERSISTED index only ---
+
+def _probe_signature_index(spark: SparkSession, path: str, is_new: Column) -> DataFrame:
+    """new-vs-old banded probe + exact-jaccard verification, reading
+    ONLY the persisted index — the search half of the lifecycle,
+    shared by the batch and streaming ingest queries."""
     bands = spark.read.parquet(_os.path.join(path, "bands"))
     shd = spark.read.parquet(_os.path.join(path, "shd")).select("doc_id", "h")
     sizes = spark.read.parquet(_os.path.join(path, "sizes"))
@@ -1306,3 +1293,39 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "old_id", F.round(jac, 3).alias("jaccard"))
         .orderBy("new_id", "old_id")
     )
+
+
+@_register("dedup_incremental_index", _incremental_oracle())
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup through a PERSISTED signature index:
+    (1) BUILD — the already-ingested corpus's band keys, shingle
+    digests, and set sizes written once as bucket-partitioned parquet;
+    (2) INGEST — the arriving batch (every 5th doc, the
+    dedup_incremental_batch split) is shingled/signed in isolation
+    (cost ∝ batch) and appended; (3) PROBE — new band keys join stored
+    band keys on (bucket, band_id, band_key); (4) VERIFY — exact
+    jaccard from the stored digest lists, sizes from the stored size
+    table. Everything after the writes reads ONLY the index, so the
+    green hash additionally proves signatures survive the parquet
+    round trip.
+
+    Idempotent per invocation: the build's static overwrite resets all
+    three tables before the append lands (ivf_index_append's pattern).
+
+    Scale shape: build is the one O(corpus) pass, amortized across
+    every future batch; ingest is O(batch) signing + an append write;
+    the probe shuffles only band keys (integers + 32-char digests,
+    never text), and the verification join is bounded by the candidate
+    set. This closes VERDICT r5 gap #3: dedup_incremental_batch's
+    O(corpus)-per-run re-derivation becomes a one-time build."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % 5 == 4
+    path = _dedup_index_path(sf_dir)
+
+    # build (old corpus, one amortized pass) -> ingest (batch only)
+    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
+    _build_signature_index(shd_old, path)
+    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
+    _append_signature_index(shd_new, path)
+
+    return _probe_signature_index(spark, path, is_new)

@@ -300,3 +300,119 @@ def _sivf_oracle() -> str:
 
 QUERIES["streaming_ivf_ingest"] = streaming_ivf_ingest
 ORACLES["streaming_ivf_ingest"] = _sivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# The dedup twin: streaming ingest into the persisted SIGNATURE index
+# (operators/dedup.py dedup_incremental_index). Arrival records carry
+# doc_ids; each micro-batch shingles/signs ONLY its documents (cost
+# proportional to the batch), anti-joins the committed band table for
+# replay safety, and appends bands + shingle digests + sizes.
+# ---------------------------------------------------------------------------
+
+
+def start_dedup_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    docs: DataFrame,
+    available_now: bool = True,
+):
+    """Tail ``landing_dir`` (kvlinks arrival records, ``doc_id bigint``)
+    and append each micro-batch into the persisted dedup-signature
+    index at ``index_path``. Per-batch cost is O(batch) shingling +
+    an append write; arrivals already committed to the band table are
+    dropped first (replay safety)."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        _append_signature_index,
+        _shingle_hashes_of,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+
+    register(spark)
+    arrivals = (
+        spark.readStream.format("kvlinks")
+        .schema("doc_id bigint")
+        .option("path", landing_dir)
+        .load()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        committed = (
+            sess.read.parquet(os.path.join(index_path, "bands"))
+            .select("doc_id")
+            .distinct()
+        )
+        fresh_docs = docs.join(batch_df.select("doc_id").distinct(), "doc_id").join(
+            committed, "doc_id", "left_anti"
+        )
+        shd = _shingle_hashes_of(fresh_docs).localCheckpoint(eager=True)
+        _append_signature_index(shd, index_path)
+
+    writer = arrivals.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the dedup-signature index lifecycle, oracled:
+    (1) BUILD the index on the already-ingested corpus (doc_id % 5 !=
+    4, the dedup_incremental_batch split); (2) publish the batch's
+    doc_ids as kvlinks arrival files; (3) run the checkpointed ingest
+    stream to exhaustion; (4) probe new-vs-old from the persisted
+    index with exact-jaccard verification (the build/append/probe
+    helpers are shared verbatim with the batch
+    dedup_incremental_index, so the two paths cannot drift). Equals
+    the batch result — the oracle is the full-corpus banded join."""
+    import hashlib
+    import shutil
+
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        _build_signature_index,
+        _probe_signature_index,
+        _shingle_hashes_of,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.tables import load_table, spread
+
+    register(spark)
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    key = hashlib.md5(ap.encode()).hexdigest()[:8]
+    base = os.path.join(_SCRATCH_SIVF, f"dedup_{os.path.basename(ap)}_{key}")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    index_path = os.path.join(base, "index")
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % 5 == 4
+
+    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
+    _build_signature_index(shd_old, index_path)
+
+    docs.where(is_new).select("doc_id").write.format("kvlinks").option(
+        "path", landing
+    ).mode("append").save()
+    q = start_dedup_ingest_stream(spark, landing, index_path, ckpt, docs)
+    q.awaitTermination(300)
+
+    return _probe_signature_index(spark, index_path, is_new)
+
+
+def _sdedup_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        _incremental_oracle,
+    )
+
+    return _incremental_oracle()
+
+
+QUERIES["streaming_dedup_ingest"] = streaming_dedup_ingest
+ORACLES["streaming_dedup_ingest"] = _sdedup_oracle()

@@ -330,3 +330,18 @@ def test_streaming_ivf_restart_resume_and_replay_safety(spark, sf_smoke, tmp_pat
     ]
     want = [tuple(r) for r in similarity_ann_ivf(spark, sf_smoke).collect()]
     assert got == want and got
+
+
+def test_streaming_dedup_ingest_matches_batch(spark, sf_smoke):
+    """The streamed signature-index lifecycle must equal the batch
+    index path and the never-persisted incremental dedup."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        dedup_incremental_batch,
+    )
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        streaming_dedup_ingest,
+    )
+
+    got = [tuple(r) for r in streaming_dedup_ingest(spark, sf_smoke).collect()]
+    want = [tuple(r) for r in dedup_incremental_batch(spark, sf_smoke).collect()]
+    assert got == want and got
