@@ -1658,3 +1658,135 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
     postings = spark.read.parquet(_os.path.join(path, "postings"))
     return _search_index(postings, idx_cents, _query_vectors(e))
+
+
+# ---------------------------------------------------------------------------
+# Deletes: the remaining index-lifecycle verb (build / append /
+# re-cluster / DELETE). A production vector store handles
+# right-to-be-forgotten requests in two phases, mirrored from the
+# table-side merge_on_read_deletes (plans/maintenance.py): (1) a
+# TOMBSTONE table makes deletes visible immediately — search anti-joins
+# it, no index rewrite on the request path; (2) COMPACTION folds
+# tombstones into the posting lists by rewriting ONLY the affected
+# cells (dynamic partition overwrite = the directory-level surgical
+# rewrite; a cell whose every posting died is dropped outright). Both
+# read paths must agree, and both must equal the from-scratch IVF over
+# the surviving corpus. Full unlearning of centroid PARAMETERS (seed
+# vectors of deleted docs) composes with ivf_index_recluster — noted,
+# not duplicated here.
+# ---------------------------------------------------------------------------
+
+IVF_DELETE_PRED = "vec_id % 7 = 3"  # the forget-request set (SF-independent)
+
+
+def _ivf_delete_oracle() -> str:
+    cos_vc = _COS_SQL.format(a="v.emb", b="c.ce")
+    cos_qn = _COS_SQL.format(a="q.qe", b="n.emb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
+    alive AS (SELECT * FROM e WHERE NOT ({IVF_DELETE_PRED})),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_vc} DESC, c.cid) AS rn
+      FROM alive v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    q AS (
+      SELECT a.vec_id AS query_id, a.emb AS qe, cells.cell
+      FROM alive a JOIN cells ON cells.vec_id = a.vec_id
+      WHERE a.vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id, {cos_qn} AS cos
+      FROM q
+      JOIN cells nc ON nc.cell = q.cell AND nc.vec_id <> q.query_id
+      JOIN e n ON n.vec_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+def _compact_deletes(spark: SparkSession, path: str) -> None:
+    """Fold the tombstone table into the posting lists, touching only
+    affected cells. The affected-cell set is a <=K-row driver-side
+    scalar (cluster-constant, like the re-cluster skew gate); cells
+    with survivors are dynamic-partition-overwritten, cells whose
+    every posting died are dropped at the directory level (dynamic
+    overwrite cannot emit an empty partition — production metadata
+    stores issue the same partition-drop)."""
+    import shutil as _shutil
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    tombs = spark.read.parquet(_os.path.join(path, "tombstones"))
+    affected = {
+        r["cell"]
+        for r in postings.join(F.broadcast(tombs), "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    if not affected:
+        return
+    survivors = (
+        postings.where(F.col("cell").isin(list(affected)))
+        .join(F.broadcast(tombs), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept_cells = {r["cell"] for r in survivors.select("cell").distinct().collect()}
+    write_partitioned(
+        survivors, _os.path.join(path, "postings"), ["cell"], dynamic=True
+    )
+    for cell in affected - kept_cells:
+        _shutil.rmtree(
+            _os.path.join(path, "postings", f"cell={cell}"), ignore_errors=True
+        )
+
+
+@_register("ivf_index_delete", _ivf_delete_oracle())
+def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete path of the persisted index: (1) BUILD on the full
+    corpus; (2) land the forget-request set as a tombstone table (the
+    request path writes K rows, never touches postings); (3) verify
+    the MERGE-ON-READ search (postings anti-join tombstones) equals
+    (4) the POST-COMPACTION search (affected cells rewritten,
+    tombstones retired) — the registered result is the compacted
+    read, the cross-check against the merge-on-read plan is pinned in
+    tests. Oracle: from-scratch IVF over the surviving corpus."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    e = _emb(spark, sf_dir)
+    path = _index_path(sf_dir, "_delete")
+
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(e, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
+    )
+    # --- the forget request: tombstones only ---
+    e.where(F.expr(IVF_DELETE_PRED)).select("vec_id").write.mode("overwrite").parquet(
+        _os.path.join(path, "tombstones")
+    )
+    # --- compaction folds them in ---
+    _compact_deletes(spark, path)
+
+    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    qvec = _query_vectors(e.where(~F.expr(IVF_DELETE_PRED)))
+    return _search_index(postings, idx_cents, qvec)

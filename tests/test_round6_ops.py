@@ -345,3 +345,98 @@ def test_streaming_dedup_ingest_matches_batch(spark, sf_smoke):
     got = [tuple(r) for r in streaming_dedup_ingest(spark, sf_smoke).collect()]
     want = [tuple(r) for r in dedup_incremental_batch(spark, sf_smoke).collect()]
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# ivf_index_delete — tombstones + targeted compaction
+# ---------------------------------------------------------------------------
+
+
+def test_delete_merge_on_read_equals_compacted(spark, sf_smoke, tmp_path):
+    """Both delete read paths must agree: searching with a tombstone
+    anti-join (before compaction) equals searching the compacted
+    postings — and the tombstoned ids are physically gone afterwards."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_DELETE_PRED,
+        _assign_cells,
+        _compact_deletes,
+        _emb,
+        _query_vectors,
+        _search_index,
+    )
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "idx")
+    e = _emb(spark, sf_smoke).localCheckpoint(eager=True)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(e, cents), os.path.join(path, "postings"), ["cell"],
+        dynamic=False,
+    )
+    e.where(F.expr(IVF_DELETE_PRED)).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "tombstones"))
+
+    idx_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    tombs = spark.read.parquet(os.path.join(path, "tombstones"))
+    qvec = _query_vectors(e.where(~F.expr(IVF_DELETE_PRED)))
+    mor = spark.read.parquet(os.path.join(path, "postings")).join(
+        tombs, "vec_id", "left_anti"
+    )
+    merge_on_read = [tuple(r) for r in _search_index(mor, idx_cents, qvec).collect()]
+
+    _compact_deletes(spark, path)
+    compacted_postings = spark.read.parquet(os.path.join(path, "postings"))
+    compacted = [
+        tuple(r)
+        for r in _search_index(compacted_postings, idx_cents, qvec).collect()
+    ]
+    assert merge_on_read == compacted and compacted
+    # tombstoned rows physically gone; survivors untouched
+    assert compacted_postings.join(tombs, "vec_id").count() == 0
+    assert compacted_postings.count() == e.where(~F.expr(IVF_DELETE_PRED)).count()
+
+
+def test_compaction_drops_fully_deleted_cell(spark, sf_smoke, tmp_path):
+    """A cell whose every posting is tombstoned must disappear from the
+    directory tree (dynamic overwrite can't emit empty partitions — the
+    explicit partition-drop covers it)."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_CELLS,
+        _assign_cells,
+        _compact_deletes,
+        _emb,
+    )
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "idx")
+    e = _emb(spark, sf_smoke).localCheckpoint(eager=True)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cells = _assign_cells(e, cents).localCheckpoint(eager=True)
+    write_partitioned(cells, os.path.join(path, "postings"), ["cell"], dynamic=False)
+
+    victim = cells.groupBy("cell").count().orderBy("count", "cell").first()["cell"]
+    cells.where(F.col("cell") == victim).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "tombstones"))
+    assert os.path.isdir(os.path.join(path, "postings", f"cell={victim}"))
+    _compact_deletes(spark, path)
+    assert not os.path.isdir(os.path.join(path, "postings", f"cell={victim}"))
+    left = spark.read.parquet(os.path.join(path, "postings"))
+    assert left.where(F.col("cell") == victim).count() == 0
+    assert left.count() == cells.where(F.col("cell") != victim).count()
