@@ -1790,3 +1790,77 @@ def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = spark.read.parquet(_os.path.join(path, "postings"))
     qvec = _query_vectors(e.where(~F.expr(IVF_DELETE_PRED)))
     return _search_index(postings, idx_cents, qvec)
+
+
+# ---------------------------------------------------------------------------
+# Index observability: the stats a vector-store operator watches to
+# decide maintenance (the human-facing face of the re-cluster gate).
+# Reads ONLY the persisted index, so the oracle (recomputing the same
+# stats from the raw corpus) also proves the stored postings are a
+# faithful copy — an anti-entropy check in the table_fingerprint vein.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ivf_index_stats",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_COS_SQL.format(a="v.emb", b="c.ce")} DESC,
+                                         c.cid) AS rn
+      FROM e v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    occ AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+    tot AS (SELECT SUM(n_vecs) AS total, MAX(n_vecs) / AVG(n_vecs) AS skew
+            FROM occ)
+    SELECT CAST(occ.cell AS BIGINT) AS cell,
+           CAST(occ.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(1.0 * occ.n_vecs / tot.total, 6) AS share,
+           ROUND(tot.skew, 6) AS skew_ratio
+    FROM occ CROSS JOIN tot
+    ORDER BY cell
+    """,
+)
+def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy + global skew ratio from the PERSISTED index
+    (built fresh here for determinism; at scale this runs against the
+    standing index). One K-row aggregate over the posting lists — the
+    observability query behind the ivf_index_recluster gate, and an
+    anti-entropy check: the oracle recomputes from the raw corpus, so
+    a green hash proves the stored index matches the data."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    e = _emb(spark, sf_dir)
+    path = _index_path(sf_dir, "_stats")
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(e, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
+    )
+    occ = (
+        spark.read.parquet(_os.path.join(path, "postings"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    tot = occ.agg(
+        F.sum("n_vecs").alias("total"),
+        (F.max("n_vecs") / F.avg("n_vecs")).alias("skew"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round(F.col("n_vecs") / F.col("total"), 6).alias("share"),
+            F.round("skew", 6).alias("skew_ratio"),
+        )
+        .orderBy("cell")
+    )

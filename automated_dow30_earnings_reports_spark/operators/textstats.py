@@ -1123,3 +1123,172 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         n_feats.alias("n_feats"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+# operator of an LLM data pipeline. Works on the word-frequency table
+# (the fast-BPE formulation: pair statistics weighted by word freq, so
+# corpus size only enters through one groupBy; the working set is the
+# Heaps-law-bounded vocabulary). BPE_ROUNDS top merges are learned by
+# the pagerank/kmeans unroll technique: each round = (1) adjacent-pair
+# statistics over the symbol arrays, (2) global argmax with a
+# deterministic (count DESC, pair ASC) tie-break — a 1-row broadcast,
+# (3) greedy left-to-right non-overlapping merge of that pair in every
+# word. The merge is a map-side array fold in Spark; the oracle
+# reproduces the identical greedy semantics positionally (occurrence
+# islands, alternate selection) since DuckDB lambdas can't build
+# lists — two independent constructions of the same contract, which is
+# exactly what the hash check is for.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+BPE_TOP_WORDS = 2000  # frequency-threshold vocabulary (production practice)
+
+
+def _bpe_merge_fold(syms: Column, px: Column, py: Column) -> Column:
+    """Greedy left-to-right non-overlapping merge of (px, py) in one
+    symbol array: fold each symbol onto an accumulator, merging when
+    the accumulator's tail is px and the incoming symbol is py. A
+    merged symbol (px||py) can never re-match px (py is non-empty), so
+    the fold is exactly the non-overlapping scan."""
+    merged = F.concat(px, py)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == px) & (s == py),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    tops = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"vocab{r - 1}"
+        rounds.append(
+            f"""
+    idx{r} AS (
+      SELECT word, freq, syms, unnest(range(1, len(syms))) AS i FROM {prev}
+    ),
+    pairs{r} AS (
+      SELECT syms[i] AS px, syms[i+1] AS py, SUM(freq) AS c
+      FROM idx{r} GROUP BY 1, 2
+    ),
+    top{r} AS (SELECT px, py, c FROM pairs{r} ORDER BY c DESC, px, py LIMIT 1),
+    occ{r} AS (
+      SELECT x.word, x.i,
+             x.i - ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY x.i) AS isl
+      FROM idx{r} x CROSS JOIN top{r} t
+      WHERE x.syms[x.i] = t.px AND x.syms[x.i+1] = t.py
+    ),
+    sel{r} AS (
+      SELECT word, i FROM (
+        SELECT word, i, MIN(i) OVER (PARTITION BY word, isl) AS i0 FROM occ{r}
+      ) WHERE (i - i0) % 2 = 0
+    ),
+    posn{r} AS (
+      SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i FROM {prev}
+    ),
+    vocab{r} AS (
+      SELECT p.word, p.freq,
+             list(CASE WHEN s.i IS NOT NULL THEN p.syms[p.i] || p.syms[p.i+1]
+                       ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+      FROM posn{r} p
+      LEFT JOIN sel{r} s ON s.word = p.word AND s.i = p.i
+      LEFT JOIN sel{r} cons ON cons.word = p.word AND cons.i = p.i - 1
+      WHERE cons.i IS NULL
+      GROUP BY p.word, p.freq
+    )"""
+        )
+        tops.append(
+            f"SELECT {r} AS merge_round, px AS left_sym, py AS right_sym, "
+            f"CAST(c AS BIGINT) AS pair_freq FROM top{r}"
+        )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+    ),
+    wfreq AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    topw AS (SELECT word, freq FROM wfreq ORDER BY freq DESC, word LIMIT {BPE_TOP_WORDS}),
+    vocab0 AS (
+      SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM topw
+      WHERE len(regexp_extract_all(word, '.')) >= 2
+    ),
+    {",".join(rounds)}
+    {" UNION ALL ".join(tops)}
+    ORDER BY merge_round
+    """
+
+
+@_register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS byte-pair merges from the corpus.
+
+    Scale shape: the corpus is touched ONCE (token explode + word
+    groupBy); everything after runs on the <= BPE_TOP_WORDS vocabulary
+    — per round one vocab-sized pair aggregate, a 1-row broadcast
+    argmax, and a map-side fold to apply the merge (no shuffle).
+    localCheckpoint keeps the per-round lineage flat, kmeans-loop
+    style."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+    topw = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(BPE_TOP_WORDS)
+    )
+    syms0 = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    vocab = (
+        topw.select("word", "freq", syms0.alias("syms"))
+        .where(F.size("syms") >= 2)
+        .localCheckpoint(eager=True)
+    )
+
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("px"),
+                F.element_at(F.col("syms"), i + 1).alias("py"),
+            ),
+        )
+        stats = (
+            vocab.select("freq", F.explode(prs).alias("p"))
+            .groupBy("p.px", "p.py")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = (
+            stats.orderBy(F.desc("c"), "px", "py")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_round"),
+                F.col("px").alias("left_sym"),
+                F.col("py").alias("right_sym"),
+                F.col("c").cast("bigint").alias("pair_freq"),
+            )
+        )
+        if r < BPE_ROUNDS:
+            vocab = (
+                vocab.crossJoin(F.broadcast(top))
+                .select(
+                    "word",
+                    "freq",
+                    _bpe_merge_fold(
+                        F.col("syms"), F.col("px"), F.col("py")
+                    ).alias("syms"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_round")

@@ -440,3 +440,71 @@ def test_compaction_drops_fully_deleted_cell(spark, sf_smoke, tmp_path):
     left = spark.read.parquet(os.path.join(path, "postings"))
     assert left.where(F.col("cell") == victim).count() == 0
     assert left.count() == cells.where(F.col("cell") != victim).count()
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — greedy-merge semantics
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_merge(syms, px, py):
+    """Reference greedy left-to-right non-overlapping merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == px and syms[i + 1] == py:
+            out.append(px + py)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_matches_reference(spark):
+    """The Spark array fold must implement exactly greedy left-to-right
+    non-overlapping merging, including the adversarial shapes: runs of
+    overlapping occurrences, merged-symbol collisions, and pairs of
+    unequal symbols."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _bpe_merge_fold,
+    )
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),          # odd run: merge (1,2) only
+        (["a", "a", "a", "a"], "a", "a"),     # even run: two merges
+        (["a", "b", "a", "b"], "a", "b"),     # back-to-back occurrences
+        (["x", "a", "b", "c"], "a", "b"),     # interior occurrence
+        (["a", "aa", "aa"], "a", "aa"),       # merged-symbol lookalikes
+        (["b", "a"], "a", "b"),               # reversed: no merge
+        (["a"], "a", "a"),                    # too short
+        (["ab", "b", "a", "b"], "a", "b"),    # symbol equal to merged token
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, px, py) for i, (syms, px, py) in enumerate(cases)],
+        "i int, syms array<string>, px string, py string",
+    )
+    got = {
+        r["i"]: list(r["m"])
+        for r in df.select(
+            "i", _bpe_merge_fold(F.col("syms"), F.col("px"), F.col("py")).alias("m")
+        ).collect()
+    }
+    for i, (syms, px, py) in enumerate(cases):
+        assert got[i] == _py_bpe_merge(syms, px, py), (i, got[i])
+
+
+def test_bpe_merges_are_real_and_ordered(spark, sf_smoke):
+    """Three merges come back in round order, each with positive
+    frequency, and round N's pair can reference symbols created by
+    earlier rounds (or not) — but never an empty symbol."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        BPE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    rows = bpe_train_merges(spark, sf_smoke).collect()
+    assert [r["merge_round"] for r in rows] == list(range(1, BPE_ROUNDS + 1))
+    freqs = [r["pair_freq"] for r in rows]
+    assert all(f > 0 for f in freqs)
+    assert freqs == sorted(freqs, reverse=True)  # merge gains are monotone
+    assert all(r["left_sym"] and r["right_sym"] for r in rows)
