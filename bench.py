@@ -140,6 +140,15 @@ HEADLINE = [
     "winsorize_values",
     "ivf_index_roundtrip",
     "ivf_index_append",
+    # round 6
+    "ivf_index_recluster",
+    "ivf_index_delete",
+    "ivf_index_stats",
+    "dedup_incremental_index",
+    "streaming_ivf_ingest",
+    "streaming_dedup_ingest",
+    "quality_classifier_linear",
+    "bpe_train_merges",
 ]
 
 
