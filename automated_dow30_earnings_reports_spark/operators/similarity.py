@@ -1864,3 +1864,120 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op (DPR /
+# sentence-transformers shape): for each query, the best SAME-label
+# neighbor (positive) and the most-similar DIFFERENT-label neighbor
+# (the hard negative), with the margin between them. Runs through the
+# IVF cell probe, not brute force: at 100 TB you mine negatives from
+# the query's quantizer cell (they are by construction the confusable
+# ones), exactly how production miners restrict to an ANN candidate
+# set. The bounded |Q| query set broadcasts; everything else is the
+# IVF search shape.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    cents AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_COS_SQL.format(a="v.emb", b="c.ce")} DESC,
+                                         c.cid) AS rn
+      FROM e v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    q AS (
+      SELECT e.vec_id AS query_id, e.emb AS qe, e.label AS qlabel, cells.cell
+      FROM e JOIN cells ON cells.vec_id = e.vec_id
+      WHERE e.vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS nid,
+             {_COS_SQL.format(a="q.qe", b="n.emb")} AS cos,
+             (n.label = q.qlabel) AS same
+      FROM q
+      JOIN cells nc ON nc.cell = q.cell AND nc.vec_id <> q.query_id
+      JOIN e n ON n.vec_id = nc.vec_id
+    ),
+    best AS (
+      SELECT query_id, nid, cos, same,
+             ROW_NUMBER() OVER (PARTITION BY query_id, same
+                                ORDER BY cos DESC, nid) AS rn
+      FROM scored
+    ),
+    trip AS (
+      SELECT query_id,
+             MAX(CASE WHEN same THEN nid END) AS pos_id,
+             MAX(CASE WHEN same THEN cos END) AS pos_cos,
+             MAX(CASE WHEN NOT same THEN nid END) AS neg_id,
+             MAX(CASE WHEN NOT same THEN cos END) AS neg_cos
+      FROM best WHERE rn = 1 GROUP BY query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(pos_id AS BIGINT) AS pos_id, ROUND(pos_cos, 6) AS pos_cos,
+           CAST(neg_id AS BIGINT) AS neg_id, ROUND(neg_cos, 6) AS neg_cos,
+           ROUND(pos_cos - neg_cos, 6) AS margin
+    FROM trip
+    WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+    ORDER BY query_id
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query, positive, hard-negative, margin) triplets mined from the
+    query's IVF cell. Queries lacking an in-cell positive or negative
+    are dropped (a production miner widens nprobe for those)."""
+    e_raw = load_table(spark, sf_dir, "embeddings")
+    e = e_raw.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    cells = _assign_cells(e, cents).join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("emb").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias(
+                "cos"
+            ),
+            (F.col("label") == F.col("qlabel")).alias("same"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(F.desc("cos"), "nid")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    trip = best.groupBy("query_id").agg(
+        F.max(F.when(F.col("same"), F.col("nid"))).alias("pos_id"),
+        F.max(F.when(F.col("same"), F.col("cos"))).alias("pos_cos"),
+        F.max(F.when(~F.col("same"), F.col("nid"))).alias("neg_id"),
+        F.max(F.when(~F.col("same"), F.col("cos"))).alias("neg_cos"),
+    )
+    return (
+        trip.where(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("pos_id").cast("bigint").alias("pos_id"),
+            F.round("pos_cos", 6).alias("pos_cos"),
+            F.col("neg_id").cast("bigint").alias("neg_id"),
+            F.round("neg_cos", 6).alias("neg_cos"),
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+        .orderBy("query_id")
+    )

@@ -1163,9 +1163,13 @@ def _bpe_merge_fold(syms: Column, px: Column, py: Column) -> Column:
     )
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_sql() -> str:
+    """Shared WITH-body: vocabulary build + BPE_ROUNDS unrolled merge
+    rounds (top{r} = round r's learned merge, vocab{r} = the vocabulary
+    after applying it). Consumed by the trainer oracle (reads the
+    top{r} rows) and the encode-stats oracle (reads vocab0 vs
+    vocab{BPE_ROUNDS})."""
     rounds = []
-    tops = []
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"vocab{r - 1}"
         rounds.append(
@@ -1203,12 +1207,7 @@ def _bpe_oracle() -> str:
       GROUP BY p.word, p.freq
     )"""
         )
-        tops.append(
-            f"SELECT {r} AS merge_round, px AS left_sym, py AS right_sym, "
-            f"CAST(c AS BIGINT) AS pair_freq FROM top{r}"
-        )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
     ),
     wfreq AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
@@ -1217,22 +1216,27 @@ def _bpe_oracle() -> str:
       SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM topw
       WHERE len(regexp_extract_all(word, '.')) >= 2
     ),
-    {",".join(rounds)}
-    {" UNION ALL ".join(tops)}
+    {",".join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    tops = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, px AS left_sym, py AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_freq FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_bpe_chain_sql()}
+    {tops}
     ORDER BY merge_round
     """
 
 
-@_register("bpe_train_merges", _bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first BPE_ROUNDS byte-pair merges from the corpus.
-
-    Scale shape: the corpus is touched ONCE (token explode + word
-    groupBy); everything after runs on the <= BPE_TOP_WORDS vocabulary
-    — per round one vocab-sized pair aggregate, a 1-row broadcast
-    argmax, and a map-side fold to apply the merge (no shuffle).
-    localCheckpoint keeps the per-round lineage flat, kmeans-loop
-    style."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer: returns (merge DataFrames, initial vocab, vocab
+    after ALL learned merges are applied). One corpus pass; each round
+    one vocab-sized aggregate + 1-row broadcast argmax + map-side
+    merge fold; localCheckpoint keeps the loop lineage flat."""
     d = spread(load_table(spark, sf_dir, "documents"))
     words = d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
     topw = (
@@ -1242,13 +1246,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TOP_WORDS)
     )
     syms0 = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
-    vocab = (
+    vocab0 = (
         topw.select("word", "freq", syms0.alias("syms"))
         .where(F.size("syms") >= 2)
         .localCheckpoint(eager=True)
     )
 
     merges = []
+    vocab = vocab0
     for r in range(1, BPE_ROUNDS + 1):
         prs = F.transform(
             F.sequence(F.lit(1), F.size("syms") - 1),
@@ -1275,20 +1280,73 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("bigint").alias("pair_freq"),
             )
         )
-        if r < BPE_ROUNDS:
-            vocab = (
-                vocab.crossJoin(F.broadcast(top))
-                .select(
-                    "word",
-                    "freq",
-                    _bpe_merge_fold(
-                        F.col("syms"), F.col("px"), F.col("py")
-                    ).alias("syms"),
-                )
-                .localCheckpoint(eager=True)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "freq",
+                _bpe_merge_fold(F.col("syms"), F.col("px"), F.col("py")).alias(
+                    "syms"
+                ),
             )
+            .localCheckpoint(eager=True)
+        )
+    return merges, vocab0, vocab
 
+
+@_register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS byte-pair merges from the corpus.
+
+    Scale shape: the corpus is touched ONCE (token explode + word
+    groupBy); everything after runs on the <= BPE_TOP_WORDS vocabulary
+    — per round one vocab-sized pair aggregate, a 1-row broadcast
+    argmax, and a map-side fold to apply the merge (no shuffle)."""
+    merges, _, _ = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_round")
+
+
+@_register(
+    "bpe_encode_stats",
+    f"""
+    WITH {_bpe_chain_sql()},
+    before AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+             CAST(SUM(freq * len(syms)) AS BIGINT) AS syms_before
+      FROM vocab0
+    ),
+    after AS (
+      SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS syms_after
+      FROM vocab{BPE_ROUNDS}
+    )
+    SELECT n_words, syms_before, syms_after,
+           CAST(syms_before - syms_after AS BIGINT) AS syms_saved,
+           ROUND(1.0 * syms_after / syms_before, 6) AS compression
+    FROM before CROSS JOIN after
+    """,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges back to the vocabulary and measure the
+    tokenizer's compression: frequency-weighted symbol counts before
+    vs after — the acceptance metric a tokenizer-training pipeline
+    gates on (covers the trainable >= 2-char vocabulary, like the
+    trainer). Composes _bpe_train end-to-end, so a drift anywhere in
+    the train/apply loop breaks the hash."""
+    _, vocab0, vocab_n = _bpe_train(spark, sf_dir)
+    before = vocab0.agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("syms_before"),
+    )
+    after = vocab_n.agg(
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("syms_after")
+    )
+    return before.crossJoin(after).select(
+        "n_words",
+        "syms_before",
+        "syms_after",
+        (F.col("syms_before") - F.col("syms_after")).cast("bigint").alias("syms_saved"),
+        F.round(F.col("syms_after") / F.col("syms_before"), 6).alias("compression"),
+    )
