@@ -1981,3 +1981,96 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (Kusupati et al. 2022): score the
+# first-MRL_DIM-dims embedding against the full-width ground truth —
+# the evaluation a 100 TB vector pipeline runs before deciding to
+# store 4x fewer bytes per vector. Both rankings are the bounded-|Q|
+# broadcast exact-top-k shape (the labeled baseline family); the
+# output is per-query overlap@K.
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16
+
+
+def _mrl_rank_sql(tag: str, expr_a: str, expr_b: str) -> str:
+    cos = _COS_SQL.format(a=expr_a, b=expr_b)
+    return f"""
+    scored{tag} AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rnk
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ),
+    top{tag} AS (SELECT query_id, neighbor_id FROM scored{tag} WHERE rnk <= {TOP_K})"""
+
+
+@_register(
+    "embedding_matryoshka_recall",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             (embedding::DOUBLE[])[1:{MRL_DIM}] AS emb16
+      FROM embeddings
+    ),
+    {_mrl_rank_sql("F", "q.emb", "c.emb").lstrip()},
+    {_mrl_rank_sql("T", "q.emb16", "c.emb16").lstrip()}
+    SELECT CAST(f.query_id AS BIGINT) AS query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(1.0 * COUNT(t.neighbor_id) / {TOP_K}, 6) AS recall_at_k
+    FROM topF f
+    LEFT JOIN topT t ON t.query_id = f.query_id
+                    AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K of the MRL_DIM-truncated embedding vs the full-width
+    exact top-K, per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, MRL_DIM).alias("emb16"),
+    )
+
+    def topk(vec: str) -> DataFrame:
+        q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"), F.col(vec).alias("qv")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+        return (
+            e.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col(vec)).alias("cos"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk("emb")
+    trunc = topk("emb16")
+    return (
+        full.alias("f")
+        .join(
+            trunc.alias("t"),
+            (F.col("t.query_id") == F.col("f.query_id"))
+            & (F.col("t.neighbor_id") == F.col("f.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("f.query_id").alias("query_id"))
+        .agg(F.count(F.col("t.neighbor_id")).cast("bigint").alias("n_overlap"))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(TOP_K), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -1350,3 +1350,75 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("syms_before") - F.col("syms_after")).cast("bigint").alias("syms_saved"),
         F.round(F.col("syms_after") / F.col("syms_before"), 6).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-prep chunking: overlapping token windows (size CHUNK_WIN, stride
+# CHUNK_STRIDE) — the retrieval-corpus shape, distinct from
+# chunk_dedup_reconstruct's disjoint chunks. Entirely map-side array
+# arithmetic; the per-doc checksum (md5 over the ordered chunk md5s)
+# pins the exact chunk CONTENTS cross-engine, not just the counts.
+# ---------------------------------------------------------------------------
+
+CHUNK_WIN = 64
+CHUNK_STRIDE = 32
+
+
+@_register(
+    "chunk_overlap_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(0, len(toks) - {CHUNK_WIN})
+                                     / {CHUNK_STRIDE}.0) AS INT) END AS n_chunks
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, n, n_chunks, k,
+             md5(array_to_string(toks[k * {CHUNK_STRIDE} + 1 :
+                                      k * {CHUNK_STRIDE} + {CHUNK_WIN}], ' ')) AS cmd5
+      FROM meta, unnest(range(0, n_chunks)) u(k)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           CAST(ANY_VALUE(n_chunks) AS BIGINT) AS n_chunks,
+           md5(string_agg(cmd5, '' ORDER BY k)) AS chunks_md5
+    FROM chunks GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document overlapping-window chunk manifest: token count,
+    chunk count, and a content checksum over the ordered chunks. One
+    scan, zero shuffles before the terminal sort — chunk boundaries,
+    contents, and order are all pure array expressions per row."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        1
+        + F.ceil(
+            F.greatest(F.lit(0), n - CHUNK_WIN) / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+    )
+    cmd5s = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.md5(
+            F.array_join(
+                F.slice(toks, k * CHUNK_STRIDE + 1, CHUNK_WIN), " "
+            ).cast("binary")
+        ),
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            n.cast("bigint").alias("n_tokens"),
+            n_chunks.cast("bigint").alias("n_chunks"),
+            F.md5(F.array_join(cmd5s, "").cast("binary")).alias("chunks_md5"),
+        )
+        .orderBy("doc_id")
+    )
