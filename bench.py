@@ -149,6 +149,10 @@ HEADLINE = [
     "streaming_dedup_ingest",
     "quality_classifier_linear",
     "bpe_train_merges",
+    "bpe_encode_stats",
+    "hard_negative_mining",
+    "chunk_overlap_windows",
+    "embedding_matryoshka_recall",
 ]
 
 

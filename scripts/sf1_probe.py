@@ -91,11 +91,17 @@ PROBE = [
     "k_anonymity_audit",
     "stratified_fixed_k",
     "winsorize_values",
-    # r6 additions (scratch-writing dedup_incremental_index,
-    # ivf_index_recluster and streaming_ivf_ingest excluded by the
+    # r6 additions (the scratch-writing lifecycle queries —
+    # dedup_incremental_index, ivf_index_recluster, ivf_index_delete,
+    # ivf_index_stats, streaming_*_ingest — are excluded by the
     # standing policy; their search/probe hot paths are covered by
-    # --index-search below)
+    # --index-search below and by the dedup/ANN family rows)
     "quality_classifier_linear",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "hard_negative_mining",
+    "chunk_overlap_windows",
+    "embedding_matryoshka_recall",
 ]
 
 VOWELS = "aeiou"
