@@ -1186,7 +1186,6 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the persisted path loses/duplicates nothing vs the pure computation.
 # ---------------------------------------------------------------------------
 
-import hashlib as _hashlib
 import os as _os
 
 DEDUP_INDEX_BUCKETS = 16
@@ -1199,11 +1198,13 @@ _SCRATCH_DEDUP = _os.path.join(
 
 
 def _dedup_index_path(sf_dir: str) -> str:
-    """Keyed by the RESOLVED dataset path (hashed), mirroring
-    similarity._index_path — equal basenames must not share an index."""
-    ap = _os.path.abspath(sf_dir.rstrip("/"))
-    key = _hashlib.md5(ap.encode()).hexdigest()[:8]
-    return _os.path.join(_SCRATCH_DEDUP, f"{_os.path.basename(ap)}_{key}")
+    """Scratch path for the persisted signature index — keying contract
+    lives in sources/parquet_lake.scratch_path."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    return scratch_path(_SCRATCH_DEDUP, sf_dir)
 
 
 def _banded(shd: DataFrame) -> DataFrame:

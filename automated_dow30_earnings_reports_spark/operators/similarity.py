@@ -1299,7 +1299,6 @@ def knn_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks the hash).
 # ---------------------------------------------------------------------------
 
-import hashlib as _hashlib
 import os as _os
 
 _SCRATCH_IVF = _os.path.join(
@@ -1310,12 +1309,13 @@ _SCRATCH_IVF = _os.path.join(
 
 
 def _index_path(sf_dir: str, tag: str) -> str:
-    """Scratch path keyed by the RESOLVED dataset path (hashed), not
-    just its basename — distinct datasets with equal basenames (two
-    sf0.001 dirs) must not share an index directory."""
-    ap = _os.path.abspath(sf_dir.rstrip("/"))
-    key = _hashlib.md5(ap.encode()).hexdigest()[:8]
-    return _os.path.join(_SCRATCH_IVF, f"{_os.path.basename(ap)}_{key}{tag}")
+    """Scratch path for the persisted IVF index — keying contract lives
+    in sources/parquet_lake.scratch_path."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    return scratch_path(_SCRATCH_IVF, sf_dir, tag)
 
 
 def _search_index(postings: DataFrame, idx_cents: DataFrame, qvec: DataFrame) -> DataFrame:
@@ -1546,19 +1546,16 @@ def _recluster_index(spark: SparkSession, path: str) -> None:
         cents = _update_centroids(_assign_cells(vecs, cents)).localCheckpoint(
             eager=False
         )
+    # cents and the final assignment are checkpointed BEFORE any write,
+    # so neither overwrite can race a read of the old index state
     cents = cents.localCheckpoint(eager=True)
-    cents.select(
-        F.col("cid"), F.col("ce"), F.col("cnorm")
-    ).write.mode("overwrite").parquet(_os.path.join(path, "centroids.tmp"))
-    # Two-step swap: train reads the old postings, so the new postings
-    # can only land after the final assignment is materialized.
     final_cells = _assign_cells(vecs, cents).localCheckpoint(eager=True)
+    cents.select(F.col("cid"), F.col("ce"), F.col("cnorm")).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "centroids"))
     write_partitioned(
         final_cells, _os.path.join(path, "postings"), ["cell"], dynamic=False
     )
-    spark.read.parquet(_os.path.join(path, "centroids.tmp")).write.mode(
-        "overwrite"
-    ).parquet(_os.path.join(path, "centroids"))
 
 
 def _recluster_oracle() -> str:
@@ -2031,15 +2028,22 @@ def _mrl_rank_sql(tag: str, expr_a: str, expr_b: str) -> str:
 def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@K of the MRL_DIM-truncated embedding vs the full-width
     exact top-K, per query."""
+    emb = F.col("embedding").cast("array<double>")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        F.slice(F.col("embedding").cast("array<double>"), 1, MRL_DIM).alias("emb16"),
+        emb.alias("emb"),
+        F.slice(emb, 1, MRL_DIM).alias("emb16"),
     )
+    # norms once per vector (the _emb convention) — one dot product per
+    # candidate pair instead of three, in both rankings
+    for c in ("emb", "emb16"):
+        e = e.withColumn(f"n_{c}", F.sqrt(dot(F.col(c), F.col(c))))
 
     def topk(vec: str) -> DataFrame:
         q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("query_id"), F.col(vec).alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col(vec).alias("qv"),
+            F.col(f"n_{vec}").alias("qn"),
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
         return (
@@ -2048,7 +2052,9 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qv"), F.col(vec)).alias("cos"),
+                (dot(F.col("qv"), F.col(vec)) / (F.col("qn") * F.col(f"n_{vec}"))).alias(
+                    "cos"
+                ),
             )
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= TOP_K)

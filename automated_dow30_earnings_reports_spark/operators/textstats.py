@@ -1255,13 +1255,20 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     merges = []
     vocab = vocab0
     for r in range(1, BPE_ROUNDS + 1):
-        prs = F.transform(
-            F.sequence(F.lit(1), F.size("syms") - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("syms"), i).alias("px"),
-                F.element_at(F.col("syms"), i + 1).alias("py"),
+        # Guarded sequence (the shingles_col convention): a word whose
+        # symbols fully merged in an earlier round has size(syms) == 1,
+        # and unguarded sequence(1, 0) yields [1, 0] (Spark steps -1
+        # when start > stop), crashing element_at under ANSI.
+        prs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("px"),
+                    F.element_at(F.col("syms"), i + 1).alias("py"),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<struct<px:string,py:string>>"))
         stats = (
             vocab.select("freq", F.explode(prs).alias("p"))
             .groupBy("p.px", "p.py")

@@ -86,6 +86,20 @@ import os as _os
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
+
+def scratch_path(base: str, sf_dir: str, tag: str = "") -> str:
+    """Scratch directory keyed by the RESOLVED dataset path (hashed):
+    distinct datasets with equal basenames (two sf0.001 dirs) must not
+    share an index directory. THE single implementation of the keying
+    contract — every persisted-index query (similarity, dedup,
+    streaming ingest) derives its paths here, so a change to the
+    scheme cannot silently split or share directories between them."""
+    import hashlib
+
+    ap = _os.path.abspath(sf_dir.rstrip("/"))
+    key = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return _os.path.join(base, f"{_os.path.basename(ap)}_{key}{tag}")
+
 _SCRATCH_ORC = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     ".scratch",

@@ -252,12 +252,12 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned,
     )
 
-    register(spark)
-    import hashlib
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
 
-    ap = os.path.abspath(sf_dir.rstrip("/"))
-    key = hashlib.md5(ap.encode()).hexdigest()[:8]
-    base = os.path.join(_SCRATCH_SIVF, f"{os.path.basename(ap)}_{key}")
+    register(spark)
+    base = scratch_path(_SCRATCH_SIVF, sf_dir)
     shutil.rmtree(base, ignore_errors=True)  # fresh lifecycle per invocation
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
@@ -283,7 +283,11 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("path", landing).mode("append").save()
 
     q = start_ivf_ingest_stream(spark, landing, index_path, ckpt, e)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out ingest would silently yield a partially-built
+        # index (an unexplained hash mismatch downstream) — fail loudly
+        q.stop()
+        raise RuntimeError("ingest stream did not drain within 300s")
 
     idx_cents = spark.read.parquet(os.path.join(index_path, "centroids"))
     postings = spark.read.parquet(os.path.join(index_path, "postings"))
@@ -371,7 +375,6 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     helpers are shared verbatim with the batch
     dedup_incremental_index, so the two paths cannot drift). Equals
     the batch result — the oracle is the full-corpus banded join."""
-    import hashlib
     import shutil
 
     from automated_dow30_earnings_reports_spark.operators.dedup import (
@@ -380,12 +383,13 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_hashes_of,
     )
     from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
     from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
     register(spark)
-    ap = os.path.abspath(sf_dir.rstrip("/"))
-    key = hashlib.md5(ap.encode()).hexdigest()[:8]
-    base = os.path.join(_SCRATCH_SIVF, f"dedup_{os.path.basename(ap)}_{key}")
+    base = scratch_path(os.path.join(_SCRATCH_SIVF, "dedup"), sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
@@ -401,7 +405,11 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path", landing
     ).mode("append").save()
     q = start_dedup_ingest_stream(spark, landing, index_path, ckpt, docs)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out ingest would silently yield a partially-built
+        # index (an unexplained hash mismatch downstream) — fail loudly
+        q.stop()
+        raise RuntimeError("ingest stream did not drain within 300s")
 
     return _probe_signature_index(spark, index_path, is_new)
 

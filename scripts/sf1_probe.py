@@ -262,8 +262,10 @@ def _time_index_search(spark, sf_dir: str) -> float:
     )
 
     path = _index_path(sf_dir, "")
-    if not os.path.isdir(os.path.join(path, "postings")):
-        ivf_index_roundtrip(spark, sf_dir).collect()  # untimed build
+    # rebuild unconditionally (untimed): a stale pre-existing index —
+    # older data generation or layout — would make the timed search row
+    # measure the wrong artifact
+    ivf_index_roundtrip(spark, sf_dir).collect()
     qvec = _query_vectors(_emb(spark, sf_dir))
     best = None
     for _ in range(2):
