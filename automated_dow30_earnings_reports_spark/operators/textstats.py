@@ -1429,3 +1429,100 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy gate — the gibberish detector of the quality stack
+# (low entropy = repeated-character junk; implausibly high = random
+# noise/binary-in-text). Computed as explode -> two codegen hash
+# aggregates: the per-char expansion collapses MAP-SIDE to one row per
+# (doc, distinct char) (~dozens per doc) before the shuffle, so the
+# wire carries the histogram, never the characters — the 100 TB form.
+# (A pure higher-order-function formulation was tried first and is a
+# trap: HOF lambdas run interpreted with no common-subexpression
+# elimination, so every element_at re-derived the extracted array —
+# 163 s where this form takes under a second.) Entropy uses the
+# algebraically-equivalent log2(n) - sum(k*log2 k)/n so both engines
+# sum the same doubles; the `+ 0.0` after rounding normalizes IEEE
+# -0.0 (a uniform document) so both engines hash the same zero.
+# ---------------------------------------------------------------------------
+
+ENTROPY_LO = 3.0  # bits/char — below: repetitive junk
+ENTROPY_HI = 5.2  # above: noise (printable-ASCII uniform is ~6.6)
+
+
+@_register(
+    "char_entropy_filter",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, c, count(*) AS k FROM ex GROUP BY doc_id, c
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+             SUM(k * 1.0 * log2(k * 1.0)) AS s
+      FROM cnt GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_chars,
+             ROUND(log2(n_chars * 1.0) - s / n_chars, 6) + 0.0 AS char_entropy
+      FROM agg
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(s.n_chars, 0) AS BIGINT) AS n_chars,
+           COALESCE(s.char_entropy, 0.0) AS char_entropy,
+           (COALESCE(s.char_entropy, 0.0) >= {ENTROPY_LO}
+            AND COALESCE(s.char_entropy, 0.0) <= {ENTROPY_HI}) AS keep
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ORDER BY doc_id
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) + the keep band.
+    Both engines gate on the 6-dp-rounded value, so a green hash
+    implies identical gates (the quality_classifier_linear contract).
+    The left join back to `documents` keeps chars-free documents
+    (empty / newline-only text) in the result with entropy 0."""
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    cnt = (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("."), F.lit(0))).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    kd = F.col("k").cast("double")
+    scored = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_chars"),
+            F.sum(kd * F.log2(kd)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.round(
+                    F.log2(F.col("n_chars").cast("double"))
+                    - F.col("s") / F.col("n_chars"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("char_entropy"),
+        )
+    )
+    ent = F.coalesce(F.col("char_entropy"), F.lit(0.0))
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+            ent.alias("char_entropy"),
+            ((ent >= ENTROPY_LO) & (ent <= ENTROPY_HI)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6,6 +6,7 @@ engine-side forward surface (VERDICT r5 task list), held to the same
 oracle bar as the reference-derived operators.
 """
 
+import math
 import os
 
 import pyspark.sql.functions as F
@@ -508,3 +509,90 @@ def test_bpe_merges_are_real_and_ordered(spark, sf_smoke):
     assert all(f > 0 for f in freqs)
     assert freqs == sorted(freqs, reverse=True)  # merge gains are monotone
     assert all(r["left_sym"] and r["right_sym"] for r in rows)
+
+
+def test_bpe_merge_fold_fuzz(spark):
+    """Seeded fuzz parity (the test_fuzz_scalars convention): the fold
+    must equal the Python reference over hundreds of random symbol
+    arrays drawn from a tiny alphabet (maximizing pair collisions and
+    overlap runs), with pairs that include multi-char merged symbols."""
+    import random
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _bpe_merge_fold,
+    )
+
+    rng = random.Random(13)
+    alpha = ["a", "b", "c", "ab", "aa", "ba"]
+    cases = []
+    for i in range(400):
+        syms = [rng.choice(alpha) for _ in range(rng.randint(1, 12))]
+        px, py = rng.choice(alpha), rng.choice(alpha)
+        cases.append((i, syms, px, py))
+    df = spark.createDataFrame(
+        cases, "i int, syms array<string>, px string, py string"
+    )
+    got = {
+        r["i"]: list(r["m"])
+        for r in df.select(
+            "i", _bpe_merge_fold(F.col("syms"), F.col("px"), F.col("py")).alias("m")
+        ).collect()
+    }
+    for i, syms, px, py in cases:
+        assert got[i] == _py_bpe_merge(syms, px, py), (i, syms, px, py, got[i])
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_filter — the gibberish gate of the quality stack
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_matches_python_and_gates(spark, sf_smoke):
+    """The registered query must reproduce a from-scratch Python
+    Shannon entropy per document (6 dp), and the keep band must be the
+    rounded-value gate."""
+    import collections
+    import math
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        ENTROPY_HI,
+        ENTROPY_LO,
+        char_entropy_filter,
+    )
+
+    got = {r["doc_id"]: r for r in char_entropy_filter(spark, sf_smoke).collect()}
+    docs = spark.read.parquet(os.path.join(sf_smoke, "documents.parquet")).collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        cnt = collections.Counter(c for c in (d["text"] or "") if c != "\n")
+        n = sum(cnt.values())
+        ent = (
+            -sum(k / n * math.log2(k / n) for k in cnt.values()) if n else 0.0
+        )
+        r = got[d["doc_id"]]
+        assert r["n_chars"] == n
+        # engine rounds at 6 dp; tolerance absorbs formula-order ulps
+        assert abs(r["char_entropy"] - ent) < 1e-6, (d["doc_id"], ent, r)
+        assert r["keep"] == (ENTROPY_LO <= r["char_entropy"] <= ENTROPY_HI)
+
+
+def test_char_entropy_edge_documents(spark, tmp_path):
+    """Uniform text scores exactly 0.0 (not -0.0) and is rejected;
+    newline-only and empty docs survive the left join with n_chars=0."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        char_entropy_filter,
+    )
+
+    p = str(tmp_path / "edge")
+    os.makedirs(p)
+    spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "\n\n"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(p, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in char_entropy_filter(spark, p).collect()}
+    assert len(rows) == 4
+    assert rows[1]["char_entropy"] == 0.0 and not rows[1]["keep"]
+    assert math.copysign(1.0, rows[1]["char_entropy"]) == 1.0  # normalized -0.0
+    for i in (2, 3, 4):
+        assert rows[i]["n_chars"] == 0 and rows[i]["char_entropy"] == 0.0
+        assert not rows[i]["keep"]
