@@ -1526,3 +1526,298 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — the tier between the unigram filter
+# (unigram_logprob_score) and a real KenLM: P(w|prev) = λ·c(prev,w)/
+# c(prev) + (1−λ)·c(w)/N, trained in-query, each document scored by
+# its mean bigram log-prob. λ = 0.75 so 1−λ is exactly representable
+# and both engines evaluate the identical double expression on
+# identical integer counts; the mean rounds to 6 dp to absorb
+# summation order.
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75
+
+
+@_register(
+    "bigram_interpolated_logprob",
+    f"""
+    WITH arr AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    pos AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM arr),
+    bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM pos),
+    bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             ln({BIGRAM_LAMBDA} * b.c2 / u1.c
+                + {1.0 - BIGRAM_LAMBDA!r} * u2.c / tot.n) AS lp
+      FROM bg
+      JOIN bgc b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      JOIN uni u1 ON bg.w1 = u1.tok
+      JOIN uni u2 ON bg.w2 = u2.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6)        AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean interpolated-bigram log-probability per document: the
+    conditional tier of the perplexity filter — catches word-salad
+    documents whose unigram distribution looks natural but whose
+    transitions don't (the failure mode unigram_logprob_score can't
+    see).
+
+    Scale shape: tokens and bigram instances both derive map-side from
+    ONE split of the text (slice+zip, no self-join on position); the
+    unigram and bigram vocabularies are Zipf-bounded aggregates with
+    map-side combine; scoring joins key on the gram so the count
+    shuffle partitioning is reused; the corpus-total denominator comes
+    from the vocabulary, never a second corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("a")
+    ).localCheckpoint(eager=True)
+    toks = arr.select("doc_id", F.explode("a").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    n1 = F.size("a") - 1
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("a", 1, n1),
+                F.slice("a", 2, n1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_prev"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_cur"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(BIGRAM_LAMBDA) * F.col("c2") / F.col("c_prev")
+                + F.lit(1.0 - BIGRAM_LAMBDA) * F.col("c_cur") / F.col("n")
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit — corpus-health diagnostic: OLS of ln(freq) on ln(rank)
+# over the top-K vocabulary (natural corpora slope ≈ -1; synthetic or
+# template-heavy corpora flatten). Inputs to the regression are
+# rounded to 12 dp and accumulated as DECIMAL so the moment sums are
+# exact and order-independent; only the closed-form slope/intercept/R²
+# arithmetic runs in double (the value_trend_by_type contract).
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 256
+
+
+@_register(
+    "zipf_law_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    top AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT {ZIPF_TOP}),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM top
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(r), 12) AS DECIMAL(14,12)) AS x,
+             CAST(ROUND(ln(c), 12) AS DECIMAL(14,12)) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           ROUND(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+                      THEN NULL
+                      ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS r_squared
+    FROM m ORDER BY n_terms
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope / intercept / R² of the top-{K} token frequencies.
+
+    Scale shape: the vocabulary aggregate is one map-side-combined
+    groupBy (Zipf-bounded output); the top-K cut is TakeOrdered, not a
+    global sort; the only window runs over the K-row table (the
+    bounded-cardinality exception, same as the quantile sketch); the
+    regression is a closed-form single aggregate over K rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = vocab.orderBy(F.desc("c"), "tok").limit(ZIPF_TOP)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    pts = ranked.select(
+        F.round(F.log("r"), 12).cast("decimal(14,12)").alias("x"),
+        F.round(F.log("c"), 12).cast("decimal(14,12)").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        n.alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.when(varx * vary == 0, F.lit(None)).otherwise(cov * cov / (varx * vary)),
+            6,
+        ).alias("r_squared"),
+    ).orderBy("n_terms")
+
+
+# ---------------------------------------------------------------------------
+# Calibration of the learned quality gate against the rules gate —
+# the report a curation team reads before trusting a classifier
+# threshold: per score-decile document counts, both gates' keep
+# counts, and their agreement rate. Bucketing is on the 6-dp-ROUNDED
+# score (already hash-identical cross-engine), so decile edges cannot
+# straddle.
+# ---------------------------------------------------------------------------
+
+
+def _qsc_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.dedup import _h_of
+
+    h_bigram = _h_of("toks[i] || ' ' || toks[i+1]")
+    w_of = f"((({h_bigram}) % {QC_DIM}) * 37 + 11) % 97 - 48"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, text, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN [{w_of} FOR i IN range(1, len(toks))]
+                  ELSE CAST([] AS BIGINT[]) END AS ws
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, text, toks,
+             ROUND(1.0 / (1.0 + exp(-(CASE WHEN len(ws) > 0
+                    THEN list_aggregate(ws, 'sum') / (97.0 * len(ws))
+                    ELSE 0.0 END))), 6) AS s
+      FROM feats
+    ),
+    flags AS (
+      SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bucket,
+             (s >= 0.5) AS k,
+             {QUALITY_PASS_SQL} AS r
+      FROM scored
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)                AS n_docs,
+           CAST(COUNT(*) FILTER (k) AS BIGINT)     AS n_qc_keep,
+           CAST(COUNT(*) FILTER (r) AS BIGINT)     AS n_rules_pass,
+           CAST(COUNT(*) FILTER (k = r) AS BIGINT) AS n_agree,
+           ROUND(1.0 * COUNT(*) FILTER (k = r) / COUNT(*), 4) AS agree_rate
+    FROM flags GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("quality_score_calibration", _qsc_oracle())
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration of quality_classifier_linear against the
+    Gopher rules gate (quality_pass_col): where the two disagree is
+    where a threshold move changes the corpus.
+
+    Scale shape: ONE corpus scan evaluates both gates map-side (both
+    are pure array/string expressions — no explode, no Python), then a
+    ≤10-key map-side-combined groupBy; the agreement ratio is a single
+    exact-integer division per bucket."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    score, keep = quality_classifier_cols(F.col("text"))
+    base = d.select(
+        score.alias("s"), keep.alias("k"), quality_pass_col(F.col("text")).alias("r")
+    )
+    agree = F.col("k") == F.col("r")
+    return (
+        base.select(
+            F.least(F.floor(F.col("s") * 10).cast("bigint"), F.lit(9)).alias("bucket"),
+            "k",
+            "r",
+            agree.alias("a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("k"), 1).otherwise(0)).cast("bigint").alias("n_qc_keep"),
+            F.sum(F.when(F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rules_pass"),
+            F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("bigint").alias("n_agree"),
+            F.round(
+                F.sum(F.when(F.col("a"), 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)),
+                4,
+            ).alias("agree_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -252,3 +252,225 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance: a join view under inserts on BOTH
+# inputs refreshes from three delta joins — dO⋈L0 ∪ O0⋈dL ∪ dO⋈dL —
+# merged into the stored base partials; the base join (O0⋈L0) is never
+# re-run in a real deployment. The oracle is the full recompute over
+# (O0∪dO)⋈(L0∪dL): the algebraic identity the delta decomposition
+# must satisfy.
+# ---------------------------------------------------------------------------
+
+MVJ_O_CUTOFF = "1997-06-01"  # orders on/after = newly ingested dO
+MVJ_L_CUTOFF = "1997-09-01"  # lineitems shipped on/after = dL
+
+
+@_register(
+    "mv_join_delta_refresh",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM (the DBSP/Materialize delta-join rule): with
+    disjoint splits O = O0 ∪ dO and L = L0 ∪ dL, the view's change is
+    exactly dO⋈L0 ∪ O0⋈dL ∪ dO⋈dL — this query computes the view
+    THROUGH that decomposition (four joins whose partial aggregates
+    merge), while the oracle recomputes the one-join ground truth. A
+    green hash is the maintenance invariant: refreshing from deltas
+    equals rebuilding from scratch.
+
+    Scale shape: in production O0⋈L0's partials are the STORED view
+    (recomputed here only so the oracle can value-check the merge, the
+    `mv_incremental_refresh` convention) — a refresh touches the three
+    delta joins, each bounded by a delta side, so cost tracks ingest
+    size, not history size. Revenue merges in DECIMAL(18,2) exact
+    arithmetic so partial-merge order cannot drift the value, which is
+    precisely what makes the view maintainable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    o0 = o.where(F.col("o_orderdate") < F.lit(MVJ_O_CUTOFF))
+    do = o.where(F.col("o_orderdate") >= F.lit(MVJ_O_CUTOFF))
+    l0 = li.where(F.col("l_shipdate") < F.lit(MVJ_L_CUTOFF))
+    dl = li.where(F.col("l_shipdate") >= F.lit(MVJ_L_CUTOFF))
+
+    def partials(os_: DataFrame, ls_: DataFrame) -> DataFrame:
+        return (
+            os_.join(ls_, os_.o_orderkey == ls_.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).alias("s"),
+            )
+        )
+
+    merged = (
+        partials(o0, l0)  # stands in for the stored base partials
+        .unionByName(partials(do, l0))
+        .unionByName(partials(o0, dl))
+        .unionByName(partials(do, dl))
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_items"),
+            F.sum("s").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer statistics: histogram-based join cardinality estimation
+# (the ANALYZE TABLE product) validated against the true join size.
+# Integer-only bucket arithmetic so both engines bucket identically.
+# ---------------------------------------------------------------------------
+
+JCE_BUCKETS = 32
+
+
+@_register(
+    "join_cardinality_estimate",
+    f"""
+    WITH ok AS (SELECT o_custkey AS k FROM orders),
+    ck AS (SELECT c_custkey AS k FROM customer),
+    bounds AS (
+      SELECT MIN(k) AS mn, MAX(k) AS mx
+      FROM (SELECT k FROM ok UNION ALL SELECT k FROM ck)
+    ),
+    w AS (SELECT mn, ((mx - mn) // {JCE_BUCKETS}) + 1 AS width FROM bounds),
+    lh AS (
+      SELECT (k - mn) // width AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_left,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_left
+      FROM ok, w GROUP BY 1
+    ),
+    rh AS (
+      SELECT (k - mn) // width AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_right,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_right
+      FROM ck, w GROUP BY 1
+    ),
+    act AS (
+      SELECT (o_custkey - mn) // width AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM orders JOIN customer ON o_custkey = c_custkey, w
+      GROUP BY 1
+    )
+    SELECT CAST(COALESCE(lh.bucket, rh.bucket) AS BIGINT) AS bucket,
+           COALESCE(n_left, 0) AS n_left,
+           COALESCE(ndv_left, 0) AS ndv_left,
+           COALESCE(n_right, 0) AS n_right,
+           COALESCE(ndv_right, 0) AS ndv_right,
+           CASE WHEN COALESCE(n_left, 0) * COALESCE(n_right, 0) = 0 THEN 0.0
+                ELSE ROUND(n_left * n_right * 1.0
+                           / GREATEST(ndv_left, ndv_right), 2)
+           END AS est_rows,
+           COALESCE(actual_rows, 0) AS actual_rows
+    FROM lh
+    FULL OUTER JOIN rh ON lh.bucket = rh.bucket
+    LEFT JOIN act ON COALESCE(lh.bucket, rh.bucket) = act.bucket
+    ORDER BY bucket
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style join-size estimation: equi-width key histograms on
+    both join inputs, the System-R containment estimate
+    n_l·n_r / max(ndv_l, ndv_r) per bucket, and the TRUE per-bucket
+    join cardinality beside it — the diagnostic a cost-based planner
+    (or a human debugging one) reads to see where the uniformity
+    assumption breaks.
+
+    Scale shape: bucket width is integer arithmetic over a broadcast
+    1-row (min,max) frame — identical bucketing in both engines, no
+    IEEE drift; each histogram is one map-side-combined groupBy on a
+    {JCE_BUCKETS}-key space (ndv via the two-phase distinct expand);
+    only the ground-truth column pays the real join, which is the
+    point — the estimate costs two metadata-scale scans, the truth
+    costs the shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    bounds = (
+        o.unionByName(c)
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .select(
+            "mn",
+            (((F.col("mx") - F.col("mn")) / JCE_BUCKETS).cast("bigint") + 1).alias(
+                "width"
+            ),
+        )
+    )
+
+    def hist(df: DataFrame, n_name: str, d_name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(((F.col("k") - F.col("mn")) / F.col("width")).cast("bigint").alias("bucket"), "k")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_name),
+                F.countDistinct("k").cast("bigint").alias(d_name),
+            )
+        )
+
+    lh = hist(o, "n_left", "ndv_left")
+    rh = hist(c, "n_right", "ndv_right")
+    act = (
+        o.join(c.select(F.col("k").alias("ck")), F.col("k") == F.col("ck"))
+        .crossJoin(F.broadcast(bounds))
+        .select(((F.col("k") - F.col("mn")) / F.col("width")).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    n_l = F.coalesce(F.col("n_left"), F.lit(0))
+    n_r = F.coalesce(F.col("n_right"), F.lit(0))
+    joined = (
+        lh.withColumnRenamed("bucket", "lb")
+        .join(rh.withColumnRenamed("bucket", "rb"), F.col("lb") == F.col("rb"), "full")
+        .select(
+            F.coalesce(F.col("lb"), F.col("rb")).alias("bucket"),
+            n_l.alias("n_left"),
+            F.coalesce(F.col("ndv_left"), F.lit(0)).alias("ndv_left"),
+            n_r.alias("n_right"),
+            F.coalesce(F.col("ndv_right"), F.lit(0)).alias("ndv_right"),
+            F.when(n_l * n_r == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_left")
+                    * F.col("n_right")
+                    * F.lit(1.0)
+                    / F.greatest("ndv_left", "ndv_right"),
+                    2,
+                )
+            )
+            .alias("est_rows"),
+        )
+    )
+    return (
+        joined.join(act, "bucket", "left")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_left",
+            "ndv_left",
+            "n_right",
+            "ndv_right",
+            "est_rows",
+            F.coalesce(F.col("actual_rows"), F.lit(0)).cast("bigint").alias("actual_rows"),
+        )
+        .orderBy("bucket")
+    )

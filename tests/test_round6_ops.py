@@ -596,3 +596,158 @@ def test_char_entropy_edge_documents(spark, tmp_path):
     for i in (2, 3, 4):
         assert rows[i]["n_chars"] == 0 and rows[i]["char_entropy"] == 0.0
         assert not rows[i]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second wave: IVM join view, optimizer stats, bigram LM,
+# Zipf fit, classifier calibration
+# ---------------------------------------------------------------------------
+
+
+def test_mv_join_delta_equals_direct_join(spark, sf_smoke):
+    """The delta decomposition must equal the one-join ground truth
+    computed independently in Spark (the oracle checks vs DuckDB; this
+    pins the algebra engine-side)."""
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        mv_join_delta_refresh,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], round(r["revenue"], 2))
+        for r in mv_join_delta_refresh(spark, sf_smoke).collect()
+    }
+    o = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    direct = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    )
+    assert got == {
+        r["o_orderpriority"]: (r["n"], round(r["rev"], 2)) for r in direct
+    }
+
+
+def test_join_cardinality_buckets_cover_truth(spark, sf_smoke):
+    """Per-bucket actuals must sum to the true join size, and the
+    containment estimate must be exact wherever the bucket's key sets
+    actually satisfy containment-with-uniformity (FK join: every order
+    key hits one customer)."""
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        join_cardinality_estimate,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = join_cardinality_estimate(spark, sf_smoke).collect()
+    o = load_table(spark, sf_smoke, "orders")
+    c = load_table(spark, sf_smoke, "customer")
+    true_n = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert sum(r["actual_rows"] for r in rows) == true_n
+    for r in rows:
+        assert r["n_left"] + r["n_right"] > 0
+        if r["n_left"] == 0 or r["n_right"] == 0:
+            assert r["est_rows"] == 0.0 and r["actual_rows"] == 0
+
+
+def test_bigram_logprob_matches_python(spark, tmp_path):
+    """Hand-built corpus: the interpolated bigram score must equal the
+    from-scratch Python computation."""
+    import collections
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        BIGRAM_LAMBDA,
+        bigram_interpolated_logprob,
+    )
+
+    docs = [(1, "a b a b c"), (2, "a a a a"), (3, "c b a")]
+    p = str(tmp_path / "bg")
+    os.makedirs(p)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        os.path.join(p, "documents.parquet")
+    )
+    toks = [t for _, x in docs for t in x.split()]
+    uni = collections.Counter(toks)
+    n = len(toks)
+    bg = collections.Counter(
+        (a, b) for _, x in docs for a, b in zip(x.split(), x.split()[1:])
+    )
+    got = {r["doc_id"]: r for r in bigram_interpolated_logprob(spark, p).collect()}
+    for doc_id, x in docs:
+        ws = x.split()
+        lps = [
+            math.log(
+                BIGRAM_LAMBDA * bg[(a, b)] / uni[a]
+                + (1.0 - BIGRAM_LAMBDA) * uni[b] / n
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(lps)
+        assert abs(r["avg_logprob"] - sum(lps) / len(lps)) < 1e-6
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_smoke):
+    """Slope/intercept/R² must match a from-scratch OLS over the same
+    top-K (rank, freq) points, and look like a Zipf tail."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        ZIPF_TOP,
+        zipf_law_fit,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    row = zipf_law_fit(spark, sf_smoke).collect()[0]
+    docs = load_table(spark, sf_smoke, "documents").collect()
+    import collections
+
+    cnt = collections.Counter(
+        t for d in docs for t in d["text"].strip().lower().split()
+    )
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    pts = [
+        (round(math.log(i + 1), 12), round(math.log(c), 12))
+        for i, (_, c) in enumerate(top)
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    assert row["n_terms"] == k
+    assert abs(row["slope"] - slope) < 1e-4
+    assert abs(row["intercept"] - intercept) < 1e-4
+    assert row["slope"] < 0
+    assert row["r_squared"] is not None and 0 < row["r_squared"] <= 1
+
+
+def test_calibration_consistent_with_gates(spark, sf_smoke):
+    """Bucket totals must cover the corpus, and the keep counts must
+    equal the standalone classifier's keep count."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        quality_classifier_linear,
+        quality_score_calibration,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = quality_score_calibration(spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    qc = quality_classifier_linear(spark, sf_smoke).collect()
+    assert sum(r["n_qc_keep"] for r in rows) == sum(1 for r in qc if r["keep"])
+    for r in rows:
+        assert 0 <= r["n_agree"] <= r["n_docs"]
+        assert abs(r["agree_rate"] - round(r["n_agree"] / r["n_docs"], 4)) < 1e-9
+        # rounded-score bucketing: every keep-side bucket is >= 5
+        if r["bucket"] < 5:
+            assert r["n_qc_keep"] == 0
