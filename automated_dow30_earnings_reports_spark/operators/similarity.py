@@ -2080,3 +2080,166 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via fixed-round power iteration — the PCA an
+# embedding store runs (decorrelation diagnostics, whitening input,
+# anisotropy checks). One corpus pass builds the exact scatter matrix:
+# per-(i,j) second-moment sums accumulate as DECIMAL (order-
+# independent), the mean term subtracts at the 1-row stage in double —
+# so both engines iterate on bit-identical G. The iteration itself is
+# the kmeans/pagerank unroll: PCA_ROUNDS matvec+normalize steps from
+# the fixed start 1/sqrt(D) (exactly representable), each step
+# checkpointed so the interpreted lambda tree never nests (the
+# char_entropy_filter lesson). The contract is "the Rayleigh estimate
+# after R rounds" — deterministic and cross-engine checkable; on a
+# spiky real-embedding spectrum R=8 converges geometrically.
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 8
+
+
+def _pca_matvec(gc: Column, vc: Column) -> Column:
+    d = EMB_DIM
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.element_at(gc, i * d + j + 1) * F.element_at(vc, j + 1),
+        ),
+    )
+
+
+def _pca_oracle() -> str:
+    d = EMB_DIM
+    mv = (
+        f"list_transform(range(0, {d}), i -> "
+        f"list_aggregate(list_transform(range(0, {d}), "
+        f"j -> g[i*{d}+j+1] * v[j+1]), 'sum'))"
+    )
+    rounds = "".join(
+        f"""
+    w{k} AS (SELECT g, {mv} AS w
+             FROM v{k - 1}),
+    v{k} AS (SELECT g, list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS v
+             FROM w{k}),"""
+        for k in range(1, PCA_ROUNDS + 1)
+    )
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    idx AS (SELECT emb, unnest(range(1, len(emb) + 1)) AS i FROM e),
+    r1 AS (SELECT emb, i, emb[i] AS xi FROM idx),
+    idx2 AS (SELECT i, xi, emb, unnest(range(1, len(emb) + 1)) AS j FROM r1),
+    r2 AS (SELECT i, j, xi, emb[j] AS xj FROM idx2),
+    m AS (SELECT i, j, SUM(CAST(xi * xj AS DECIMAL(24,12))) AS mij
+          FROM r2 GROUP BY i, j),
+    s AS (SELECT i, SUM(CAST(xi AS DECIMAL(24,12))) AS si FROM r1 GROUP BY i),
+    gg AS (
+      SELECT m.i, m.j,
+             CAST(mij AS DOUBLE)
+               - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) / nn.n AS gij
+      FROM m JOIN s a ON m.i = a.i JOIN s b ON m.j = b.i CROSS JOIN nn
+    ),
+    gar AS (SELECT list(gij ORDER BY i, j) AS g FROM gg),
+    v0 AS (SELECT g, list_transform(range(0, {d}), x -> 0.125) AS v FROM gar),{rounds}
+    fin AS (SELECT g, v, {mv} AS gv FROM v{PCA_ROUNDS}),
+    res AS (
+      SELECT v, list_dot_product(v, gv) AS lam,
+             list_aggregate(list_transform(range(0, {d}), i -> g[i*{d}+i+1]),
+                            'sum') AS tr
+      FROM fin
+    ),
+    outp AS (SELECT unnest(range(0, {d})) AS dim, v, lam, tr FROM res)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(v[dim + 1], 6) AS loading,
+           ROUND(lam / tr, 6) AS pc_share
+    FROM outp ORDER BY dim
+    """
+
+
+@_register("embedding_top_pc", _pca_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (loadings +
+    explained-variance share) after PCA_ROUNDS power-iteration steps.
+
+    Scale shape: the only corpus-sized work is the scatter-matrix
+    aggregate — a D² map-side expansion that collapses to D² rows per
+    partition in the partial aggregate (D=64 → 4096 keys; the wire
+    carries histograms, not vectors). Everything after is 1-row
+    arithmetic over the broadcast Gram, checkpointed per round so cost
+    is R·D², independent of corpus size. The start vector 1/sqrt(64)
+    = 0.125 is exactly representable, so both engines begin — and
+    therefore remain — bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    d = EMB_DIM
+    r1 = e.select("emb", F.posexplode("emb").alias("i", "xi"))
+    r2 = r1.select("i", "xi", F.posexplode("emb").alias("j", "xj"))
+    m = r2.groupBy("i", "j").agg(
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(24,12)")).alias("mij")
+    )
+    s = r1.groupBy("i").agg(F.sum(F.col("xi").cast("decimal(24,12)")).alias("si"))
+    cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    si = s.select(F.col("i").alias("gi"), F.col("si").alias("s_i"))
+    sj = s.select(F.col("i").alias("gj"), F.col("si").alias("s_j"))
+    g = (
+        m.join(F.broadcast(si), F.col("i") == F.col("gi"))
+        .join(F.broadcast(sj), F.col("j") == F.col("gj"))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("mij").cast("double")
+                - F.col("s_i").cast("double") * F.col("s_j").cast("double") / F.col("n")
+            ).alias("gij"),
+        )
+    )
+    gar = g.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "j", "gij"))), lambda t: t["gij"]
+        ).alias("g")
+    ).localCheckpoint(eager=True)
+    df = gar.select("g", F.array_repeat(F.lit(0.125), d).alias("v"))
+    for _ in range(PCA_ROUNDS):
+        df = df.select("g", _pca_matvec(F.col("g"), F.col("v")).alias("w")).localCheckpoint(
+            eager=True
+        )
+        df = df.select(
+            "g",
+            F.transform(
+                "w",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.zip_with(F.col("w"), F.col("w"), lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, y: acc + y,
+                    )
+                ),
+            ).alias("v"),
+        ).localCheckpoint(eager=True)
+    fin = df.select("g", "v", _pca_matvec(F.col("g"), F.col("v")).alias("gv"))
+    lam = F.aggregate(
+        F.zip_with(F.col("v"), F.col("gv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    trace = F.aggregate(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(F.col("g"), i * d + i + 1),
+    )
+    return (
+        fin.select(F.posexplode("v").alias("dim", "loading"), (lam / trace).alias("sh"))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("loading", 6).alias("loading"),
+            F.round("sh", 6).alias("pc_share"),
+        )
+        .orderBy("dim")
+    )

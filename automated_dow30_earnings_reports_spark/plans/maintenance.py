@@ -406,6 +406,9 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs the shuffle."""
     o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    # 1-row frame referenced by three branches (both histograms + the
+    # ground-truth join) — checkpointed so the min/max pass over the
+    # inputs runs once, not per consumer (the repo's bounded-frame rule)
     bounds = (
         o.unionByName(c)
         .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
@@ -415,6 +418,7 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "width"
             ),
         )
+        .localCheckpoint(eager=True)
     )
 
     def hist(df: DataFrame, n_name: str, d_name: str) -> DataFrame:

@@ -751,3 +751,35 @@ def test_calibration_consistent_with_gates(spark, sf_smoke):
         # rounded-score bucketing: every keep-side bucket is >= 5
         if r["bucket"] < 5:
             assert r["n_qc_keep"] == 0
+
+
+def test_top_pc_recovers_planted_direction(spark, tmp_path):
+    """On a corpus with a planted dominant direction the fixed-round
+    power iteration must recover it (|cos| > 0.99) and report a
+    dominant variance share; on the isotropic testdata the contract is
+    determinism, which the oracle hash already pins."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_top_pc,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    u = np.zeros(EMB_DIM)
+    u[3], u[17] = 0.8, -0.6  # unit planted direction
+    X = rng.normal(0, 0.05, (400, EMB_DIM)) + rng.normal(0, 1.0, (400, 1)) * u
+    p = str(tmp_path / "pca")
+    os.makedirs(p)
+    spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(os.path.join(p, "embeddings.parquet"))
+    rows = embedding_top_pc(spark, p).collect()
+    assert len(rows) == EMB_DIM
+    v = np.array([r["loading"] for r in rows])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert abs(float(v @ u)) > 0.99
+    share = rows[0]["pc_share"]
+    assert all(r["pc_share"] == share for r in rows)
+    assert share > 0.5  # planted direction dominates the variance
