@@ -818,6 +818,28 @@ def _bm25_oracle() -> str:
     """
 
 
+def _bm25_score_col() -> Column:
+    """The BM25 score as ONE fixed-order expression tree over integer
+    columns (tf_i, df_i, dl, n_docs) + the avgdl scalar — shared by the
+    scan-side retrieval and the persisted-index retrieval so the two
+    paths cannot drift arithmetically."""
+    score = None
+    for i in range(len(BM25_QUERY)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{i}") * (BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    return score
+
+
 @_register("bm25_retrieval", _bm25_oracle())
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval for a fixed query (Robertson/Sparck Jones
@@ -868,20 +890,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(BM25_QUERY))
         ],
     )
-    score = None
-    for i in range(len(BM25_QUERY)):
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
-        )
-        term = (
-            idf
-            * (F.col(f"tf_{i}") * (BM25_K1 + 1.0))
-            / (
-                F.col(f"tf_{i}")
-                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-            )
-        )
-        score = term if score is None else score + term
+    score = _bm25_score_col()
     any_tf = None
     for i in range(len(BM25_QUERY)):
         any_tf = (
@@ -1820,4 +1829,122 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agree_rate"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted text index — the third leg of the persisted-index
+# family (vector: ivf_index_roundtrip; dedup signatures:
+# dedup_incremental_index; text: this). BUILD writes the index as
+# three parquet tables — `postings` (term, doc_id, tf) partitioned by
+# a 16-way md5 term bucket, `docstats` (doc_id, dl), `stats` (n_docs,
+# avgdl) — and SEARCH answers the fixed BM25 query from the LOADED
+# index only: the query terms' buckets are a directory-pruned read,
+# document frequencies come from the pruned postings, and the corpus
+# text is never touched. Hash-matches bm25_retrieval's scan-side
+# oracle, proving the index round trip lossless.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import os as _os
+
+TEXT_INDEX_BUCKETS = 16
+
+_SCRATCH_TEXTIDX = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "text_index",
+)
+
+
+def _text_index_path(sf_dir: str) -> str:
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    return scratch_path(_SCRATCH_TEXTIDX, sf_dir)
+
+
+def _py_term_bucket(term: str) -> int:
+    """Driver-side twin of the term-bucket expression (same 28-bit md5
+    digest contract as _qc_fid) — lets query planning name the bucket
+    directories to prune without touching the cluster."""
+    return int(_hashlib.md5(term.encode()).hexdigest()[:7], 16) % TEXT_INDEX_BUCKETS
+
+
+@_register("text_index_roundtrip", _bm25_oracle())
+def text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_retrieval's exact semantics through a persisted inverted
+    index: build once, then score the fixed query from the stored
+    postings alone. A dropped posting, a tf off by one, or stats drift
+    breaks the hash against the scan-side oracle.
+
+    Scale shape: the build is one tokenize+groupBy pass (the postings
+    table is the corpus's (term, doc) histogram — Zipf-collapsed
+    map-side); the search reads ≤|query| term buckets
+    (directory-pruned), so query cost tracks posting-list length, not
+    corpus size — the inverted-index upgrade bm25_retrieval's
+    docstring promises once queries outnumber scans."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    path = _text_index_path(sf_dir)
+
+    # --- build: three index tables, corpus scanned once ---
+    per_doc = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    per_doc.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stats.write.mode("overwrite").parquet(_os.path.join(path, "stats"))
+    postings = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 7), 16, 10)
+            .cast("bigint")
+            % TEXT_INDEX_BUCKETS,
+        )
+    )
+    write_partitioned(postings, _os.path.join(path, "postings"), ["bucket"], dynamic=False)
+
+    # --- search: ONLY the loaded index ---
+    q_terms = list(BM25_QUERY)
+    q_buckets = sorted({_py_term_bucket(t) for t in q_terms})
+    post = (
+        spark.read.parquet(_os.path.join(path, "postings"))
+        .where(F.col("bucket").isin(q_buckets) & F.col("term").isin(q_terms))
+        .localCheckpoint(eager=True)  # feeds both the df agg and the tf pivot
+    )
+    dfs = post.agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i, t in enumerate(q_terms)
+        ]
+    )
+    tfp = post.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(q_terms)
+        ]
+    )
+    docstats = spark.read.parquet(_os.path.join(path, "docstats"))
+    return (
+        tfp.join(docstats, "doc_id")
+        .crossJoin(F.broadcast(spark.read.parquet(_os.path.join(path, "stats"))))
+        .crossJoin(F.broadcast(dfs))
+        .select("doc_id", "dl", _bm25_score_col().alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
     )

@@ -783,3 +783,39 @@ def test_top_pc_recovers_planted_direction(spark, tmp_path):
     share = rows[0]["pc_share"]
     assert all(r["pc_share"] == share for r in rows)
     assert share > 0.5  # planted direction dominates the variance
+
+
+def test_text_index_layout_and_parity(spark, sf_smoke):
+    """The postings land bucket-partitioned (a query probe is a
+    directory-pruned read), the driver-side bucket twin matches the
+    engine expression, and the persisted path equals the scan-side
+    bm25_retrieval."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        BM25_QUERY,
+        TEXT_INDEX_BUCKETS,
+        _py_term_bucket,
+        _text_index_path,
+        bm25_retrieval,
+        text_index_roundtrip,
+    )
+
+    got = [tuple(r) for r in text_index_roundtrip(spark, sf_smoke).collect()]
+    want = [tuple(r) for r in bm25_retrieval(spark, sf_smoke).collect()]
+    assert got == want and got
+
+    root = os.path.join(_text_index_path(sf_smoke), "postings")
+    cells = [d for d in os.listdir(root) if d.startswith("bucket=")]
+    assert cells, root
+    assert all(0 <= int(c.split("=")[1]) < TEXT_INDEX_BUCKETS for c in cells)
+
+    # driver-side bucket twin == engine bucket (pinned on the stored rows)
+    post = spark.read.parquet(root)
+    sample = post.select("term", "bucket").limit(200).collect()
+    for r in sample:
+        assert _py_term_bucket(r["term"]) == r["bucket"]
+
+    # the probe's scan must prune to the query terms' buckets
+    q_buckets = sorted({_py_term_bucket(t) for t in BM25_QUERY})
+    pruned = post.where(F.col("bucket").isin(q_buckets))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
