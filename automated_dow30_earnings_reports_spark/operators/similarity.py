@@ -2173,8 +2173,16 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is R·D², independent of corpus size. The start vector 1/sqrt(64)
     = 0.125 is exactly representable, so both engines begin — and
     therefore remain — bit-identical."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("emb")
+    # The D² expansion multiplies row count by 4096, so input splits —
+    # not output size — set the parallelism; a single small parquet
+    # file would otherwise run the whole scatter aggregate on ONE task
+    # (measured 11 s -> ~1 s at sf0.1). Row placement is free to
+    # change: the DECIMAL sums are order-independent by construction.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(n_part)
     )
     d = EMB_DIM
     r1 = e.select("emb", F.posexplode("emb").alias("i", "xi"))
@@ -2206,22 +2214,20 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     df = gar.select("g", F.array_repeat(F.lit(0.125), d).alias("v"))
     for _ in range(PCA_ROUNDS):
-        df = df.select("g", _pca_matvec(F.col("g"), F.col("v")).alias("w")).localCheckpoint(
-            eager=True
+        # one checkpoint per round: matvec + normalize fuse into a
+        # single 1-row select (the repeated inline evaluation of `w`
+        # is ~0.5M interpreted ops — milliseconds — while a second
+        # checkpoint job costs more); values are identical either way
+        w = _pca_matvec(F.col("g"), F.col("v"))
+        nrm = F.sqrt(
+            F.aggregate(
+                F.zip_with(w, w, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
         )
         df = df.select(
-            "g",
-            F.transform(
-                "w",
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate(
-                        F.zip_with(F.col("w"), F.col("w"), lambda a, b: a * b),
-                        F.lit(0.0),
-                        lambda acc, y: acc + y,
-                    )
-                ),
-            ).alias("v"),
+            "g", F.transform(w, lambda x: x / nrm).alias("v")
         ).localCheckpoint(eager=True)
     fin = df.select("g", "v", _pca_matvec(F.col("g"), F.col("v")).alias("gv"))
     lam = F.aggregate(

@@ -153,6 +153,14 @@ HEADLINE = [
     "hard_negative_mining",
     "chunk_overlap_windows",
     "embedding_matryoshka_recall",
+    "char_entropy_filter",
+    "mv_join_delta_refresh",
+    "join_cardinality_estimate",
+    "bigram_interpolated_logprob",
+    "zipf_law_fit",
+    "quality_score_calibration",
+    "embedding_top_pc",
+    "text_index_roundtrip",
 ]
 
 

@@ -102,6 +102,14 @@ PROBE = [
     "hard_negative_mining",
     "chunk_overlap_windows",
     "embedding_matryoshka_recall",
+    # r6 second wave (text_index_roundtrip is scratch-writing → excluded)
+    "char_entropy_filter",
+    "mv_join_delta_refresh",
+    "join_cardinality_estimate",
+    "bigram_interpolated_logprob",
+    "zipf_law_fit",
+    "quality_score_calibration",
+    "embedding_top_pc",
 ]
 
 VOWELS = "aeiou"
