@@ -597,3 +597,128 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct count — the register-based production sketch
+# beside KMV (KMV keeps k hashes; HLL keeps 2^P 5-bit ranks and merges
+# by per-register MAX, which is what makes it the warehouse-standard
+# approx_count_distinct summary). Same 28-bit md5 digest contract:
+# low P bits pick the register, the remaining 20 bits give the rank
+# via the minimal-binary-length identity rank = 21 - len(bin(w)) —
+# exact integer arithmetic in both engines. The indicator sum
+# Σ 2^(-M_j) is a sum of dyadic rationals ≥ 2^-21 with magnitude
+# < 2^9 — EXACTLY representable in double and order-independent, so
+# even the estimate is value-checked cross-engine (the KMV property,
+# kept for the harder sketch).
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_RANK_BITS = 28 - HLL_P  # 20-bit rank domain -> max rank 21
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # Flajolet et al. 2007
+
+
+def _hll_oracle() -> str:
+    digest = _DIGEST_SQL.format(t="CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+      SELECT event_type, {digest} AS dg FROM pairs
+    ),
+    rr AS (
+      SELECT event_type, dg & {HLL_M - 1} AS reg, dg >> {HLL_P} AS w
+      FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, reg,
+             MAX(CASE WHEN w > 0 THEN {HLL_RANK_BITS + 1} - length(bin(w))
+                      ELSE {HLL_RANK_BITS + 1} END) AS m_j
+      FROM rr GROUP BY event_type, reg
+    ),
+    sk AS (
+      SELECT event_type,
+             SUM(pow(2.0, -m_j)) + ({HLL_M} - COUNT(*)) * 1.0 AS s,
+             {HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, v,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s AS raw
+      FROM sk
+    ),
+    fin AS (
+      SELECT event_type,
+             CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / v)
+                  ELSE raw END AS hll
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM pairs GROUP BY event_type
+    )
+    SELECT e.event_type, e.exact_distinct,
+           ROUND(f.hll, 4) AS hll_estimate,
+           ROUND(ABS(f.hll - e.exact_distinct) / e.exact_distinct, 4) AS rel_err
+    FROM exact e JOIN fin f ON e.event_type = f.event_type
+    ORDER BY e.event_type
+    """
+
+
+@_register("hll_distinct_users", _hll_oracle())
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL(P={HLL_P}) distinct-user estimate with the
+    small-range linear-counting correction, beside the exact count and
+    relative error.
+
+    Scale shape: the register table is the mergeable summary — after
+    the map-side distinct, every group collapses to ≤{HLL_M} (register,
+    max-rank) rows whatever the corpus size; cross-shard/day union is
+    per-register MAX over 2×{HLL_M} rows, no rescan (the same merge
+    contract the KMV family documents, at 6 bits per register instead
+    of 28 per kept hash)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pairs = ev.distinct().localCheckpoint(eager=True)
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    dg = _digest_col(F.col("user_id").cast("string"))
+    rr = pairs.select(
+        "event_type",
+        dg.bitwiseAND(HLL_M - 1).alias("reg"),
+        F.shiftright(dg, HLL_P).alias("w"),
+    )
+    rank = F.when(
+        F.col("w") > 0, F.lit(HLL_RANK_BITS + 1) - F.length(F.bin("w"))
+    ).otherwise(F.lit(HLL_RANK_BITS + 1))
+    regs = rr.select("event_type", "reg", rank.alias("r")).groupBy(
+        "event_type", "reg"
+    ).agg(F.max("r").alias("m_j"))
+    sk = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1.0)
+        ).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    raw = F.lit(_HLL_ALPHA) * HLL_M * HLL_M / F.col("s")
+    hll = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(HLL_M) * F.lit(1.0) / F.col("v")),
+    ).otherwise(raw)
+    fin = sk.select("event_type", hll.alias("hll"))
+    return (
+        exact.join(fin, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(F.col("hll"), 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("hll") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -819,3 +819,43 @@ def test_text_index_layout_and_parity(spark, sf_smoke):
     pruned = post.where(F.col("bucket").isin(q_buckets))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_hll_accuracy_and_merge_property(spark, sf_smoke):
+    """The estimate must sit within ~3 sigma of exact (1.04/sqrt(256)
+    ~ 6.5% per sigma), and the register summary must merge by
+    per-register MAX: registers(A union B) == max-merge(registers(A),
+    registers(B)) — the property that makes HLL shardable."""
+    import collections
+    import hashlib
+
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        HLL_M,
+        HLL_P,
+        HLL_RANK_BITS,
+        hll_distinct_users,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    for r in hll_distinct_users(spark, sf_smoke).collect():
+        assert r["rel_err"] < 0.2, r
+
+    # merge property, pinned with a from-scratch Python HLL
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "user_id")
+    users = [r["user_id"] for r in ev.where(F.col("event_type") == "click").distinct().collect()]
+    half = len(users) // 2
+
+    def regs(us):
+        m = collections.defaultdict(int)
+        for u in us:
+            dg = int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16)
+            reg, w = dg & (HLL_M - 1), dg >> HLL_P
+            # rank = 21 - len(bin(w)) for w>0
+            rank = (HLL_RANK_BITS + 1) - w.bit_length() if w > 0 else HLL_RANK_BITS + 1
+            m[reg] = max(m[reg], rank)
+        return dict(m)
+
+    a, b, whole = regs(users[:half]), regs(users[half:]), regs(users)
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
+    assert len(whole) <= HLL_M
