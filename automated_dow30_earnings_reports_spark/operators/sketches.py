@@ -722,3 +722,148 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (Chamandy et al. 2012, "Ask
+# your distribution" / the standard distributed bootstrap): classical
+# resampling needs the row count up front and a global multinomial
+# draw; the Poisson approximation gives every row an independent
+# Poisson(1) replicate weight, which is embarrassingly parallel — THE
+# bootstrap you can run in one pass over 100 TB. Weights derive from
+# the 28-bit md5 digest of (event_id, replicate) through the exact
+# integer inverse-CDF thresholds below, so both engines draw the
+# identical "random" weights; weighted sums accumulate in DECIMAL, so
+# every replicate mean — and therefore the CI — is value-checked
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 64  # replicates; CI = 2nd / 63rd order statistic (~2.5/97.5%)
+
+# P[Poisson(1) <= k] * 2^28, exact integers (k >= 8 is ~1e-9: weight 8)
+_POIS_TH = [
+    (0, 98751885),
+    (1, 197503771),
+    (2, 246879713),
+    (3, 263338361),
+    (4, 267453023),
+    (5, 268275955),
+    (6, 268413111),
+    (7, 268432704),
+]
+
+
+def _boot_weight_sql(dg: str) -> str:
+    branches = " ".join(f"WHEN {dg} < {t} THEN {k}" for k, t in _POIS_TH)
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+def _boot_weight_col(dg: Column) -> Column:
+    w = F.when(dg < _POIS_TH[0][1], F.lit(0))
+    for k, t in _POIS_TH[1:]:
+        w = w.when(dg < t, F.lit(k))
+    return w.otherwise(F.lit(8))
+
+
+def _bootstrap_oracle() -> str:
+    digest = _DIGEST_SQL.format(
+        t="CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+      SELECT event_type, event_id, v, b, {_boot_weight_sql(digest)} AS w
+      FROM ev CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b) reps
+    ),
+    means AS (
+      SELECT event_type, b,
+             CASE WHEN SUM(w) > 0
+                  THEN CAST(SUM(w * v) AS DOUBLE) / SUM(w) END AS mean_b
+      FROM rep GROUP BY event_type, b
+    ),
+    ci AS (
+      SELECT event_type, list(mean_b ORDER BY mean_b) AS ms
+      FROM means GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value
+      FROM ev GROUP BY event_type
+    )
+    SELECT base.event_type, n_rows,
+           ROUND(mean_value, 6) AS mean_value,
+           ROUND(ms[2], 6) AS ci_lo,
+           ROUND(ms[{BOOT_B - 1}], 6) AS ci_hi
+    FROM base JOIN ci ON base.event_type = ci.event_type
+    ORDER BY base.event_type
+    """
+
+
+@_register("bootstrap_ci_mean", _bootstrap_oracle())
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean of `value` with a {BOOT_B}-replicate Poisson
+    bootstrap CI (2nd/63rd order statistics of the replicate means).
+
+    Scale shape: the replicate expansion is map-side (x{BOOT_B}) and
+    collapses immediately in the partial aggregate to |types|x{BOOT_B}
+    groups — the wire carries replicate sums, never resampled rows;
+    the order-statistic cut runs over a {BOOT_B}-element array per
+    group (bounded-cardinality sort_array, not a window). One corpus
+    pass, one tiny shuffle: the reason Poisson bootstrap replaced the
+    multinomial one for distributed data."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+        )
+    )
+    # the x{B} replicate expansion (and its md5 per expanded row)
+    # inherits INPUT splits — a single small parquet file would run it
+    # on one task (the embedding_top_pc lesson); placement is free to
+    # change because every aggregate downstream is exact
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rep = ev.repartition(n_part).select(
+        "event_type",
+        "event_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    dg = _digest_col(
+        F.concat_ws(
+            ":", F.col("event_id").cast("string"), F.col("b").cast("string")
+        )
+    )
+    means = (
+        rep.select("event_type", "b", "v", _boot_weight_col(dg).alias("w"))
+        .groupBy("event_type", "b")
+        .agg(F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("v")).alias("swv"))
+        .select(
+            "event_type",
+            "b",
+            F.when(
+                F.col("sw") > 0, F.col("swv").cast("double") / F.col("sw")
+            ).alias("mean_b"),
+        )
+    )
+    ci = means.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("mean_b")).alias("ms")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_value"),
+    )
+    return (
+        base.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round(F.element_at("ms", 2), 6).alias("ci_lo"),
+            F.round(F.element_at("ms", BOOT_B - 1), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

