@@ -161,6 +161,8 @@ HEADLINE = [
     "quality_score_calibration",
     "embedding_top_pc",
     "text_index_roundtrip",
+    "hll_distinct_users",
+    "bootstrap_ci_mean",
 ]
 
 

@@ -110,6 +110,8 @@ PROBE = [
     "zipf_law_fit",
     "quality_score_calibration",
     "embedding_top_pc",
+    "hll_distinct_users",
+    "bootstrap_ci_mean",
 ]
 
 VOWELS = "aeiou"
