@@ -302,10 +302,13 @@ def verified_jaccard(cand: DataFrame, shd: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    # The 28-bit digest lives in the shared (doc_id, h) CTE
-    # (_SHD_H_SQL == Spark's doc_shingle_hashes); then the same
-    # Carter-Wegman mixes as minhash_signatures.
+def _lsh_cand_sql_prefix() -> str:
+    """The shared WITH-body from the (doc_id, h) working set through
+    the LSH candidate pairs — the 28-bit digest CTE (_SHD_H_SQL ==
+    Spark's doc_shingle_hashes), the same Carter-Wegman mixes as
+    minhash_signatures, banding, the bucket cap, and the bucket
+    self-join. Used by _minhash_oracle and the dedup_lsh_quality
+    oracle so the candidate-set construction cannot drift."""
     mins = ",\n             ".join(
         f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
         for i in range(MINHASH_H)
@@ -319,8 +322,7 @@ def _minhash_oracle() -> str:
         + ") AS band_key FROM sig"
         for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH {_SHD_H_SQL},
+    return f"""{_SHD_H_SQL},
     sig AS (
       SELECT doc_id,
              {mins}
@@ -342,7 +344,12 @@ def _minhash_oracle() -> str:
       FROM sized a
       JOIN sized b ON a.band_id = b.band_id AND a.band_key = b.band_key
                    AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_sql_prefix()},
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS i
@@ -384,6 +391,116 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _lsh_quality_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_sql_prefix()},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter_all AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
+      FROM shd sa JOIN shd sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter_all
+      JOIN sizes za ON za.doc_id = id_a
+      JOIN sizes zb ON zb.doc_id = id_b
+      WHERE 1.0 * i / (za.sz + zb.sz - i) >= {NEARDUP_THRESHOLD}
+    ),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT COUNT(*) FROM cand) AS BIGINT)  AS n_candidates,
+             CAST((SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b))
+                  AS BIGINT) AS tp
+    )
+    SELECT n_truth, n_candidates, tp,
+           ROUND(CASE WHEN n_candidates > 0
+                 THEN CAST(tp AS DOUBLE) / n_candidates END, 6) AS precision,
+           ROUND(CASE WHEN n_truth > 0
+                 THEN CAST(tp AS DOUBLE) / n_truth END, 6) AS recall,
+           ROUND(CASE WHEN n_candidates + n_truth > 0
+                 THEN CAST(2 * tp AS DOUBLE) / (n_candidates + n_truth) END, 6)
+             AS f1
+    FROM m ORDER BY n_truth
+    """
+
+
+@_register("dedup_lsh_quality", _lsh_quality_oracle())
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set quality report for the MinHash-LSH tier: precision
+    and recall of the banded candidate pairs against the EXACT
+    hashed-shingle Jaccard ≥ {NEARDUP_THRESHOLD} ground truth — the
+    b/r-curve tuning read a dedup team does before trusting the banding
+    parameters (candidate precision = verification work wasted; recall
+    = true near-dups the bands never surface).
+
+    F1 uses the harmonic identity 2·tp/(n_cand+n_truth), so every
+    ratio is one division of exact integers. The ground-truth
+    inverted-index self-join is the LABELED exact baseline (the
+    dedup_ngram_jaccard exemption) — the quality report is exactly the
+    job you run at small scale to pick (bands, rows) before the
+    banded form runs alone at 100 TB.
+
+    Scale shape: one shingle working set (checkpointed, shared by the
+    signature and truth branches), the banded bucket join from
+    lsh_candidates (capped buckets), and three tiny count aggregates
+    crossJoined into one row."""
+    shd = doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    cand = lsh_candidates(lsh_band_keys(minhash_signatures(shd))).localCheckpoint(
+        eager=True
+    )
+    # exact ground truth: inverted-index self-join on the shingle hash
+    # (the dedup_ngram_jaccard shape over the narrow int working set)
+    sa = shd.select(F.col("doc_id").alias("id_a"), "h")
+    sb = shd.select(F.col("doc_id").alias("id_b"), "h")
+    inter = (
+        sa.join(sb, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(jac >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    tp = (
+        cand.join(truth, ["id_a", "id_b"])
+        .agg(F.count("*").cast("bigint").alias("tp"))
+    )
+    m = n_truth.crossJoin(n_cand).crossJoin(tp)
+    return m.select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("tp").cast("double") / F.col("n_candidates"),
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("tp").cast("double") / F.col("n_truth")),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_candidates") + F.col("n_truth") > 0,
+                (2 * F.col("tp")).cast("double")
+                / (F.col("n_candidates") + F.col("n_truth")),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("n_truth")
 
 
 # ---------------------------------------------------------------------------

@@ -335,3 +335,104 @@ def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient — the per-node refinement of the global
+# triangle count: how close each supplier's co-supply neighborhood is
+# to a clique. Same bounded edge list as the triangle/BFS primitives.
+# ---------------------------------------------------------------------------
+
+CLUSTER_TOP = 20
+
+
+def _clustering_oracle() -> str:
+    return f"""
+    WITH {_COSUPPLY_SQL},
+    und AS (
+      SELECT sa AS src, sb AS dst FROM e
+      UNION ALL SELECT sb, sa FROM e
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY src),
+    tri AS (
+      SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+      FROM e e1
+      JOIN e e2 ON e1.sb = e2.sa
+      JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+    ),
+    tri_nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+             FROM tri_nodes GROUP BY node)
+    SELECT d.node AS supplier, d.degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                 THEN CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                      / (d.degree * (d.degree - 1)) END, 6) AS coefficient
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    ORDER BY d.degree DESC, d.node
+    LIMIT {CLUSTER_TOP}
+    """
+
+
+@_register("clustering_coefficient", _clustering_oracle())
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient c_v = 2·T_v / (deg_v·(deg_v−1)) for
+    the CLUSTER_TOP highest-degree suppliers in the strongest-edge
+    co-supply graph. Each ordered triangle a<b<c (the same two-path +
+    closing-edge join as triangle_count_cosupply) credits all three
+    corners; degree comes from the undirected edge expansion.
+
+    Determinism: T_v and deg_v are exact integers; the coefficient is
+    one integer-ratio division (NULL below degree 2, mirrored CASE);
+    the cut orders by (degree DESC, node).
+
+    Scale shape: everything runs on the checkpointed ≤TRI_EDGES edge
+    frame — the corpus-scale work (the per-part pair explosion) is
+    identical to the attested triangle plan; at web scale the per-node
+    top-d adjacency cap bounds both the wedge join and the degree
+    table the same way."""
+    e = _cosupply_edges(spark, sf_dir)
+    und = e.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).unionByName(
+        e.select(F.col("sb").alias("src"), F.col("sa").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.sb") == F.col("e2.sa"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.sa") == F.col("e1.sa")) & (F.col("e3.sb") == F.col("e2.sb")),
+        )
+        .select(
+            F.col("e1.sa").alias("a"), F.col("e1.sb").alias("b"), F.col("e2.sb").alias("c")
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = tri_nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("n_tri"))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("supplier"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(coeff, 6).alias("coefficient"),
+        )
+        .orderBy(F.desc("degree"), "supplier")
+        .limit(CLUSTER_TOP)
+    )

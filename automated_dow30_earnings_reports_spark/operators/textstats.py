@@ -781,7 +781,11 @@ BM25_B = 0.75
 BM25_TOPK = 10
 
 
-def _bm25_oracle() -> str:
+def bm25_sql_parts() -> dict[str, str]:
+    """The DuckDB-side BM25 building blocks: CTE column lists and the
+    fixed-order score expression. Shared by _bm25_oracle and the
+    hybrid-RRF oracle (operators/evaluation.py), mirroring how
+    bm25_scored_input/_bm25_score_col are shared Spark-side."""
     toks = "string_split_regex(trim(text), '\\s+')"
     tf_cols = ", ".join(
         f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
@@ -799,21 +803,33 @@ def _bm25_oracle() -> str:
         f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
         for i in range(len(BM25_QUERY))
     )
+    any_tf = " + ".join(f"d.tf_{i}" for i in range(len(BM25_QUERY)))
+    return {
+        "toks": toks,
+        "tf_cols": tf_cols,
+        "df_cols": df_cols,
+        "score": score_terms,
+        "any_tf": any_tf,
+    }
+
+
+def _bm25_oracle() -> str:
+    p = bm25_sql_parts()
     return f"""
     WITH per_doc AS (
-      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl, {tf_cols}
+      SELECT doc_id, CAST(len({p["toks"]}) AS BIGINT) AS dl, {p["tf_cols"]}
       FROM documents
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-             {df_cols}
+             {p["df_cols"]}
       FROM per_doc
     )
-    SELECT d.doc_id, d.dl, ROUND({score_terms}, 6) AS bm25
+    SELECT d.doc_id, d.dl, ROUND({p["score"]}, 6) AS bm25
     FROM per_doc d CROSS JOIN stats s
-    WHERE {" + ".join(f"d.tf_{i}" for i in range(len(BM25_QUERY)))} > 0
-    ORDER BY {score_terms} DESC, d.doc_id
+    WHERE {p["any_tf"]} > 0
+    ORDER BY {p["score"]} DESC, d.doc_id
     LIMIT {BM25_TOPK}
     """
 
@@ -840,26 +856,12 @@ def _bm25_score_col() -> Column:
     return score
 
 
-@_register("bm25_retrieval", _bm25_oracle())
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 retrieval for a fixed query (Robertson/Sparck Jones
-    idf with the +1 floor, k1=1.2, b=0.75 — see the module constants).
-
-    Determinism: every aggregate is INTEGER (per-doc term frequencies,
-    doc lengths, document frequencies, N) — the floating-point score
-    is ONE fixed-order expression tree over those integers plus the
-    avgdl scalar, so both engines compute bit-identical doubles and
-    the top-k cut (score DESC, doc_id) is exact — no double SUM whose
-    fold order could differ.
-
-    Scale shape: term frequencies are map-side array arithmetic on
-    the scan (no explode — the query is a fixed literal list, so tf
-    per term is a filter-count inside the tokens array), materialized
-    once as a narrow int frame that feeds both the global stats row
-    (broadcast back over it) and the scoring pass; top-k is
-    TakeOrdered. Query-at-a-time over 100 TB in one text scan — the
-    inverted-index upgrade only pays when queries vastly outnumber
-    scans."""
+def bm25_scored_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed per-document integer frame (doc_id, dl, tf_*)
+    crossJoined with the broadcast global-stats row (n_docs, avgdl,
+    df_*) — _bm25_score_col() evaluates directly on top of it. Shared
+    by bm25_retrieval and the hybrid RRF fusion
+    (operators/evaluation.py) so the lexical leg cannot drift."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     def _eq(term: str):
@@ -890,7 +892,12 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(BM25_QUERY))
         ],
     )
-    score = _bm25_score_col()
+    return per_doc.crossJoin(F.broadcast(stats))
+
+
+def bm25_any_tf_col() -> Column:
+    """tf_0 + tf_1 + ... — the 'document matches at least one query
+    term' predicate over bm25_scored_input's columns."""
     any_tf = None
     for i in range(len(BM25_QUERY)):
         any_tf = (
@@ -898,9 +905,33 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             if any_tf is None
             else any_tf + F.col(f"tf_{i}")
         )
+    return any_tf
+
+
+@_register("bm25_retrieval", _bm25_oracle())
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query (Robertson/Sparck Jones
+    idf with the +1 floor, k1=1.2, b=0.75 — see the module constants).
+
+    Determinism: every aggregate is INTEGER (per-doc term frequencies,
+    doc lengths, document frequencies, N) — the floating-point score
+    is ONE fixed-order expression tree over those integers plus the
+    avgdl scalar, so both engines compute bit-identical doubles and
+    the top-k cut (score DESC, doc_id) is exact — no double SUM whose
+    fold order could differ.
+
+    Scale shape: term frequencies are map-side array arithmetic on
+    the scan (no explode — the query is a fixed literal list, so tf
+    per term is a filter-count inside the tokens array), materialized
+    once as a narrow int frame that feeds both the global stats row
+    (broadcast back over it) and the scoring pass; top-k is
+    TakeOrdered. Query-at-a-time over 100 TB in one text scan — the
+    inverted-index upgrade only pays when queries vastly outnumber
+    scans."""
+    score = _bm25_score_col()
     return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .where(any_tf > 0)
+        bm25_scored_input(spark, sf_dir)
+        .where(bm25_any_tf_col() > 0)
         .select("doc_id", "dl", score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)

@@ -2182,3 +2182,71 @@ def skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("price").desc(), "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly gate: a (day-of-week × hour) baseline instead of
+# event_anomaly_zscore's global per-type stats — the monitor that
+# doesn't page you every Monday morning because Mondays are busy.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonal_hour_anomaly",
+    """
+    WITH base AS (
+      SELECT value,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) AS dow,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS hod
+      FROM events
+    ),
+    stats AS (
+      SELECT dow, hod, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM base GROUP BY dow, hod
+    )
+    SELECT b.dow, b.hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (s.sd IS NOT NULL AND s.sd > 0
+                 AND abs((b.value - s.mu) / s.sd) > 3.0) AS BIGINT) AS n_anomalies
+    FROM base b JOIN stats s ON s.dow = b.dow AND s.hod = b.hod
+    GROUP BY b.dow, b.hod
+    ORDER BY b.dow, b.hod
+    """,
+)
+def seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day-of-week, hour-of-day) z-score anomaly counts: the
+    seasonal-baseline upgrade of event_anomaly_zscore. Cell keys are
+    EXACT integer epoch arithmetic (the repo's standing
+    unix_timestamp/floor(epoch) identity; +3 aligns the epoch to
+    Monday=0), so no calendar/timezone function can split a cell
+    differently across engines.
+
+    Scale shape: two passes over the narrow (value, cell) projection —
+    a 168-key stats aggregate broadcast back over the scan (the
+    event_anomaly_zscore no-window pattern), then the same 168-key
+    count aggregate. No window, no fact-table shuffle beyond the
+    bounded-key groupBys."""
+    e = load_table(spark, sf_dir, "events")
+    es = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    base = e.select(
+        "value",
+        (((es / F.lit(86400)).cast("bigint") + 3) % 7).alias("dow"),
+        ((es / F.lit(3600)).cast("bigint") % 24).alias("hod"),
+    )
+    stats = base.groupBy("dow", "hod").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    is_anom = (
+        F.col("sd").isNotNull()
+        & (F.col("sd") > 0)
+        & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0)
+    )
+    return (
+        base.join(F.broadcast(stats), ["dow", "hod"])
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("dow", "hod")
+    )

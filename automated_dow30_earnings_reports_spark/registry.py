@@ -27,6 +27,7 @@ _MODULES = [
     f"{_PKG}.operators.curation",
     f"{_PKG}.operators.graph",
     f"{_PKG}.operators.sketches",
+    f"{_PKG}.operators.evaluation",
     f"{_PKG}.operators.asof",
     f"{_PKG}.streaming.windows",
     f"{_PKG}.streaming.incremental",

@@ -468,3 +468,90 @@ ORACLES["dpp_partitioned_join"] = """
     GROUP BY p.o_year
     ORDER BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: the pre-shuffled co-located join. Both fact tables
+# are written bucketBy(join key) + sortBy into managed tables ONCE;
+# every subsequent join on that key reads bucket-aligned scans with NO
+# Exchange on either side (tests/test_bucketed_join.py pins the
+# no-Exchange plan property under forced sort-merge join). This is the
+# standing fix for iterative-join reuse that localCheckpoint cannot
+# provide (checkpoints lose outputPartitioning under AQE).
+# ---------------------------------------------------------------------------
+
+BJA_BUCKETS = 8
+
+
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders through BUCKETED managed tables: write both
+    sides bucketBy(8, join key) + sortBy (idempotent overwrite; table
+    names carry the dataset hash so distinct sf dirs never collide),
+    then join the bucketed reads and aggregate revenue per order
+    status.
+
+    Scale shape: the bucketed write pays one shuffle ONCE; after that
+    every key-equi-join between the two tables is exchange-free — at
+    100 TB with a join-heavy workload this converts the per-query
+    O(data) shuffle into a per-ingest cost. The aggregate's own 3-key
+    exchange is the only per-query shuffle left. Correctness is
+    content-transparency: the answer must equal the plain-scan oracle
+    exactly (DECIMAL revenue so summation order can't drift)."""
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    import re as _re
+
+    # table names must be identifier-safe: dots would parse as a
+    # schema separator, dashes are illegal unquoted
+    key = _re.sub(r"[^A-Za-z0-9_]", "_", scratch_path("", sf_dir).strip("/"))
+    li_tbl, ord_tbl = f"li_bja_{key}", f"ord_bja_{key}"
+    # Cross-session idempotency: the default metastore is per-session,
+    # so a table directory left by an earlier process is UNKNOWN to
+    # this catalog and saveAsTable("overwrite") refuses the non-empty
+    # location. Drop what the catalog knows, then clear stale dirs.
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (li_tbl, ord_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _shutil.rmtree(_os.path.join(wh, tbl), ignore_errors=True)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.mode("overwrite").bucketBy(BJA_BUCKETS, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(li_tbl)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").bucketBy(BJA_BUCKETS, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable(ord_tbl)
+    li, orders = spark.table(li_tbl), spark.table(ord_tbl)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["bucketed_join_agg"] = bucketed_join_agg
+ORACLES["bucketed_join_agg"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

@@ -163,6 +163,17 @@ HEADLINE = [
     "text_index_roundtrip",
     "hll_distinct_users",
     "bootstrap_ci_mean",
+    "roc_auc_binned",
+    "cohen_kappa_gates",
+    "psi_feature_drift",
+    "hybrid_rrf_fusion",
+    "mmr_diversified_topk",
+    "bucketed_join_agg",
+    "dedup_lsh_quality",
+    "ann_ndcg_at_k",
+    "clustering_coefficient",
+    "seasonal_hour_anomaly",
+    "embedding_drift_centroid",
 ]
 
 

@@ -112,6 +112,16 @@ PROBE = [
     "embedding_top_pc",
     "hll_distinct_users",
     "bootstrap_ci_mean",
+    "roc_auc_binned",
+    "cohen_kappa_gates",
+    "psi_feature_drift",
+    "hybrid_rrf_fusion",
+    "mmr_diversified_topk",
+    "dedup_lsh_quality",
+    "ann_ndcg_at_k",
+    "clustering_coefficient",
+    "seasonal_hour_anomaly",
+    "embedding_drift_centroid",
 ]
 
 VOWELS = "aeiou"

@@ -1,0 +1,525 @@
+"""Round-6 wave-3 operators: retrieval fusion (RRF, MMR), gate
+evaluation (binned AUC, Cohen's kappa), snapshot drift (PSI), and the
+bucketed-table join. Oracle hash-parity is covered by
+test_oracle_parity; these pin the SEMANTICS — each statistic is
+recomputed independently (Python/numpy) from the same inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_binned
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_matches_python_recompute(spark, sf_smoke):
+    """The binned rank-sum AUC must equal a from-scratch numpy
+    recompute over the same (score, label) pairs and binning."""
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        AUC_BINS,
+        roc_auc_binned,
+    )
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        quality_classifier_cols,
+        quality_pass_col,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    row = roc_auc_binned(spark, sf_smoke).collect()[0]
+
+    d = load_table(spark, sf_smoke, "documents")
+    score, _ = quality_classifier_cols(F.col("text"))
+    pdf = d.select(
+        score.alias("s"), quality_pass_col(F.col("text")).alias("r")
+    ).toPandas()
+    bins = np.minimum((pdf["s"] * AUC_BINS).astype(int), AUC_BINS - 1)
+    num = 0
+    cum_neg = 0
+    for b in sorted(set(bins)):
+        pos = int(((bins == b) & pdf["r"]).sum())
+        neg = int(((bins == b) & ~pdf["r"]).sum())
+        num += pos * (2 * cum_neg + neg)
+        cum_neg += neg
+    n_pos, n_neg = int(pdf["r"].sum()), int((~pdf["r"]).sum())
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert row.n_bins == len(set(bins))
+    expected = round(num / (2 * n_pos * n_neg), 6)
+    assert row.auc == pytest.approx(expected, abs=1e-9)
+    assert 0.0 <= row.auc <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# cohen_kappa_gates
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_consistent_with_confusion_counts(spark, sf_smoke):
+    """kappa/po/pe must equal the textbook formulas evaluated on the
+    integer confusion counts the query itself returns."""
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        cohen_kappa_gates,
+    )
+
+    row = cohen_kappa_gates(spark, sf_smoke).collect()[0]
+    n = row.n_docs
+    a, b, c, d = row.both_keep, row.qc_only, row.rules_only, row.both_drop
+    assert a + b + c + d == n > 0
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    assert row.po == pytest.approx(round(po, 6), abs=1e-9)
+    assert row.pe == pytest.approx(round(pe, 6), abs=1e-9)
+    if pe != 1.0:
+        assert row.kappa == pytest.approx(round((po - pe) / (1 - pe), 6), abs=1e-9)
+    assert -1.0 <= row.kappa <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# psi_feature_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_bins_complete_and_total_consistent(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        PSI_BINS,
+        psi_feature_drift,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = psi_feature_drift(spark, sf_smoke).collect()
+    assert [r.bin for r in rows] == list(range(PSI_BINS))
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.ref_cnt + r.cur_cnt for r in rows) == n_docs
+    # probabilities are Laplace-smoothed: strictly positive, sum to 1
+    assert all(r.p_ref > 0 and r.p_cur > 0 for r in rows)
+    assert sum(r.p_ref for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.p_cur for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # the total is the (12-dp-rounded) sum of the per-bin terms
+    ref_tot = sum(r.ref_cnt for r in rows)
+    cur_tot = sum(r.cur_cnt for r in rows)
+    expected = sum(
+        round(
+            ((c + 1) / (cur_tot + PSI_BINS) - (r + 1) / (ref_tot + PSI_BINS))
+            * math.log(
+                ((c + 1) / (cur_tot + PSI_BINS)) / ((r + 1) / (ref_tot + PSI_BINS))
+            ),
+            12,
+        )
+        for r, c in ((row.ref_cnt, row.cur_cnt) for row in rows)
+    )
+    assert rows[0].psi_total == pytest.approx(round(expected, 6), abs=1e-6)
+    # even/odd halves of one corpus: drift must be small but >= 0
+    assert 0.0 <= rows[0].psi_total < 0.5
+
+
+def test_psi_detects_planted_drift(spark, tmp_path):
+    """A current half with systematically longer documents must score a
+    larger PSI than the no-drift even/odd split of the same corpus."""
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        psi_feature_drift,
+    )
+
+    base = [("w " * 20).strip() for _ in range(40)]
+    drifted = [("w " * 200).strip() for _ in range(40)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))  # even = reference
+    for i, t in enumerate(drifted):
+        rows.append((2 * i + 1, t))  # odd = current, much longer
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")}
+    )
+    path = str(tmp_path / "docs_drift")
+    df.coalesce(1).write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = psi_feature_drift(spark, str(tmp_path / "docs_drift")).collect()
+    assert out[0].psi_total > 1.0  # severe drift on a separated feature
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf_fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_scores_consistent_with_ranks(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        RRF_K,
+        RRF_LIST_N,
+        RRF_TOP,
+        hybrid_rrf_fusion,
+    )
+
+    rows = hybrid_rrf_fusion(spark, sf_smoke).collect()
+    assert len(rows) == RRF_TOP
+    rrfs = []
+    for r in rows:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expected = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= RRF_LIST_N
+            expected += 1.0 / (RRF_K + r.lex_rank)
+        if r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= RRF_LIST_N
+            expected += 1.0 / (RRF_K + r.vec_rank)
+        assert r.rrf == pytest.approx(round(expected, 9), abs=1e-12)
+        rrfs.append(r.rrf)
+    assert rrfs == sorted(rrfs, reverse=True)
+    # both retrievers must actually contribute to the fused list
+    assert any(r.lex_rank is not None for r in rows)
+    assert any(r.vec_rank is not None for r in rows)
+
+
+def test_rrf_lexical_leg_matches_bm25(spark, sf_smoke):
+    """A document in both the fused list and bm25_retrieval's top-10
+    must carry the SAME lexical rank ordering (shared scoring leg)."""
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        hybrid_rrf_fusion,
+    )
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        bm25_retrieval,
+    )
+
+    bm = [r.doc_id for r in bm25_retrieval(spark, sf_smoke).collect()]
+    fused = {
+        r.doc_id: r.lex_rank
+        for r in hybrid_rrf_fusion(spark, sf_smoke).collect()
+        if r.lex_rank is not None
+    }
+    for doc, lex_rank in fused.items():
+        if lex_rank <= len(bm):
+            assert bm[lex_rank - 1] == doc
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified_topk
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy(spark, sf_smoke):
+    """The pick sequence must equal a from-scratch numpy greedy MMR over
+    the same candidates with the same rounding and tie-breaks."""
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        MMR_CANDIDATES,
+        MMR_PICKS,
+        RRF_QUERY_VEC,
+        mmr_diversified_topk,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = mmr_diversified_topk(spark, sf_smoke).collect()
+    assert [r.pick_order for r in rows] == list(range(1, MMR_PICKS + 1))
+    assert len({r.vec_id for r in rows}) == MMR_PICKS
+
+    pdf = load_table(spark, sf_smoke, "embeddings").toPandas()
+    embs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    q = embs[RRF_QUERY_VEC]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {
+        i: round(cos(q, e), 6) for i, e in embs.items() if i != RRF_QUERY_VEC
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_CANDIDATES]
+    sim = {
+        (a, b): round(cos(embs[a], embs[b]), 6)
+        for a in cand
+        for b in cand
+        if a != b
+    }
+    picked: list[int] = []
+    for _ in range(MMR_PICKS):
+        best = None
+        for i in cand:
+            if i in picked:
+                continue
+            ms = max((sim[(i, j)] for j in picked), default=0.0)
+            mmr = 0.5 * rel[i] - 0.5 * ms
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        picked.append(best[1])
+    assert [r.vec_id for r in rows] == picked
+    # each pick's redundancy term equals the recomputed max-sim (can be
+    # negative — cosine ranges over [-1, 1])
+    for idx, r in enumerate(rows[1:], start=1):
+        ms = max(sim[(r.vec_id, j)] for j in picked[:idx])
+        assert r.max_sim_selected == pytest.approx(round(ms, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_agg
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_single_exchange_plan(spark, sf_smoke):
+    """Under forced sort-merge join the bucketed-table join must plan
+    with NO Exchange on either join input — the only Exchange left is
+    the aggregate's own 3-key shuffle."""
+    import io
+    import contextlib
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        bucketed_join_agg,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_agg(spark, sf_smoke)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # both scans read bucket-aligned — no Exchange on the join keys
+        # (the only Exchanges left are the aggregate's and the final
+        # orderBy's range partitioning)
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_quality
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_quality_tp_equals_verified_lsh_output(spark, sf_smoke):
+    """The true positives are BY CONSTRUCTION the pairs
+    dedup_minhash_lsh emits: candidates that verify >= threshold on the
+    same hashed-shingle jaccard. The metric row must agree with the
+    attested query exactly."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        dedup_lsh_quality,
+        dedup_minhash_lsh,
+    )
+
+    row = dedup_lsh_quality(spark, sf_smoke).collect()[0]
+    verified = dedup_minhash_lsh(spark, sf_smoke).count()
+    assert row.tp == verified
+    assert row.tp <= min(row.n_candidates, row.n_truth)
+    if row.n_candidates:
+        assert row.precision == pytest.approx(
+            round(row.tp / row.n_candidates, 6), abs=1e-9
+        )
+    if row.n_truth:
+        assert row.recall == pytest.approx(round(row.tp / row.n_truth, 6), abs=1e-9)
+    if row.n_candidates + row.n_truth:
+        assert row.f1 == pytest.approx(
+            round(2 * row.tp / (row.n_candidates + row.n_truth), 6), abs=1e-9
+        )
+
+
+def test_lsh_quality_planted_duplicate_is_recalled(spark, tmp_path):
+    """An identical pair (jaccard 1.0) collides in EVERY band, so it
+    must appear in both truth and candidates — recall can't be 0."""
+    import pyspark.sql.functions as SF
+
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        dedup_lsh_quality,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(0, dup), (1, dup)]
+    for i in range(2, 20):
+        rows.append((i, " ".join(f"tok{i}w{j}" for j in range(30))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumns(
+        {"lang": SF.lit("en"), "source": SF.lit("t"), "n_chars": SF.length("text")}
+    )
+    path = str(tmp_path / "docs_lsh")
+    df.coalesce(1).write.mode("overwrite").parquet(path + "/documents.parquet")
+    row = dedup_lsh_quality(spark, path).collect()[0]
+    assert row.n_truth >= 1
+    assert row.tp >= 1
+    assert row.recall > 0
+
+
+# ---------------------------------------------------------------------------
+# ann_ndcg_at_k
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_matches_python_recompute(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        _DISCOUNTS,
+        _IDCG,
+        ann_ndcg_at_k,
+    )
+    from automated_dow30_earnings_reports_spark.operators.similarity import QUERIES
+
+    rows = ann_ndcg_at_k(spark, sf_smoke).collect()
+    ivf = QUERIES["similarity_ann_ivf"](spark, sf_smoke).collect()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_cosine_topk"](spark, sf_smoke).collect()
+    }
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert {r.query_id for r in rows} == set(by_q)
+    for out in rows:
+        hits = [
+            (r.rnk, (out.query_id, r.neighbor_id) in exact)
+            for r in by_q[out.query_id]
+        ]
+        tp = sum(1 for _, h in hits if h)
+        dcg = sum(_DISCOUNTS[rnk - 1] for rnk, h in hits if h)
+        assert out.tp == tp
+        assert out.dcg == pytest.approx(round(dcg, 6), abs=1e-9)
+        expected_ndcg = 0.0 if tp == 0 else round(dcg / _IDCG[tp], 6)
+        assert out.ndcg == pytest.approx(expected_ndcg, abs=1e-9)
+        assert 0.0 <= out.ndcg <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_formula_and_bounds(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.graph import (
+        CLUSTER_TOP,
+        clustering_coefficient,
+    )
+
+    rows = clustering_coefficient(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= CLUSTER_TOP
+    degs = [r.degree for r in rows]
+    assert degs == sorted(degs, reverse=True)
+    for r in rows:
+        assert r.n_triangles >= 0
+        if r.degree >= 2:
+            expected = round(2 * r.n_triangles / (r.degree * (r.degree - 1)), 6)
+            assert r.coefficient == pytest.approx(expected, abs=1e-9)
+            assert 0.0 <= r.coefficient <= 1.0
+        else:
+            assert r.coefficient is None
+
+
+def test_clustering_triangle_mass_consistent(spark, sf_smoke):
+    """Σ_v T_v over ALL nodes is exactly 3× the global triangle count
+    (each triangle credits its three corners)."""
+    import pyspark.sql.functions as SF
+
+    from automated_dow30_earnings_reports_spark.operators.graph import (
+        _cosupply_edges,
+        triangle_count_cosupply,
+    )
+
+    n_tri = triangle_count_cosupply(spark, sf_smoke).collect()[0].n_triangles
+    e = _cosupply_edges(spark, sf_smoke)
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), SF.col("e1.sb") == SF.col("e2.sa"))
+        .join(
+            e.alias("e3"),
+            (SF.col("e3.sa") == SF.col("e1.sa"))
+            & (SF.col("e3.sb") == SF.col("e2.sb")),
+        )
+        .select(
+            SF.col("e1.sa").alias("a"),
+            SF.col("e1.sb").alias("b"),
+            SF.col("e2.sb").alias("c"),
+        )
+    )
+    mass = (
+        tri.select(SF.col("a").alias("n"))
+        .unionAll(tri.select(SF.col("b").alias("n")))
+        .unionAll(tri.select(SF.col("c").alias("n")))
+        .count()
+    )
+    assert mass == 3 * n_tri
+
+
+# ---------------------------------------------------------------------------
+# seasonal_hour_anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_cells_partition_the_events(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        seasonal_hour_anomaly,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = seasonal_hour_anomaly(spark, sf_smoke).collect()
+    assert len(rows) <= 7 * 24
+    assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+    total = load_table(spark, sf_smoke, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert all(0 <= r.n_anomalies <= r.n_events for r in rows)
+    # a >3-sigma gate on ~unimodal data flags a small minority
+    assert sum(r.n_anomalies for r in rows) < total * 0.05
+
+
+def test_seasonal_anomaly_cell_recompute(spark, sf_smoke):
+    """One cell recomputed in pandas must agree with the query."""
+    import math as _math
+
+    import pyspark.sql.functions as SF
+
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        seasonal_hour_anomaly,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = seasonal_hour_anomaly(spark, sf_smoke).collect()
+    target = max(rows, key=lambda r: r.n_events)
+    es = SF.floor(SF.unix_timestamp("ts")).cast("bigint")
+    pdf = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "value",
+            (((es / SF.lit(86400)).cast("bigint") + 3) % 7).alias("dow"),
+            ((es / SF.lit(3600)).cast("bigint") % 24).alias("hod"),
+        )
+        .where((SF.col("dow") == target.dow) & (SF.col("hod") == target.hod))
+        .toPandas()
+    )
+    assert len(pdf) == target.n_events
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)
+    if len(pdf) > 1 and sd > 0 and not _math.isnan(sd):
+        expected = int((abs((pdf["value"] - mu) / sd) > 3.0).sum())
+        assert target.n_anomalies == expected
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_centroid
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_matches_numpy(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.operators.evaluation import (
+        embedding_drift_centroid,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    row = embedding_drift_centroid(spark, sf_smoke).collect()[0]
+    pdf = load_table(spark, sf_smoke, "embeddings").toPandas()
+    ref = np.array(
+        [np.round(np.float64(v), 6) for v in pdf[pdf.vec_id % 2 == 0].embedding]
+    )
+    cur = np.array(
+        [np.round(np.float64(v), 6) for v in pdf[pdf.vec_id % 2 == 1].embedding]
+    )
+    assert row.n_ref == len(ref) and row.n_cur == len(cur)
+    cr, cc = ref.mean(axis=0), cur.mean(axis=0)
+    cos = float(np.dot(cr, cc) / (np.linalg.norm(cr) * np.linalg.norm(cc)))
+    l2 = float(np.linalg.norm(cr - cc))
+    assert row.centroid_cosine == pytest.approx(cos, abs=1e-4)
+    assert row.centroid_l2 == pytest.approx(l2, abs=1e-4)
+    assert -1.0 <= row.centroid_cosine <= 1.0
+    # same corpus split in half: the centroid barely moves (the corpus
+    # is near-zero-mean, so the cosine DIRECTION is noise — the L2
+    # magnitude is the meaningful no-drift signal)
+    assert row.centroid_l2 < 0.5
