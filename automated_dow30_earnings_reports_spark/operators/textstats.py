@@ -1979,3 +1979,177 @@ def text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-shape): expand the fixed query with the
+# top terms of its own top-ranked documents, re-score, re-rank — the
+# recall-boosting second pass that completes the IR stack (BM25 ranked,
+# phrase boolean, persisted index, hybrid fusion, and now PRF).
+# ---------------------------------------------------------------------------
+
+PRF_DOCS = 5  # feedback depth
+PRF_TERMS = 3  # expansion terms
+PRF_WEIGHT = 0.5  # expansion-term weight (exact in binary)
+PRF_TOPK = 10
+
+
+def _prf_oracle() -> str:
+    p = bm25_sql_parts()
+    toks = p["toks"]
+    stop = ", ".join(f"'{t}'" for t in (*BM25_QUERY, *EN_STOPWORDS))
+    orig_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, CAST(1 AS DOUBLE) AS w" for t in BM25_QUERY
+    )
+    partial = (
+        "tq.w * ln((s.n_docs - df.df_t + 0.5) / (df.df_t + 0.5) + 1.0)"
+        f" * (tf.tf * ({BM25_K1} + 1.0))"
+        f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))"
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl, {p["tf_cols"]}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {p["df_cols"]}
+      FROM per_doc
+    ),
+    fb AS (
+      SELECT d.doc_id FROM per_doc d CROSS JOIN stats s
+      WHERE {p["any_tf"]} > 0
+      ORDER BY {p["score"]} DESC, d.doc_id LIMIT {PRF_DOCS}
+    ),
+    fb_toks AS (
+      SELECT unnest({toks}) AS term
+      FROM documents JOIN fb USING (doc_id)
+    ),
+    expansion AS (
+      SELECT term, CAST({PRF_WEIGHT} AS DOUBLE) AS w
+      FROM fb_toks
+      WHERE term NOT IN ({stop})
+      GROUP BY term
+      ORDER BY COUNT(*) DESC, term LIMIT {PRF_TERMS}
+    ),
+    terms AS ({orig_rows} UNION ALL SELECT term, w FROM expansion),
+    corpus_toks AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    tfs AS (
+      SELECT c.doc_id, c.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM corpus_toks c JOIN terms USING (term)
+      GROUP BY c.doc_id, c.term
+    ),
+    dfq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tfs GROUP BY term
+    ),
+    partials AS (
+      SELECT tf.doc_id,
+             CAST(ROUND({partial}, 12) AS DECIMAL(26,12)) AS part
+      FROM tfs tf
+      JOIN terms tq USING (term)
+      JOIN dfq df USING (term)
+      JOIN per_doc d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    prf AS (
+      SELECT doc_id, SUM(part) AS score_dec,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+      FROM partials GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched,
+           ROUND(CAST(score_dec AS DOUBLE), 6) AS prf_score
+    FROM prf
+    ORDER BY score_dec DESC, doc_id
+    LIMIT {PRF_TOPK}
+    """
+
+
+@_register("prf_query_expansion", _prf_oracle())
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-shape pseudo-relevance feedback: BM25's top-{PRF_DOCS}
+    documents nominate {PRF_TERMS} expansion terms (highest total term
+    frequency in the feedback set, stopwords and the original query
+    excluded, ties broken alphabetically — an exact integer selection),
+    the query becomes {{original terms w=1.0}} ∪ {{expansion terms
+    w={PRF_WEIGHT}}}, and the corpus is re-scored with weighted BM25.
+
+    Determinism: expansion selection is integer; per-(doc, term)
+    partial scores are single fixed-order double expressions; the
+    per-document sum folds 12-dp-rounded partials through DECIMAL
+    (order-free — the query is now DYNAMIC, so the static
+    one-expression-tree trick bm25_retrieval uses can't apply), and
+    the final rank orders on the exact DECIMAL score.
+
+    Scale shape: the feedback pass is the attested BM25 plan; the
+    re-score pass is explode → broadcast semi-join on the ≤7-term
+    query → (doc, term) count — the postings-probe shape
+    phrase_search_postings uses, touching only matching tokens after
+    the join; stats ride the same broadcast row as bm25_scored_input."""
+    scored_in = bm25_scored_input(spark, sf_dir)
+    fb = (
+        scored_in.where(bm25_any_tf_col() > 0)
+        .select("doc_id", _bm25_score_col().alias("sc"))
+        .orderBy(F.desc("sc"), "doc_id")
+        .limit(PRF_DOCS)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    d = spread(load_table(spark, sf_dir, "documents"))
+    stop = [*BM25_QUERY, *EN_STOPWORDS]
+    fb_terms = (
+        d.join(F.broadcast(fb), "doc_id")
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .where(~F.col("term").isin(stop))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(PRF_TERMS)
+        .select("term", F.lit(PRF_WEIGHT).cast("double").alias("w"))
+    )
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in BM25_QUERY], "term string, w double"
+    )
+    terms = orig.unionByName(fb_terms).localCheckpoint(eager=True)
+    tfs = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfq = tfs.groupBy("term").agg(F.count("*").cast("bigint").alias("df_t"))
+    dls = scored_in.select("doc_id", "dl", "n_docs", "avgdl")
+    partial = (
+        F.col("w")
+        * F.log(
+            (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    prf = (
+        tfs.join(F.broadcast(dfq), "term")
+        .join(dls, "doc_id")
+        .select(
+            "doc_id", F.round(partial, 12).cast("decimal(26,12)").alias("part")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("part").alias("score_dec"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    return (
+        prf.orderBy(F.desc("score_dec"), "doc_id")
+        .limit(PRF_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("score_dec").cast("double"), 6).alias("prf_score"),
+        )
+    )

@@ -2250,3 +2250,81 @@ def seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas grouped-map — the same OLS contract as
+# value_trend_by_type, computed per group in pandas with EXACT moment
+# arithmetic (int sums + decimal.Decimal), hash-matched to the same
+# oracle: the pattern for shipping numpy/pandas science code into the
+# engine WITHOUT giving up the value-checked contract.
+# ---------------------------------------------------------------------------
+
+
+def _trend_grouped_pandas(pdf):
+    import decimal
+
+    import pandas as pd
+
+    xs = [int(v) for v in pdf["x"]]
+    ys = [
+        v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+        for v in pdf["y"]
+    ]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(v * v for v in xs)
+    sy = sum(ys, decimal.Decimal(0))
+    sxy = sum((decimal.Decimal(x) * y for x, y in zip(xs, ys)), decimal.Decimal(0))
+    denom_exact = n * sxx - sx * sx
+    if denom_exact == 0:
+        slope = intercept = None
+    else:
+        # identical double expression order to value_trend_by_type /
+        # its oracle: BIGINT·DOUBLE promotions on exact moments
+        slope = (n * float(sxy) - sx * float(sy)) / (n * float(sxx) - float(sx) * sx)
+        intercept = (float(sy) - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [n],
+            "slope_raw": [slope],
+            "intercept_raw": [intercept],
+        }
+    )
+
+
+@_register("value_trend_grouped_pandas", ORACLES["value_trend_by_type"])
+def value_trend_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_trend_by_type re-expressed as an applyInPandas grouped map
+    — two constructions of one contract (the bpe_train_merges pattern):
+    the registered aggregate form is the 100 TB path (sufficient
+    statistics, map-side combine); this is the escape hatch for science
+    code that genuinely needs pandas per group, shown here computing
+    the IDENTICAL answer. Exactness survives the Python boundary
+    because Arrow delivers y as decimal.Decimal (sums stay exact, like
+    the DECIMAL aggregates) and x as int64 (Python ints don't
+    overflow); the closed-form double arithmetic replicates the SQL
+    expression order; the 6-dp round happens ENGINE-side after the
+    grouped map so both engines' half-up rounding applies.
+
+    Scale caveat (why the aggregate form is primary): applyInPandas
+    materializes each group in one task's memory — fine for bounded
+    group counts with bounded rows, wrong for a group that doesn't fit;
+    the moments aggregate never holds more than a combiner row."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    out = pts.groupBy("event_type").applyInPandas(
+        _trend_grouped_pandas,
+        "event_type string, n bigint, slope_raw double, intercept_raw double",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope_raw", 6).alias("slope_per_day"),
+        F.round("intercept_raw", 6).alias("intercept"),
+    ).orderBy("event_type")

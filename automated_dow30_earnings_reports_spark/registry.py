@@ -49,6 +49,7 @@ _MODULES = [
     f"{_PKG}.plans.advanced",
     f"{_PKG}.plans.tpch_extra",
     f"{_PKG}.plans.maintenance",
+    f"{_PKG}.plans.sql_features",
 ]
 
 # ORDER MATTERS: the driver evaluates correctness in registration order

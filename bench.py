@@ -174,6 +174,11 @@ HEADLINE = [
     "clustering_coefficient",
     "seasonal_hour_anomaly",
     "embedding_drift_centroid",
+    "recursive_cte_reachability",
+    "variant_props_stats",
+    "sql_udf_len_band",
+    "prf_query_expansion",
+    "value_trend_grouped_pandas",
 ]
 
 
@@ -245,8 +250,8 @@ def main() -> int:
     # every query >= 0.75 s individually and folds the fast tail into
     # fast_queries_n/fast_queries_sec (full per-query detail stays in
     # bench_full.json).
-    slow = {k: round(v, 2) for k, v in timings.items() if v >= 0.75}
-    fast_total = round(sum(v for v in timings.values() if v < 0.75), 2)
+    slow = {k: round(v, 2) for k, v in timings.items() if v >= 1.0}
+    fast_total = round(sum(v for v in timings.values() if v < 1.0), 2)
     # Cross-round regression visibility. Baseline layering: the newest
     # recorded BENCH_r*.json (the driver's per-round artifact) is
     # authoritative for every query it carries — being committed once

@@ -122,6 +122,11 @@ PROBE = [
     "clustering_coefficient",
     "seasonal_hour_anomaly",
     "embedding_drift_centroid",
+    "recursive_cte_reachability",
+    "variant_props_stats",
+    "sql_udf_len_band",
+    "prf_query_expansion",
+    "value_trend_grouped_pandas",
 ]
 
 VOWELS = "aeiou"

@@ -523,3 +523,209 @@ def test_embedding_drift_matches_numpy(spark, sf_smoke):
     # is near-zero-mean, so the cosine DIRECTION is noise — the L2
     # magnitude is the meaningful no-drift signal)
     assert row.centroid_l2 < 0.5
+
+
+# ---------------------------------------------------------------------------
+# sql_features: recursive CTE / VARIANT / SQL UDF
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_cte_matches_dataframe_bfs(spark, sf_smoke):
+    """Spark's WITH RECURSIVE must produce the same directed hop
+    histogram as an explicit frontier-loop recompute over the same
+    bounded DAG."""
+    import pyspark.sql.functions as SF
+
+    from automated_dow30_earnings_reports_spark.operators.graph import (
+        _cosupply_edges,
+    )
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        RCTE_MAX_HOPS,
+        recursive_cte_reachability,
+    )
+
+    rows = recursive_cte_reachability(spark, sf_smoke).collect()
+    e = _cosupply_edges(spark, sf_smoke)  # directed: sa < sb
+    src = e.agg(SF.min("sa")).collect()[0][0]
+    dist = {src: 0}
+    frontier = {src}
+    edges = [(r.sa, r.sb) for r in e.collect()]
+    for d in range(1, RCTE_MAX_HOPS + 1):
+        nxt = {b for (a, b) in edges if a in frontier} - set(dist)
+        for n in nxt:
+            dist[n] = d
+        frontier = nxt
+        if not frontier:
+            break
+    expected = {}
+    for node, d in dist.items():
+        expected.setdefault(d, []).append(node)
+    assert {r.dist: r.n_suppliers for r in rows} == {
+        d: len(v) for d, v in expected.items()
+    }
+    assert {r.dist: r.min_supplier for r in rows} == {
+        d: min(v) for d, v in expected.items()
+    }
+    by_dist = {r.dist: r for r in rows}
+    assert by_dist[0].n_suppliers == 1 and by_dist[0].min_supplier == src
+
+
+def test_variant_props_matches_pandas_json(spark, sf_smoke):
+    import json as _json
+
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        variant_props_stats,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = {r.event_type: r for r in variant_props_stats(spark, sf_smoke).collect()}
+    pdf = load_table(spark, sf_smoke, "events").select("event_type", "props").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        ks = [
+            _json.loads(p).get("k")
+            for p in grp["props"]
+            if p is not None
+        ]
+        ks = [k for k in ks if isinstance(k, int)]
+        r = rows[et]
+        assert r.n_events == len(grp)
+        assert r.n_with_k == len(ks)
+        if ks:
+            assert (r.min_k, r.max_k, r.sum_k) == (min(ks), max(ks), sum(ks))
+
+
+def test_sql_udf_len_band_partitions_and_rerun(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        sql_udf_len_band,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = {r.band: r for r in sql_udf_len_band(spark, sf_smoke).collect()}
+    pdf = load_table(spark, sf_smoke, "documents").select("n_chars").toPandas()
+    short = int((pdf.n_chars < 200).sum())
+    medium = int(((pdf.n_chars >= 200) & (pdf.n_chars < 1000)).sum())
+    long_ = int((pdf.n_chars >= 1000).sum())
+    assert rows.get("short", None) is None or rows["short"].n_docs == short
+    assert rows.get("medium", None) is None or rows["medium"].n_docs == medium
+    assert rows.get("long", None) is None or rows["long"].n_docs == long_
+    assert sum(r.n_docs for r in rows.values()) == len(pdf)
+    # CREATE OR REPLACE: same-session re-run must not raise
+    rows2 = {r.band: r.n_docs for r in sql_udf_len_band(spark, sf_smoke).collect()}
+    assert rows2 == {b: r.n_docs for b, r in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# prf_query_expansion
+# ---------------------------------------------------------------------------
+
+
+def test_prf_matches_python_recompute(spark, sf_smoke):
+    """Full RM3 recompute in Python: feedback docs, expansion-term
+    selection, weighted re-score with 12-dp-rounded partial sums."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        EN_STOPWORDS,
+        PRF_DOCS,
+        PRF_TERMS,
+        PRF_TOPK,
+        PRF_WEIGHT,
+        bm25_retrieval,
+        prf_query_expansion,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    rows = prf_query_expansion(spark, sf_smoke).collect()
+    assert len(rows) == PRF_TOPK
+
+    pdf = load_table(spark, sf_smoke, "documents").select("doc_id", "text").toPandas()
+    toks = {int(r.doc_id): r.text.strip().split() for r in pdf.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+
+    def bm25_score(doc_toks, terms, weights, dfs):
+        s = 0.0
+        for t, w in zip(terms, weights):
+            tf = doc_toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s += w * idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(doc_toks) / avgdl)
+            )
+        return s
+
+    # feedback docs = bm25 top-PRF_DOCS (bm25_retrieval returns top-10)
+    fb = [r.doc_id for r in bm25_retrieval(spark, sf_smoke).collect()][:PRF_DOCS]
+    # expansion terms: total tf in feedback docs, stop/original excluded
+    from collections import Counter
+
+    cnt = Counter()
+    stop = set(BM25_QUERY) | set(EN_STOPWORDS)
+    for d in fb:
+        cnt.update(t for t in toks[d] if t not in stop)
+    exp = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))][:PRF_TERMS]
+    terms = list(BM25_QUERY) + exp
+    weights = [1.0] * len(BM25_QUERY) + [PRF_WEIGHT] * len(exp)
+    dfs = {t: sum(1 for dt in toks.values() if t in dt) for t in terms}
+    scored = []
+    for d, dt in toks.items():
+        parts = []
+        for t, w in zip(terms, weights):
+            tf = dt.count(t)
+            if tf:
+                idf = math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                parts.append(
+                    round(
+                        w * idf * (tf * (BM25_K1 + 1.0)) / (
+                            tf
+                            + BM25_K1
+                            * (1.0 - BM25_B + BM25_B * len(dt) / avgdl)
+                        ),
+                        12,
+                    )
+                )
+        if parts:
+            # 12-dp-rounded partials: exact as scaled integers
+            total = sum(int(round(p * 10**12)) for p in parts)
+            scored.append((d, total, len(parts)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    expect = scored[:PRF_TOPK]
+    assert [(r.doc_id, r.n_terms_matched) for r in rows] == [
+        (d, m) for d, _, m in expect
+    ]
+    for r, (_, tot, _) in zip(rows, expect):
+        assert r.prf_score == pytest.approx(round(tot / 10**12, 6), abs=2e-6)
+
+
+def test_prf_expansion_changes_ranking(spark, sf_smoke):
+    """The PRF list must actually use expansion terms: at least one
+    returned doc matches more terms than the 4-term original query can
+    explain, or the ordering differs from the base BM25 ordering."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        bm25_retrieval,
+        prf_query_expansion,
+    )
+
+    prf = [r.doc_id for r in prf_query_expansion(spark, sf_smoke).collect()]
+    base = [r.doc_id for r in bm25_retrieval(spark, sf_smoke).collect()]
+    assert prf != base  # expansion must perturb the list at this corpus
+
+
+# ---------------------------------------------------------------------------
+# value_trend_grouped_pandas
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_pandas_trend_equals_aggregate_form(spark, sf_smoke):
+    """Two constructions of one contract: the applyInPandas grouped map
+    must produce EXACTLY the registered aggregate form's rows."""
+    from automated_dow30_earnings_reports_spark.plans.advanced import (
+        value_trend_by_type,
+        value_trend_grouped_pandas,
+    )
+
+    a = [tuple(r) for r in value_trend_by_type(spark, sf_smoke).collect()]
+    b = [tuple(r) for r in value_trend_grouped_pandas(spark, sf_smoke).collect()]
+    assert a == b
