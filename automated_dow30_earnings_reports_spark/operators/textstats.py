@@ -1903,37 +1903,27 @@ def _py_term_bucket(term: str) -> int:
     return int(_hashlib.md5(term.encode()).hexdigest()[:7], 16) % TEXT_INDEX_BUCKETS
 
 
-@_register("text_index_roundtrip", _bm25_oracle())
-def text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bm25_retrieval's exact semantics through a persisted inverted
-    index: build once, then score the fixed query from the stored
-    postings alone. A dropped posting, a tf off by one, or stats drift
-    breaks the hash against the scan-side oracle.
-
-    Scale shape: the build is one tokenize+groupBy pass (the postings
-    table is the corpus's (term, doc) histogram — Zipf-collapsed
-    map-side); the search reads ≤|query| term buckets
-    (directory-pruned), so query cost tracks posting-list length, not
-    corpus size — the inverted-index upgrade bm25_retrieval's
-    docstring promises once queries outnumber scans."""
+def _write_text_index(docs, path: str, mode: str) -> None:
+    """Build ('overwrite') or ingest-append ('append') the three index
+    tables from a documents frame. The stats table holds MERGEABLE
+    PARTIALS — (n_docs, sum_dl) integer rows, one per build/append —
+    so the search-side avgdl = SUM(sum_dl)/SUM(n_docs) is bit-identical
+    to the full-corpus recompute no matter how many appends happened
+    (storing avgdl itself would drift: avg1*n1 re-derives a rounded
+    double, the mv_incremental_refresh lesson applied to doubles)."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
-    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
-    path = _text_index_path(sf_dir)
-
-    # --- build: three index tables, corpus scanned once ---
-    per_doc = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
-    per_doc.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
-    stats = per_doc.agg(
+    per_doc = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    per_doc.write.mode(mode).parquet(_os.path.join(path, "docstats"))
+    per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    stats.write.mode("overwrite").parquet(_os.path.join(path, "stats"))
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    ).write.mode(mode).parquet(_os.path.join(path, "stats"))
     postings = (
-        d.select("doc_id", F.explode(toks).alias("term"))
+        docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn(
@@ -1943,9 +1933,16 @@ def text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             % TEXT_INDEX_BUCKETS,
         )
     )
-    write_partitioned(postings, _os.path.join(path, "postings"), ["bucket"], dynamic=False)
+    write_partitioned(
+        postings, _os.path.join(path, "postings"), ["bucket"],
+        mode=mode, dynamic=False,
+    )
 
-    # --- search: ONLY the loaded index ---
+
+def _search_text_index(spark: SparkSession, path: str) -> DataFrame:
+    """Answer the fixed BM25 query from the LOADED index only:
+    directory-pruned bucket read, df/tf from the postings, global stats
+    merged from the partials table, docstats join for dl."""
     q_terms = list(BM25_QUERY)
     q_buckets = sorted({_py_term_bucket(t) for t in q_terms})
     post = (
@@ -1970,15 +1967,68 @@ def text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     docstats = spark.read.parquet(_os.path.join(path, "docstats"))
+    stats = spark.read.parquet(_os.path.join(path, "stats")).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+    )
     return (
         tfp.join(docstats, "doc_id")
-        .crossJoin(F.broadcast(spark.read.parquet(_os.path.join(path, "stats"))))
+        .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(dfs))
         .select("doc_id", "dl", _bm25_score_col().alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)
         .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
     )
+
+
+@_register("text_index_roundtrip", _bm25_oracle())
+def text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_retrieval's exact semantics through a persisted inverted
+    index: build once, then score the fixed query from the stored
+    postings alone. A dropped posting, a tf off by one, or stats drift
+    breaks the hash against the scan-side oracle.
+
+    Scale shape: the build is one tokenize+groupBy pass (the postings
+    table is the corpus's (term, doc) histogram — Zipf-collapsed
+    map-side); the search reads <=|query| term buckets
+    (directory-pruned), so query cost tracks posting-list length, not
+    corpus size — the inverted-index upgrade bm25_retrieval's
+    docstring promises once queries outnumber scans."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir)
+    _write_text_index(d, path, "overwrite")
+    return _search_text_index(spark, path)
+
+
+TEXT_APPEND_MOD = 5  # doc_id % 5 == 0 is the "new ingest" batch
+
+
+@_register("text_index_append", _bm25_oracle())
+def text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only maintenance for the inverted text index — the third
+    index family gets the same lifecycle verbs as the vector store
+    (ivf_index_append) and the dedup signatures (dedup_incremental_index):
+    build from the initial corpus slice, ingest the new batch by
+    tokenizing ONLY the batch and appending its postings/docstats/stats
+    partials, then answer the standing query from the merged index —
+    hash-matched against the full-corpus scan oracle, so a dropped
+    posting, a double-counted document, or stats drift from the
+    partial merge all break the gate.
+
+    Ingest cost is O(batch), independent of index size: new doc_ids
+    are new postings rows (no rewrite of existing buckets' content —
+    parquet append), and the stats merge is algebraic over integer
+    partials. The un-handled tail is term-bucket file growth across
+    many appends — the compaction story lake_compaction pins for data
+    files applies verbatim to posting buckets."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_append"
+    old = d.where(F.col("doc_id") % TEXT_APPEND_MOD != 0)
+    batch = d.where(F.col("doc_id") % TEXT_APPEND_MOD == 0)
+    _write_text_index(old, path, "overwrite")
+    _write_text_index(batch, path, "append")
+    return _search_text_index(spark, path)
 
 
 # ---------------------------------------------------------------------------

@@ -200,3 +200,110 @@ def sql_udf_len_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT through the lake: the semi-structured column survives a
+# parquet write/read round trip (Spark 4 shreds VariantType natively).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_SCRATCH_VARIANT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+    "variant_lake",
+)
+
+
+@_register(
+    "variant_lake_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) FILTER (props::JSON->>'k' IS NULL) AS BIGINT)
+             AS n_null_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT column as a STORAGE type: parse events.props once at
+    ingest, persist the VariantType column to parquet (Spark 4 writes
+    variant natively — the shredded binary encoding, not a re-stringed
+    JSON), read it back, and aggregate typed paths from the STORED
+    variant. Content-transparency gate: the post-roundtrip aggregate
+    must hash-match the oracle computed from the original JSON text —
+    a lossy encode/decode or a dropped field breaks it.
+
+    Scale shape: parse-at-ingest is the production contract (parse
+    once, query many); the write is one scan + per-partition files,
+    the read-back aggregation prunes to (event_type, v)."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    path = scratch_path(_SCRATCH_VARIANT, sf_dir)
+    e.select("event_id", "event_type", F.parse_json("props").alias("v")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return (
+        back.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark — the third front-end (SQL, DataFrame, pandas)
+# answering from the same engine, value-checked like everything else.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ps_api_doc_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ps_api_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document stats through pyspark.pandas — the pandas
+    front-end compiles to the SAME Catalyst plans as the DataFrame API
+    (groupby.agg here becomes a hash aggregate, not a driver-side
+    pandas frame), so a pandas-fluent user gets distributed execution
+    for free. The result converts back via to_spark() and the ratio +
+    rounding run ENGINE-side, keeping the cross-engine determinism
+    conventions (exact integer aggregates, one double division)."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(_os.path.join(sf_dir, "documents.parquet"))
+    g = psdf.groupby("lang", as_index=False).agg(
+        {"doc_id": "count", "n_chars": "sum"}
+    )
+    sdf = g.to_spark()
+    return sdf.select(
+        "lang",
+        F.col("doc_id").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("doc_id"), 4
+        ).alias("mean_chars"),
+    ).orderBy("lang")

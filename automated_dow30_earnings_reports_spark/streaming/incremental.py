@@ -424,3 +424,126 @@ def _sdedup_oracle() -> str:
 
 QUERIES["streaming_dedup_ingest"] = streaming_dedup_ingest
 ORACLES["streaming_dedup_ingest"] = _sdedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> persisted TEXT index: the third index family gets the
+# same continuously-ingesting composition as the vector store
+# (streaming_ivf_ingest) and the dedup signatures
+# (streaming_dedup_ingest): kvlinks arrival records name the landed
+# doc_ids, each micro-batch tokenizes ONLY those documents and appends
+# postings/docstats + a mergeable stats partial via the shared
+# _write_text_index, and the standing BM25 query runs from the merged
+# index — hash-matched against the scan-side oracle.
+# ---------------------------------------------------------------------------
+
+_SCRATCH_STXT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "streaming_text",
+)
+
+
+def start_text_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    docs: DataFrame,
+    available_now: bool = True,
+):
+    """Tail ``landing_dir`` (kvlinks arrivals, schema ``doc_id bigint``)
+    and append each micro-batch into the persisted text index. Per-batch
+    cost is O(batch tokens) — tokenization touches only the batch, the
+    stats merge is an appended integer-partial row. Replay/duplicate
+    arrivals are dropped by an anti-join against the committed docstats
+    doc_ids (docstats is the FIRST table _write_text_index writes, so a
+    mid-append crash replays conservatively only for documents whose
+    docstats row never committed)."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _write_text_index,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+
+    register(spark)
+    arrivals = (
+        spark.readStream.format("kvlinks")
+        .schema("doc_id bigint")
+        .option("path", landing_dir)
+        .load()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch_docs = docs.join(batch_df.select("doc_id").distinct(), "doc_id")
+        committed = sess.read.parquet(os.path.join(index_path, "docstats")).select(
+            "doc_id"
+        )
+        fresh = batch_docs.join(committed, "doc_id", "left_anti")
+        if fresh.isEmpty():
+            return  # fully-replayed batch: no empty partials appended
+        _write_text_index(fresh, index_path, "append")
+
+    writer = arrivals.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the text index on the initial corpus slice, publish the
+    held-out doc_ids as kvlinks arrivals, drain the checkpointed ingest
+    stream, and answer the standing BM25 query from the merged
+    persisted index. Converges to the batch-built index, so the oracle
+    is the full-corpus scan-side BM25 (rows-equivalence through a
+    streaming engine — the window_*/streaming_ivf pattern)."""
+    import shutil
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        TEXT_APPEND_MOD,
+        _search_text_index,
+        _write_text_index,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table, spread
+
+    register(spark)  # the arrival WRITE below needs the source too
+    base = scratch_path(_SCRATCH_STXT, sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # fresh lifecycle per invocation
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    index_path = os.path.join(base, "index")
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    _write_text_index(
+        d.where(F.col("doc_id") % TEXT_APPEND_MOD != 0), index_path, "overwrite"
+    )
+    d.where(F.col("doc_id") % TEXT_APPEND_MOD == 0).select("doc_id").write.format(
+        "kvlinks"
+    ).option("path", landing).mode("append").save()
+
+    q = start_text_ingest_stream(spark, landing, index_path, ckpt, d)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("ingest stream did not drain within 300s")
+
+    return _search_text_index(spark, index_path)
+
+
+def _stxt_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _bm25_oracle,
+    )
+
+    return _bm25_oracle()
+
+
+QUERIES["streaming_text_ingest"] = streaming_text_ingest
+ORACLES["streaming_text_ingest"] = _stxt_oracle()

@@ -147,6 +147,7 @@ HEADLINE = [
     "dedup_incremental_index",
     "streaming_ivf_ingest",
     "streaming_dedup_ingest",
+    "streaming_text_ingest",
     "quality_classifier_linear",
     "bpe_train_merges",
     "bpe_encode_stats",
@@ -179,6 +180,9 @@ HEADLINE = [
     "sql_udf_len_band",
     "prf_query_expansion",
     "value_trend_grouped_pandas",
+    "text_index_append",
+    "variant_lake_roundtrip",
+    "ps_api_doc_stats",
 ]
 
 

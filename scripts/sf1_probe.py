@@ -127,6 +127,7 @@ PROBE = [
     "sql_udf_len_band",
     "prf_query_expansion",
     "value_trend_grouped_pandas",
+    "ps_api_doc_stats",
 ]
 
 VOWELS = "aeiou"

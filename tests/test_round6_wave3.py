@@ -729,3 +729,166 @@ def test_grouped_pandas_trend_equals_aggregate_form(spark, sf_smoke):
     a = [tuple(r) for r in value_trend_by_type(spark, sf_smoke).collect()]
     b = [tuple(r) for r in value_trend_grouped_pandas(spark, sf_smoke).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# text_index_append / variant_lake_roundtrip / ps_api_doc_stats
+# ---------------------------------------------------------------------------
+
+
+def test_text_index_append_matches_scan_and_is_idempotent(spark, sf_smoke):
+    """Build(old)+append(batch) must answer the standing query exactly
+    like the scan-side bm25_retrieval on the FULL corpus, and re-running
+    the whole query (fresh build + one append) must be idempotent."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        bm25_retrieval,
+        text_index_append,
+    )
+
+    first = [tuple(r) for r in text_index_append(spark, sf_smoke).collect()]
+    scan = [tuple(r) for r in bm25_retrieval(spark, sf_smoke).collect()]
+    assert first == scan
+    second = [tuple(r) for r in text_index_append(spark, sf_smoke).collect()]
+    assert second == first
+
+
+def test_text_index_append_stats_are_partials(spark, sf_smoke):
+    """The stats table must hold one integer-partial row per write
+    (build + append), merging to the corpus totals."""
+    import os
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _text_index_path,
+        text_index_append,
+        tokens_col,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    text_index_append(spark, sf_smoke).collect()
+    stats = spark.read.parquet(
+        os.path.join(_text_index_path(sf_smoke) + "_append", "stats")
+    ).collect()
+    assert len(stats) == 2  # one partial per write
+    d = load_table(spark, sf_smoke, "documents")
+    n = d.count()
+    total_dl = d.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("s")
+    ).collect()[0].s
+    assert sum(r.n_docs for r in stats) == n
+    assert sum(r.sum_dl for r in stats) == total_dl
+
+
+def test_variant_survives_parquet_roundtrip(spark, sf_smoke):
+    """The persisted column must be a true VariantType, and the
+    post-roundtrip aggregate must match a from-JSON recompute."""
+    import json as _json
+
+    from pyspark.sql.types import VariantType
+
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        variant_lake_roundtrip,
+    )
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    rows = {r.event_type: r for r in variant_lake_roundtrip(spark, sf_smoke).collect()}
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        _SCRATCH_VARIANT,
+    )
+
+    stored = spark.read.parquet(scratch_path(_SCRATCH_VARIANT, sf_smoke))
+    assert isinstance(stored.schema["v"].dataType, VariantType)
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    pdf = load_table(spark, sf_smoke, "events").select("event_type", "props").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        ks = [_json.loads(p).get("k") for p in grp["props"]]
+        r = rows[et]
+        assert r.n_events == len(grp)
+        assert r.sum_k == sum(k for k in ks if isinstance(k, int))
+        assert r.n_null_k == sum(1 for k in ks if not isinstance(k, int))
+
+
+def test_ps_api_matches_dataframe_recompute(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        ps_api_doc_stats,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    got = [tuple(r) for r in ps_api_doc_stats(spark, sf_smoke).collect()]
+    exp = [
+        tuple(r)
+        for r in load_table(spark, sf_smoke, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 4
+            ).alias("mean_chars"),
+        )
+        .orderBy("lang")
+        .collect()
+    ]
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# streaming_text_ingest — restart-resume + replay safety
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_text_restart_resume_and_replay_safety(spark, sf_smoke, tmp_path):
+    """Two stream runs against one checkpoint: the second arrival file
+    replays already-ingested doc_ids plus a new tail. Committed docs
+    must not re-append (no duplicate docstats/postings rows), the tail
+    must land, and the final index must answer the standing query like
+    the scan-side BM25 on the ingested corpus."""
+    import os
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _search_text_index,
+        _write_text_index,
+        bm25_retrieval,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        start_text_ingest_stream,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    register(spark)
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "index")
+
+    d = load_table(spark, sf_smoke, "documents").localCheckpoint(eager=True)
+    n = d.count()
+    _write_text_index(d.where(F.col("doc_id") < n // 2), index_path, "overwrite")
+
+    # run 1: arrivals [n//2, n//2 + 20)
+    d.where(F.col("doc_id").between(n // 2, n // 2 + 19)).select(
+        "doc_id"
+    ).write.format("kvlinks").option("path", landing).mode("append").save()
+    start_text_ingest_stream(spark, landing, index_path, ckpt, d).awaitTermination(180)
+    ds1 = spark.read.parquet(os.path.join(index_path, "docstats"))
+    assert ds1.count() == n // 2 + 20
+    assert ds1.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+
+    # run 2 (restart, same checkpoint): replayed ids + the remaining tail
+    d.where(F.col("doc_id") >= n // 2 + 10).select("doc_id").write.format(
+        "kvlinks"
+    ).option("path", landing).mode("append").save()
+    start_text_ingest_stream(spark, landing, index_path, ckpt, d).awaitTermination(180)
+    ds2 = spark.read.parquet(os.path.join(index_path, "docstats"))
+    assert ds2.count() == n
+    assert ds2.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    post = spark.read.parquet(os.path.join(index_path, "postings"))
+    assert (
+        post.groupBy("term", "doc_id").count().where(F.col("count") > 1).count() == 0
+    )
+    # fully-ingested index answers the standing query like the scan
+    got = [tuple(r) for r in _search_text_index(spark, index_path).collect()]
+    scan = [tuple(r) for r in bm25_retrieval(spark, sf_smoke).collect()]
+    assert got == scan
