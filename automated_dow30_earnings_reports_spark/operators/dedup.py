@@ -1447,3 +1447,92 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _append_signature_index(shd_new, path)
 
     return _probe_signature_index(spark, path, is_new)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten for the signature index: purge requested doc_ids
+# from bands/shd/sizes, rewriting ONLY affected partitions — the
+# dedup-family twin of ivf_index_delete's tombstone compaction.
+# ---------------------------------------------------------------------------
+
+PURGE_PRED_SQL = "doc_id % 17 = 3"  # the forget-request set (old docs)
+
+
+def _purge_signature_index(spark: SparkSession, path: str, purged: DataFrame) -> None:
+    """Remove ``purged`` doc_ids from all three index tables. The
+    affected-partition sets are driver-side scalars bounded by the
+    forget-request size (the _compact_deletes pattern); partitions with
+    survivors are dynamic-partition-overwritten, fully-emptied
+    partitions are dropped at the directory level (dynamic overwrite
+    cannot emit an empty partition). The unpartitioned sizes table is
+    small (one row per doc) and rewritten through a checkpoint."""
+    import shutil as _shutil
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    purged = purged.localCheckpoint(eager=True)
+    for table, part_col in (("bands", "bucket"), ("shd", "dbucket")):
+        tbl = spark.read.parquet(_os.path.join(path, table))
+        affected = {
+            r[part_col]
+            for r in tbl.join(F.broadcast(purged), "doc_id")
+            .select(part_col)
+            .distinct()
+            .collect()
+        }
+        if not affected:
+            continue
+        survivors = (
+            tbl.where(F.col(part_col).isin(list(affected)))
+            .join(F.broadcast(purged), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        kept = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
+        write_partitioned(
+            survivors, _os.path.join(path, table), [part_col], dynamic=True
+        )
+        for p in affected - kept:
+            _shutil.rmtree(
+                _os.path.join(path, table, f"{part_col}={p}"), ignore_errors=True
+            )
+    sizes = (
+        spark.read.parquet(_os.path.join(path, "sizes"))
+        .join(F.broadcast(purged), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    sizes.write.mode("overwrite").parquet(_os.path.join(path, "sizes"))
+
+
+def _purge_oracle() -> str:
+    base = _incremental_oracle()
+    anchor = f"WHERE n.{INCR_NEW_PRED_SQL} AND NOT (o.{INCR_NEW_PRED_SQL})"
+    assert anchor in base, "incremental oracle shape changed"
+    return base.replace(anchor, anchor + f" AND NOT (o.{PURGE_PRED_SQL})")
+
+
+@_register("dedup_index_purge", _purge_oracle())
+def dedup_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR purge for the persisted dedup-signature index: build +
+    ingest (the dedup_incremental_index lifecycle), then erase the
+    forget-request set ({PURGE_PRED_SQL} among already-ingested docs)
+    from bands, shingle digests, and sizes — rewriting only affected
+    bucket partitions — and re-run the standing new-vs-old probe. The
+    oracle recomputes the probe from the raw corpus WITH the purged
+    docs excluded from the old side, so surviving signature rows, a
+    missed band, or a stale size all break the hash. Completes the
+    forget story across the index families (ivf_index_delete /
+    gdpr_purge_report / this)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % 5 == 4
+    path = _dedup_index_path(sf_dir) + "_purge"
+
+    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
+    _build_signature_index(shd_old, path)
+    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
+    _append_signature_index(shd_new, path)
+
+    purged = docs.where(~is_new & F.expr(PURGE_PRED_SQL)).select("doc_id")
+    _purge_signature_index(spark, path, purged)
+    return _probe_signature_index(spark, path, is_new)

@@ -2203,3 +2203,61 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_dec").cast("double"), 6).alias("prf_score"),
         )
     )
+
+
+TEXT_COMPACT_MOD = 3  # three write generations -> a fragmented index
+
+
+def _compact_text_index(spark: SparkSession, path: str) -> None:
+    """Compact a many-appends index in place: posting buckets rewritten
+    to one file each, the stats partials folded into ONE integer row
+    (their merge is exact addition, so compaction cannot change any
+    score), docstats re-laid-out. Reads are localCheckpointed before
+    each overwrite so the rewrite never races its own source — the
+    lake_compaction contract applied to the index's own tables."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    post = spark.read.parquet(_os.path.join(path, "postings")).localCheckpoint(
+        eager=True
+    )
+    write_partitioned(post, _os.path.join(path, "postings"), ["bucket"], dynamic=False)
+    ds = spark.read.parquet(_os.path.join(path, "docstats")).localCheckpoint(eager=True)
+    ds.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
+    stats = (
+        spark.read.parquet(_os.path.join(path, "stats"))
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats.write.mode("overwrite").parquet(_os.path.join(path, "stats"))
+
+
+@_register("text_index_compact", _bm25_oracle())
+def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction verb for the text index — the growth tail
+    text_index_append's docstring leaves open: every append adds files
+    to each touched posting bucket and one more stats partial, so a
+    long-running ingest degrades the directory-pruned read. This
+    lifecycle builds + appends twice (three write generations), then
+    compacts — posting buckets to one file each, stats partials folded
+    into one row (exact integer addition — compaction CANNOT change a
+    score) — and answers the standing query from the compacted index,
+    hash-matched to the scan-side oracle. File-count and
+    single-partial-row assertions are pinned in tests.
+
+    Scale shape: compaction reads and rewrites only the index tables
+    (corpus-independent given bounded vocabulary growth), and in
+    production runs per-bucket so only fragmented buckets pay — the
+    same argument as lake_compaction."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_compact"
+    gen = F.col("doc_id") % TEXT_COMPACT_MOD
+    _write_text_index(d.where(gen == 0), path, "overwrite")
+    _write_text_index(d.where(gen == 1), path, "append")
+    _write_text_index(d.where(gen == 2), path, "append")
+    _compact_text_index(spark, path)
+    return _search_text_index(spark, path)

@@ -183,6 +183,8 @@ HEADLINE = [
     "text_index_append",
     "variant_lake_roundtrip",
     "ps_api_doc_stats",
+    "text_index_compact",
+    "dedup_index_purge",
 ]
 
 

@@ -892,3 +892,73 @@ def test_streaming_text_restart_resume_and_replay_safety(spark, sf_smoke, tmp_pa
     got = [tuple(r) for r in _search_text_index(spark, index_path).collect()]
     scan = [tuple(r) for r in bm25_retrieval(spark, sf_smoke).collect()]
     assert got == scan
+
+
+# ---------------------------------------------------------------------------
+# text_index_compact / dedup_index_purge
+# ---------------------------------------------------------------------------
+
+
+def test_text_index_compact_folds_partials_and_files(spark, sf_smoke):
+    import os
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        TEXT_COMPACT_MOD,
+        _compact_text_index,
+        _search_text_index,
+        _text_index_path,
+        _write_text_index,
+        bm25_retrieval,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = _text_index_path(sf_smoke) + "_compact_test"
+    gen = F.col("doc_id") % TEXT_COMPACT_MOD
+    _write_text_index(d.where(gen == 0), path, "overwrite")
+    _write_text_index(d.where(gen == 1), path, "append")
+    _write_text_index(d.where(gen == 2), path, "append")
+    assert spark.read.parquet(os.path.join(path, "stats")).count() == 3
+
+    def files_per_bucket():
+        root = os.path.join(path, "postings")
+        return {
+            c: sum(1 for f in os.listdir(os.path.join(root, c)) if f.endswith(".parquet"))
+            for c in os.listdir(root)
+            if c.startswith("bucket=")
+        }
+
+    assert any(n > 1 for n in files_per_bucket().values())  # fragmented
+    _compact_text_index(spark, path)
+    stats = spark.read.parquet(os.path.join(path, "stats")).collect()
+    assert len(stats) == 1
+    assert all(n == 1 for n in files_per_bucket().values())
+    got = [tuple(r) for r in _search_text_index(spark, path).collect()]
+    scan = [tuple(r) for r in bm25_retrieval(spark, sf_smoke).collect()]
+    assert got == scan
+
+
+def test_dedup_purge_erases_and_filters_pairs(spark, sf_smoke):
+    import os
+
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        PURGE_PRED_SQL,
+        _dedup_index_path,
+        dedup_incremental_index,
+        dedup_index_purge,
+    )
+
+    purge_rows = [tuple(r) for r in dedup_index_purge(spark, sf_smoke).collect()]
+    # every purged doc_id is gone from ALL index tables
+    path = _dedup_index_path(sf_smoke) + "_purge"
+    # (the forget set targets OLD docs; a NEW doc matching the mod-17
+    # pattern is not purged)
+    old_purged = F.expr(PURGE_PRED_SQL) & ~(F.col("doc_id") % 5 == 4)
+    for table in ("bands", "shd", "sizes"):
+        tbl = spark.read.parquet(os.path.join(path, table))
+        assert tbl.where(old_purged).count() == 0
+    # the probe equals the unpurged probe minus pairs whose OLD side
+    # was forgotten
+    incr = [tuple(r) for r in dedup_incremental_index(spark, sf_smoke).collect()]
+    expected = [t for t in incr if t[1] % 17 != 3]
+    assert purge_rows == expected
