@@ -34,6 +34,13 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
         "csv_sink_roundtrip",
         "text_sink_roundtrip",
         "json_ledger_roundtrip",
+        # r6 stateful additions: managed bucketed tables, temp-view
+        # recursion, VARIANT lake write, index compaction + purge
+        "bucketed_join_agg",
+        "recursive_cte_reachability",
+        "variant_lake_roundtrip",
+        "text_index_compact",
+        "dedup_index_purge",
     ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):

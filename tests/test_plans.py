@@ -34,6 +34,9 @@ PYTHON_STAGE_QUERIES = {
     "html_dom_clean",
     # SQL-registered @udtf (functions/udtfs.py) — Arrow eval enforced
     "udtf_lateral_links",
+    # applyInPandas grouped map WITH a hash-exact oracle — the Python
+    # node is the operator's point (plans/advanced.py)
+    "value_trend_grouped_pandas",
 }
 
 # Iterative driver loops: building the DataFrame executes jobs
