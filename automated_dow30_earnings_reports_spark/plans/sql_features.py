@@ -307,3 +307,66 @@ def ps_api_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.col("doc_id"), 4
         ).alias("mean_chars"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# CACHE TABLE — the storage-layer surface: an InMemoryRelation serving
+# repeated queries from columnar cache instead of re-scanning parquet.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cache_table_reuse",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM li
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def cache_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's columnar cache as a first-class surface: register the
+    projected fact slice as a temp view, CACHE TABLE it (eager — the
+    statement itself materializes the columnar batches), and return the
+    aggregate, which reads the InMemoryRelation instead of parquet
+    (plan pin + result-transparency-across-cached/uncached pin in
+    tests); the driver's hash against the scan-side oracle proves the
+    cached batches content-transparent.
+
+    Scale shape: caching a PROJECTED slice (4 columns, not the table)
+    is the production pattern — the cache cost is the working set you
+    actually re-query. The entry stays resident so the RETURNED plan
+    still reads it (uncaching first would silently hand back a parquet
+    scan); a stale prior entry is dropped up front, re-runs replace
+    rather than stack, and Spark's storage memory is unified/evictable
+    so an idle entry yields to later shuffles instead of starving
+    them."""
+    spark.sql("UNCACHE TABLE IF EXISTS cache_demo_li")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    li.createOrReplaceTempView("cache_demo_li")
+    spark.sql("CACHE TABLE cache_demo_li")  # eager: batches built HERE
+    return (
+        spark.table("cache_demo_li")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -185,6 +185,7 @@ HEADLINE = [
     "ps_api_doc_stats",
     "text_index_compact",
     "dedup_index_purge",
+    "cache_table_reuse",
 ]
 
 

@@ -128,6 +128,7 @@ PROBE = [
     "prf_query_expansion",
     "value_trend_grouped_pandas",
     "ps_api_doc_stats",
+    "cache_table_reuse",
 ]
 
 VOWELS = "aeiou"

@@ -962,3 +962,46 @@ def test_dedup_purge_erases_and_filters_pairs(spark, sf_smoke):
     incr = [tuple(r) for r in dedup_incremental_index(spark, sf_smoke).collect()]
     expected = [t for t in incr if t[1] % 17 != 3]
     assert purge_rows == expected
+
+
+# ---------------------------------------------------------------------------
+# cache_table_reuse
+# ---------------------------------------------------------------------------
+
+
+def test_cache_table_serves_from_memory_and_is_transparent(spark, sf_smoke):
+    import contextlib
+    import io
+
+    from automated_dow30_earnings_reports_spark.plans.sql_features import (
+        cache_table_reuse,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    df = cache_table_reuse(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "In-memory table cache_demo_li" in buf.getvalue()  # served from cache
+    got = [tuple(r) for r in df.collect()]
+    exp = [
+        tuple(r)
+        for r in load_table(spark, sf_smoke, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    ]
+    assert got == exp  # cached columnar batches are content-transparent
+    # re-run replaces rather than stacks, and stays green
+    assert [tuple(r) for r in cache_table_reuse(spark, sf_smoke).collect()] == exp
+    spark.sql("UNCACHE TABLE IF EXISTS cache_demo_li")
