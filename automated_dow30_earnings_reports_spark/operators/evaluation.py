@@ -18,18 +18,19 @@ expression; the only floating-point SUMs fold ≤2 addends (RRF) or run
 over DECIMAL-rounded terms (PSI) — no order-dependent double folds.
 
 Scale shape: the corpus-wide work is one documents scan (gates are
-map-side codegen) or one embeddings scan (top-k is TakeOrdered); every
-window runs over a bounded frame (≤512 score bins, ≤20 rank rows,
-≤12 MMR candidates — the quantile-sketch bounded-cardinality
-exception). Nothing here shuffles the fact tables beyond one groupBy
-on a ≤512-key bin column.
+map-side codegen) or one embeddings scan (top-k is TakeOrdered); the
+per-rank / cumulative steps run as broadcast self-joins over bounded
+frames (≤512 score bins, ≤20 rank rows, ≤12 MMR candidates) rather
+than unpartitioned windows, so nothing here prints the single-partition
+WindowExec warning or shuffles the fact tables beyond one groupBy on a
+≤512-key bin column.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automated_dow30_earnings_reports_spark.operators.dedup import _h_of
@@ -152,10 +153,10 @@ def roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one documents scan with both gates map-side, a
     {AUC_BINS}-key groupBy, then a running sum over the ≤{AUC_BINS}-row
-    bin table (bounded-cardinality window, same exception as the
-    quantile sketch). This is how AUC is computed at 100 TB — the
-    exact per-distinct-threshold form needs a global sort of every
-    score."""
+    bin table computed as a triangular broadcast self-join (not an
+    unpartitioned window — see the inline note). This is how AUC is
+    computed at 100 TB — the exact per-distinct-threshold form needs a
+    global sort of every score."""
     d = spread(load_table(spark, sf_dir, "documents"))
     score, _keep = quality_classifier_cols(F.col("text"))
     label = quality_pass_col(F.col("text"))
@@ -172,10 +173,18 @@ def roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("r"), 0).otherwise(1)).cast("bigint").alias("neg"),
         )
     )
-    # Running sum over the ≤AUC_BINS-row bin table — bounded cardinality.
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_bin.select(
-        "pos", "neg", F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum_neg")
+    # Running sum over the ≤AUC_BINS-row bin table via a triangular
+    # broadcast self-join — the file_skipping_stats lesson: even a
+    # bounded-cardinality unpartitioned window prints the WindowExec
+    # single-partition warning into every bench tail, and the ≤512²
+    # join pairs cost less than explaining the warning away.
+    per_bin = per_bin.localCheckpoint(eager=True)  # feeds both join sides
+    below = per_bin.select(F.col("bin").alias("bin2"), F.col("neg").alias("neg2"))
+    cum = (
+        per_bin.join(F.broadcast(below), F.col("bin2") < F.col("bin"), "left")
+        .groupBy("bin", "pos", "neg")
+        .agg(F.coalesce(F.sum("neg2"), F.lit(0)).alias("cum_neg"))
+        .select("pos", "neg", "cum_neg")
     )
     agg = cum.agg(
         F.sum("pos").cast("bigint").alias("n_pos"),
@@ -509,6 +518,25 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join of two 20-row frames. At 100 TB the legs dominate and
     are exactly the attested bm25/ANN plans — fusion adds nothing to
     the shuffle budget."""
+    def _rank_on_cut(cut: DataFrame, score: str, id_col: str, alias: str) -> DataFrame:
+        """row_number over (score DESC, id ASC) on a ≤RRF_LIST_N-row cut
+        WITHOUT a window: rank = 1 + |strictly-better rows| via a
+        broadcast self-join (no row shares (score, id), so ranks are
+        dense) — same rationale as roc_auc_binned's triangular join:
+        an unpartitioned window over even 20 rows warns in every log."""
+        cut = cut.localCheckpoint(eager=True)  # both join sides + tiny
+        other = cut.select(
+            F.col(score).alias("_s2"), F.col(id_col).alias("_i2")
+        )
+        better = (F.col("_s2") > F.col(score)) | (
+            (F.col("_s2") == F.col(score)) & (F.col("_i2") < F.col(id_col))
+        )
+        return (
+            cut.join(F.broadcast(other), better, "left")
+            .groupBy(id_col)
+            .agg((F.count("_i2") + 1).cast("int").alias(alias))
+        )
+
     lex = (
         bm25_scored_input(spark, sf_dir)
         .where(bm25_any_tf_col() > 0)
@@ -516,11 +544,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sc"), "doc_id")
         .limit(RRF_LIST_N)
     )
-    # rank over the ≤20-row cut list — bounded-cardinality window
-    lexr = lex.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(F.desc("sc"), "doc_id")).alias("lex_rank"),
-    )
+    lexr = _rank_on_cut(lex, "sc", "doc_id", "lex_rank")
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("emb").alias("qe"), F.col("norm").alias("qnorm")
@@ -537,10 +561,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), "vec_id")
         .limit(RRF_LIST_N)
     )
-    vecr = vs.select(
-        "vec_id",
-        F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")).alias("vec_rank"),
-    )
+    vecr = _rank_on_cut(vs, "cos", "vec_id", "vec_rank")
     one = F.lit(1).cast("double")
     zero = F.lit(0).cast("double")
     rrf = F.coalesce(one / (RRF_K + F.col("lex_rank")), zero) + F.coalesce(
