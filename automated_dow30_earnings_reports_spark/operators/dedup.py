@@ -1459,44 +1459,21 @@ PURGE_PRED_SQL = "doc_id % 17 = 3"  # the forget-request set (old docs)
 
 
 def _purge_signature_index(spark: SparkSession, path: str, purged: DataFrame) -> None:
-    """Remove ``purged`` doc_ids from all three index tables. The
-    affected-partition sets are driver-side scalars bounded by the
-    forget-request size (the _compact_deletes pattern); partitions with
-    survivors are dynamic-partition-overwritten, fully-emptied
-    partitions are dropped at the directory level (dynamic overwrite
-    cannot emit an empty partition). The unpartitioned sizes table is
-    small (one row per doc) and rewritten through a checkpoint."""
-    import shutil as _shutil
-
+    """Remove ``purged`` doc_ids from all three index tables: the two
+    partitioned ones through the shared affected-partition rewrite
+    (sources/parquet_lake.py rewrite_affected_partitions — cost
+    bounded by the forget request's partition footprint), the
+    unpartitioned sizes table (one small row per doc) rewritten
+    through a checkpoint."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        write_partitioned,
+        rewrite_affected_partitions,
     )
 
     purged = purged.localCheckpoint(eager=True)
     for table, part_col in (("bands", "bucket"), ("shd", "dbucket")):
-        tbl = spark.read.parquet(_os.path.join(path, table))
-        affected = {
-            r[part_col]
-            for r in tbl.join(F.broadcast(purged), "doc_id")
-            .select(part_col)
-            .distinct()
-            .collect()
-        }
-        if not affected:
-            continue
-        survivors = (
-            tbl.where(F.col(part_col).isin(list(affected)))
-            .join(F.broadcast(purged), "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
+        rewrite_affected_partitions(
+            spark, _os.path.join(path, table), part_col, purged, "doc_id"
         )
-        kept = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
-        write_partitioned(
-            survivors, _os.path.join(path, table), [part_col], dynamic=True
-        )
-        for p in affected - kept:
-            _shutil.rmtree(
-                _os.path.join(path, table, f"{part_col}={p}"), ignore_errors=True
-            )
     sizes = (
         spark.read.parquet(_os.path.join(path, "sizes"))
         .join(F.broadcast(purged), "doc_id", "left_anti")

@@ -917,9 +917,10 @@ def _emb_drift_oracle() -> str:
       FROM embeddings
     )
     SELECT n_ref, n_cur,
-           ROUND(CAST(dp AS DOUBLE)
-                 / (sqrt(CAST(nr AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
-             AS centroid_cosine,
+           ROUND(CASE WHEN nr = 0 OR nc = 0 THEN NULL
+                      ELSE CAST(dp AS DOUBLE)
+                           / (sqrt(CAST(nr AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+                 END, 6) AS centroid_cosine,
            ROUND(sqrt(CAST(d2 AS DOUBLE)), 6) AS centroid_l2
     FROM folded CROSS JOIN n
     ORDER BY n_ref
@@ -983,11 +984,18 @@ def embedding_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_ref",
             "n_cur",
+            # a degenerate all-zero centroid (nr or nc == 0) yields
+            # NULL, never DIVIDE_BY_ZERO under ANSI — mirrored CASE in
+            # the oracle (the roc_auc/kappa convention in this file)
             F.round(
-                F.col("dp").cast("double")
-                / (
-                    F.sqrt(F.col("nr").cast("double"))
-                    * F.sqrt(F.col("nc").cast("double"))
+                F.when(
+                    (F.col("nr") == 0) | (F.col("nc") == 0), F.lit(None)
+                ).otherwise(
+                    F.col("dp").cast("double")
+                    / (
+                        F.sqrt(F.col("nr").cast("double"))
+                        * F.sqrt(F.col("nc").cast("double"))
+                    )
                 ),
                 6,
             ).alias("centroid_cosine"),

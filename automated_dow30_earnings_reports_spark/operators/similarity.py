@@ -1646,11 +1646,21 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     # --- maintenance gate: re-cluster iff the stored index is skewed ---
-    if (
-        _index_skew_ratio(spark.read.parquet(_os.path.join(path, "postings")))
-        >= RECLUSTER_SKEW_THRESHOLD
-    ):
-        _recluster_index(spark, path)
+    # The oracle runs the Lloyd chain UNCONDITIONALLY, so the gate not
+    # firing would silently return the un-reclustered index and break
+    # the hash at whatever scale first fails to cross the threshold —
+    # fail loudly instead (the drifted append is constructed to skew
+    # the index at every scale; tests pin the margin).
+    skew = _index_skew_ratio(spark.read.parquet(_os.path.join(path, "postings")))
+    if skew < RECLUSTER_SKEW_THRESHOLD:
+        raise RuntimeError(
+            f"re-cluster gate did not fire (skew {skew:.3f} < "
+            f"{RECLUSTER_SKEW_THRESHOLD}): the drifted append no longer skews "
+            "the stored index at this scale, but the oracle re-clusters "
+            "unconditionally — returning the un-reclustered index would be a "
+            "silent hash mismatch"
+        )
+    _recluster_index(spark, path)
     # --- search the maintained index ---
     idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
     postings = spark.read.parquet(_os.path.join(path, "postings"))
@@ -1714,42 +1724,17 @@ def _ivf_delete_oracle() -> str:
 
 def _compact_deletes(spark: SparkSession, path: str) -> None:
     """Fold the tombstone table into the posting lists, touching only
-    affected cells. The affected-cell set is a <=K-row driver-side
-    scalar (cluster-constant, like the re-cluster skew gate); cells
-    with survivors are dynamic-partition-overwritten, cells whose
-    every posting died are dropped at the directory level (dynamic
-    overwrite cannot emit an empty partition — production metadata
-    stores issue the same partition-drop)."""
-    import shutil as _shutil
-
+    affected cells — the shared affected-partition rewrite
+    (sources/parquet_lake.py rewrite_affected_partitions), keyed on
+    vec_id and partitioned by cell."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        write_partitioned,
+        rewrite_affected_partitions,
     )
 
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
     tombs = spark.read.parquet(_os.path.join(path, "tombstones"))
-    affected = {
-        r["cell"]
-        for r in postings.join(F.broadcast(tombs), "vec_id")
-        .select("cell")
-        .distinct()
-        .collect()
-    }
-    if not affected:
-        return
-    survivors = (
-        postings.where(F.col("cell").isin(list(affected)))
-        .join(F.broadcast(tombs), "vec_id", "left_anti")
-        .localCheckpoint(eager=True)
+    rewrite_affected_partitions(
+        spark, _os.path.join(path, "postings"), "cell", tombs, "vec_id"
     )
-    kept_cells = {r["cell"] for r in survivors.select("cell").distinct().collect()}
-    write_partitioned(
-        survivors, _os.path.join(path, "postings"), ["cell"], dynamic=True
-    )
-    for cell in affected - kept_cells:
-        _shutil.rmtree(
-            _os.path.join(path, "postings", f"cell={cell}"), ignore_errors=True
-        )
 
 
 @_register("ivf_index_delete", _ivf_delete_oracle())

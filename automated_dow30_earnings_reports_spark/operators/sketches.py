@@ -786,7 +786,7 @@ def _bootstrap_oracle() -> str:
     ),
     ci AS (
       SELECT event_type, list(mean_b ORDER BY mean_b) AS ms
-      FROM means GROUP BY event_type
+      FROM means WHERE mean_b IS NOT NULL GROUP BY event_type
     ),
     base AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -849,8 +849,15 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_b"),
         )
     )
-    ci = means.groupBy("event_type").agg(
-        F.sort_array(F.collect_list("mean_b")).alias("ms")
+    # drop NULL mean_b (all-zero-weight replicates) EXPLICITLY before
+    # the collect: Spark's collect_list happens to skip NULLs but
+    # DuckDB's list() keeps them (sorted last), so the order-statistic
+    # indices would drift — the filter is mirrored in the oracle's
+    # WHERE mean_b IS NOT NULL
+    ci = (
+        means.where(F.col("mean_b").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("mean_b")).alias("ms"))
     )
     base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -862,8 +869,19 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_rows",
             F.round("mean_value", 6).alias("mean_value"),
-            F.round(F.element_at("ms", 2), 6).alias("ci_lo"),
-            F.round(F.element_at("ms", BOOT_B - 1), 6).alias("ci_hi"),
+            # a short replicate array (only possible when replicates
+            # were dropped as NULL above) yields NULL order statistics,
+            # matching DuckDB's out-of-bounds ms[i] = NULL; unguarded
+            # element_at would THROW under ANSI mode
+            F.round(
+                F.when(F.size("ms") >= 2, F.element_at("ms", 2)), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.when(
+                    F.size("ms") >= BOOT_B - 1, F.element_at("ms", BOOT_B - 1)
+                ),
+                6,
+            ).alias("ci_hi"),
         )
         .orderBy("event_type")
     )

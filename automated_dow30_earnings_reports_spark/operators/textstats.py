@@ -813,12 +813,15 @@ def bm25_sql_parts() -> dict[str, str]:
     }
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(where: str = "") -> str:
+    """Scan-side BM25 oracle. ``where`` (e.g. the delete predicate's
+    complement) restricts the corpus; the default empty string keeps
+    the text byte-identical to the long-attested full-corpus form."""
     p = bm25_sql_parts()
     return f"""
     WITH per_doc AS (
       SELECT doc_id, CAST(len({p["toks"]}) AS BIGINT) AS dl, {p["tf_cols"]}
-      FROM documents
+      FROM documents{where}
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1452,14 +1455,21 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0), n - CHUNK_WIN) / F.lit(float(CHUNK_STRIDE))
         ).cast("int")
     )
-    cmd5s = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda k: F.md5(
-            F.array_join(
-                F.slice(toks, k * CHUNK_STRIDE + 1, CHUNK_WIN), " "
-            ).cast("binary")
+    # n_chunks == 0 must yield NO chunk hashes: an unguarded
+    # sequence(0, -1) steps BACKWARDS ([0, -1] — two bogus chunks)
+    # where the oracle's range(0, 0) is empty, so the transform gets
+    # the same guard n_chunks has (the shingles_col convention)
+    cmd5s = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.md5(
+                F.array_join(
+                    F.slice(toks, k * CHUNK_STRIDE + 1, CHUNK_WIN), " "
+                ).cast("binary")
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     return (
         d.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -1705,13 +1715,18 @@ ZIPF_TOP = 256
       FROM pts
     )
     SELECT n AS n_terms,
-           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                 6) AS slope,
-           ROUND((CAST(sy AS DOUBLE)
+           ROUND(CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                      THEN NULL
+                      ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 END, 6) AS slope,
+           ROUND(CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                      THEN NULL
+                      ELSE (CAST(sy AS DOUBLE)
                   - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+                    * CAST(sx AS DOUBLE)) / n
+                 END, 6) AS intercept,
            ROUND(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
                       THEN NULL
@@ -1762,10 +1777,20 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = n * sxy - sx * sy
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
+    # a single-point fit (varx == 0) yields NULL, never DIVIDE_BY_ZERO
+    # under ANSI mode — mirrored CASE guard in the oracle (the
+    # roc_auc/kappa convention)
     return m.select(
         n.alias("n_terms"),
-        F.round(cov / varx, 6).alias("slope"),
-        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.when(varx == 0, F.lit(None)).otherwise(cov / varx), 6
+        ).alias("slope"),
+        F.round(
+            F.when(varx == 0, F.lit(None)).otherwise(
+                (sy - (cov / varx) * sx) / n
+            ),
+            6,
+        ).alias("intercept"),
         F.round(
             F.when(varx * vary == 0, F.lit(None)).otherwise(cov * cov / (varx * vary)),
             6,
@@ -2260,4 +2285,86 @@ def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_text_index(d.where(gen == 1), path, "append")
     _write_text_index(d.where(gen == 2), path, "append")
     _compact_text_index(spark, path)
+    return _search_text_index(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten for the text index — the forget verb that
+# completes the third index family's lifecycle (the vector store has
+# ivf_index_delete, the dedup signatures dedup_index_purge; until now
+# a GDPR request against the text index meant a full rebuild).
+# ---------------------------------------------------------------------------
+
+TEXT_DELETE_PRED = "doc_id % 13 = 5"  # the forget-request set
+
+
+def _delete_from_text_index(
+    spark: SparkSession, path: str, victims: DataFrame
+) -> None:
+    """Erase ``victims`` doc_ids from all three index tables:
+
+    - stats FIRST: a NEGATIVE partial (-n_docs, -sum_dl) computed from
+      the victims' stored docstats rows is appended, so the merged
+      SUM(n_docs)/SUM(sum_dl) equal the from-scratch rebuild's
+      integers exactly (the partials are integers, subtraction is
+      exact — storing or adjusting avgdl itself would drift);
+    - postings through the shared affected-partition rewrite
+      (sources/parquet_lake.py rewrite_affected_partitions): only
+      md5-term-bucket partitions holding a victim's postings are
+      rewritten, emptied buckets are dropped at the directory level;
+    - docstats (unpartitioned, one small row per doc) rewritten
+      through a checkpoint, the dedup-purge sizes-table pattern.
+
+    Cost is bounded by the forget request's bucket footprint plus the
+    per-doc tables — never the corpus."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        rewrite_affected_partitions,
+    )
+
+    victims = victims.localCheckpoint(eager=True)
+    # negative stats partial BEFORE docstats loses the victims' rows
+    (
+        spark.read.parquet(_os.path.join(path, "docstats"))
+        .join(F.broadcast(victims), "doc_id")
+        .agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+        )
+        .write.mode("append")
+        .parquet(_os.path.join(path, "stats"))
+    )
+    rewrite_affected_partitions(
+        spark, _os.path.join(path, "postings"), "bucket", victims, "doc_id"
+    )
+    ds = (
+        spark.read.parquet(_os.path.join(path, "docstats"))
+        .join(F.broadcast(victims), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    ds.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
+
+
+@_register("text_index_delete", _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED})"))
+def text_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR delete for the persisted text index: build on the full
+    corpus, erase the forget-request set ({TEXT_DELETE_PRED}) —
+    negative stats partial, affected-bucket-only postings rewrite,
+    docstats anti-join — then answer the standing BM25 query from the
+    maintained index. The oracle recomputes scan-side BM25 over the
+    SURVIVING corpus only, so a lingering posting, a stale df, an
+    unadjusted avgdl, or a dropped survivor all break the hash
+    (post-delete scores must equal a from-scratch rebuild's — the
+    df/avgdl terms shift for EVERY document when any document leaves,
+    which is exactly why the naive fix was a full rebuild).
+
+    Scale shape: the request path touches the victims' bucket
+    partitions + two small per-doc/1-row-per-write tables; untouched
+    buckets are never listed. Affected-bucket-only rewrite is pinned
+    in tests with a synthetic corpus whose victim terms hit a known
+    bucket subset."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_delete"
+    _write_text_index(d, path, "overwrite")
+    victims = d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id")
+    _delete_from_text_index(spark, path, victims)
     return _search_text_index(spark, path)

@@ -65,7 +65,24 @@ _MODULES = [
 # manual _PRIORITY override below is applied ahead of the LRU order for
 # explicit same-round routing of queries whose rows the artifact scan
 # can't know about yet (e.g. a rename).
-_PRIORITY: list[str] = []
+# r7: queries whose engine and/or oracle changed this round (ANSI
+# division guards, the NULL-replicate filter, the recluster-gate
+# assertion, the refactored affected-partition rewrite, the
+# exactly-once staged streaming publish) — routed into the budget so
+# their attestation rows reflect the current code. text_index_delete
+# (new) auto-leads via the never-attested rule; the remaining ~40
+# slots drain the r1/r2 stale-attestation backlog per the r6 verdict.
+_PRIORITY: list[str] = [
+    "zipf_law_fit",
+    "chunk_overlap_windows",
+    "embedding_drift_centroid",
+    "bootstrap_ci_mean",
+    "ivf_index_recluster",
+    "ivf_index_delete",
+    "dedup_index_purge",
+    "streaming_text_ingest",
+    "streaming_dedup_ingest",
+]
 
 
 def _last_attested() -> dict[str, int]:

@@ -72,6 +72,116 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+BATCH_FILE_PREFIX = "ingest-"  # batch-published data files: ingest-<batch>-<n>.parquet
+
+
+def publish_staged_batch(
+    staging_root: str, live_root: str, tables: list[str] | tuple[str, ...],
+    batch_id: int,
+) -> None:
+    """Idempotently publish one micro-batch's MULTI-TABLE delta from a
+    staging directory into the live index — the commit step that makes
+    a three-table streaming append replay-safe where three naked
+    ``mode("append")`` writes are not (a crash between them leaves the
+    batch half-committed, and a replay keyed on any one table either
+    drops the missing tables' rows forever or duplicates the written
+    ones).
+
+    Contract: the caller (a) stages every table's delta under
+    ``staging_root/<table>`` with OVERWRITE semantics (so a replayed
+    stage resets any partial previous attempt), (b) calls this, then
+    (c) records the batch in its replay ledger LAST. This function is
+    idempotent per (live_root, batch_id): it first scrubs any
+    ``ingest-<batch_id>-*`` files a crashed previous attempt already
+    moved in, then republishes the staged part files under those
+    deterministic names (partition subdirectories are mirrored). A
+    crash at ANY point therefore replays to exactly-once: before the
+    ledger commit the batch replays and the scrub removes partial
+    state; after it, the replay anti-join drops the batch.
+
+    Driver-side file moves (os.replace) — the same per-batch rename
+    fan-out a FileOutputCommitter performs; cost is O(batch files),
+    never O(index)."""
+    import shutil as _shutil
+
+    tag = f"{BATCH_FILE_PREFIX}{batch_id}-"
+    for t in tables:
+        live = _os.path.join(live_root, t)
+        if _os.path.isdir(live):
+            for dirpath, _dirs, files in _os.walk(live):
+                for f in files:
+                    if f.startswith(tag):
+                        _os.remove(_os.path.join(dirpath, f))
+        stage = _os.path.join(staging_root, t)
+        n = 0
+        for dirpath, _dirs, files in sorted(_os.walk(stage)):
+            rel = _os.path.relpath(dirpath, stage)
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue  # _SUCCESS / .crc sidecars stay behind
+                dest_dir = live if rel == "." else _os.path.join(live, rel)
+                _os.makedirs(dest_dir, exist_ok=True)
+                _os.replace(
+                    _os.path.join(dirpath, f),
+                    _os.path.join(dest_dir, f"{tag}{n}.parquet"),
+                )
+                n += 1
+    _shutil.rmtree(staging_root, ignore_errors=True)
+
+
+def rewrite_affected_partitions(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    victims: DataFrame,
+    key: str | list[str],
+) -> None:
+    """Delete-compaction for one hive-partitioned table: remove every
+    row whose ``key`` matches the (small) ``victims`` frame, rewriting
+    ONLY the partitions that contain a victim row. THE single
+    implementation of the affected-partition rewrite — the IVF
+    tombstone fold, the dedup-signature purge, and the text-index
+    forget verb all delete through here, so the partition-surgery
+    semantics cannot drift between index families.
+
+    Mechanics: (1) the affected-partition set is gathered as a
+    driver-side scalar — bounded by the number of partitions the
+    forget request touches, the same driver-side shape production
+    table formats keep in their metadata store; (2) partitions with
+    survivors are dynamic-partition-overwritten (untouched partitions
+    are never listed, let alone rewritten); (3) partitions whose every
+    row died are dropped at the directory level, because dynamic
+    overwrite cannot emit an empty partition.
+
+    Scale shape: cost is proportional to the affected partitions'
+    data, not the table size — a K-row forget request against a
+    100 TB index rewrites only the directories K rows live in."""
+    import shutil as _shutil
+
+    keys = [key] if isinstance(key, str) else list(key)
+    tbl = spark.read.parquet(table_path)
+    affected = {
+        r[part_col]
+        for r in tbl.join(F.broadcast(victims), keys)
+        .select(part_col)
+        .distinct()
+        .collect()
+    }
+    if not affected:
+        return
+    survivors = (
+        tbl.where(F.col(part_col).isin(list(affected)))
+        .join(F.broadcast(victims), keys, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
+    write_partitioned(survivors, table_path, [part_col], dynamic=True)
+    for p in affected - kept:
+        _shutil.rmtree(
+            _os.path.join(table_path, f"{part_col}={p}"), ignore_errors=True
+        )
+
+
 # ---------------------------------------------------------------------------
 # ORC lake round trip — the second columnar container Spark ships a
 # native vectorized reader/writer for. Same hive-partitioned layout and

@@ -310,9 +310,50 @@ ORACLES["streaming_ivf_ingest"] = _sivf_oracle()
 # The dedup twin: streaming ingest into the persisted SIGNATURE index
 # (operators/dedup.py dedup_incremental_index). Arrival records carry
 # doc_ids; each micro-batch shingles/signs ONLY its documents (cost
-# proportional to the batch), anti-joins the committed band table for
-# replay safety, and appends bands + shingle digests + sizes.
+# proportional to the batch), anti-joins the COMMITTED LEDGER (written
+# last, after the staged bands/shd/sizes delta publishes atomically)
+# for replay safety, and appends bands + shingle digests + sizes.
 # ---------------------------------------------------------------------------
+
+
+def _ensure_committed_ledger(
+    spark: SparkSession, index_path: str, base_table: str
+) -> str:
+    """Create the replay ledger (``<index>/committed``, one ``doc_id``
+    column) if this index predates it, seeding it from the BASE-BUILD
+    files of ``base_table`` only: batch-published files carry the
+    ``ingest-<batch>-`` prefix and are excluded, so doc_ids from a
+    half-published crashed batch are NOT marked committed (they replay,
+    and the publisher's scrub removes their partial files). Runs once
+    per index at stream start — driver-side directory walk + one small
+    distinct."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        BATCH_FILE_PREFIX,
+    )
+
+    ledger = os.path.join(index_path, "committed")
+    if os.path.isdir(ledger):
+        return ledger
+    tdir = os.path.join(index_path, base_table)
+    base_files = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(tdir)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(BATCH_FILE_PREFIX)
+    ]
+    if base_files:
+        (
+            spark.read.parquet(*base_files)
+            .select("doc_id")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(ledger)
+        )
+    else:
+        spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").parquet(
+            ledger
+        )
+    return ledger
 
 
 def start_dedup_ingest_stream(
@@ -326,15 +367,27 @@ def start_dedup_ingest_stream(
     """Tail ``landing_dir`` (kvlinks arrival records, ``doc_id bigint``)
     and append each micro-batch into the persisted dedup-signature
     index at ``index_path``. Per-batch cost is O(batch) shingling +
-    an append write; arrivals already committed to the band table are
-    dropped first (replay safety)."""
+    an append write. Replay safety is EXACTLY-ONCE across all three
+    tables: each batch's bands/shd/sizes deltas are staged with
+    overwrite semantics and published atomically-per-batch
+    (parquet_lake.publish_staged_batch — scrub-then-rename under
+    batch-deterministic file names), and the batch is recorded in the
+    ``committed`` ledger LAST, so the replay anti-join can never see a
+    half-committed batch as ingested (keying on any one data table
+    could: three naked appends are not atomic)."""
+    import shutil
+
     from automated_dow30_earnings_reports_spark.operators.dedup import (
-        _append_signature_index,
+        _build_signature_index,
         _shingle_hashes_of,
     )
     from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
 
     register(spark)
+    ledger = _ensure_committed_ledger(spark, index_path, "bands")
     arrivals = (
         spark.readStream.format("kvlinks")
         .schema("doc_id bigint")
@@ -346,16 +399,24 @@ def start_dedup_ingest_stream(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        committed = (
-            sess.read.parquet(os.path.join(index_path, "bands"))
+        committed = sess.read.parquet(ledger).select("doc_id")
+        fresh_ids = (
+            docs.join(batch_df.select("doc_id").distinct(), "doc_id")
+            .join(committed, "doc_id", "left_anti")
             .select("doc_id")
-            .distinct()
+            .localCheckpoint(eager=True)
         )
-        fresh_docs = docs.join(batch_df.select("doc_id").distinct(), "doc_id").join(
-            committed, "doc_id", "left_anti"
+        if fresh_ids.isEmpty():
+            return  # fully-replayed batch: the ledger already has it
+        shd = _shingle_hashes_of(docs.join(fresh_ids, "doc_id")).localCheckpoint(
+            eager=True
         )
-        shd = _shingle_hashes_of(fresh_docs).localCheckpoint(eager=True)
-        _append_signature_index(shd, index_path)
+        staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        _build_signature_index(shd, staging)  # overwrite semantics
+        publish_staged_batch(staging, index_path, ("bands", "shd", "sizes"), batch_id)
+        # ledger commit LAST, as one file (atomic publish via job commit)
+        fresh_ids.coalesce(1).write.mode("append").parquet(ledger)
 
     writer = arrivals.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -455,17 +516,26 @@ def start_text_ingest_stream(
     """Tail ``landing_dir`` (kvlinks arrivals, schema ``doc_id bigint``)
     and append each micro-batch into the persisted text index. Per-batch
     cost is O(batch tokens) — tokenization touches only the batch, the
-    stats merge is an appended integer-partial row. Replay/duplicate
-    arrivals are dropped by an anti-join against the committed docstats
-    doc_ids (docstats is the FIRST table _write_text_index writes, so a
-    mid-append crash replays conservatively only for documents whose
-    docstats row never committed)."""
+    stats merge is an appended integer-partial row. Replay safety is
+    EXACTLY-ONCE across all three tables: the batch's postings/docstats/
+    stats deltas are staged with overwrite semantics and published
+    atomically-per-batch (parquet_lake.publish_staged_batch), and the
+    batch is recorded in the ``committed`` ledger LAST — an anti-join
+    keyed on any one DATA table would invert on a mid-append crash
+    (docstats committing first made the replay skip the batch and drop
+    its postings/stats forever)."""
+    import shutil
+
     from automated_dow30_earnings_reports_spark.operators.textstats import (
         _write_text_index,
     )
     from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
 
     register(spark)
+    ledger = _ensure_committed_ledger(spark, index_path, "docstats")
     arrivals = (
         spark.readStream.format("kvlinks")
         .schema("doc_id bigint")
@@ -477,14 +547,23 @@ def start_text_ingest_stream(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        batch_docs = docs.join(batch_df.select("doc_id").distinct(), "doc_id")
-        committed = sess.read.parquet(os.path.join(index_path, "docstats")).select(
-            "doc_id"
+        committed = sess.read.parquet(ledger).select("doc_id")
+        fresh_ids = (
+            docs.join(batch_df.select("doc_id").distinct(), "doc_id")
+            .join(committed, "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
         )
-        fresh = batch_docs.join(committed, "doc_id", "left_anti")
-        if fresh.isEmpty():
-            return  # fully-replayed batch: no empty partials appended
-        _write_text_index(fresh, index_path, "append")
+        if fresh_ids.isEmpty():
+            return  # fully-replayed batch: the ledger already has it
+        staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        _write_text_index(docs.join(fresh_ids, "doc_id"), staging, "overwrite")
+        publish_staged_batch(
+            staging, index_path, ("docstats", "stats", "postings"), batch_id
+        )
+        # ledger commit LAST, as one file (atomic publish via job commit)
+        fresh_ids.coalesce(1).write.mode("append").parquet(ledger)
 
     writer = arrivals.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

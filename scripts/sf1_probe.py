@@ -26,7 +26,14 @@ markdown table of wall-clock ratio vs the 10x data ratio. A plan is
 scale-safe when ratio <~ 10 (sublinear ratios are common at this
 size: fixed per-query overhead amortizes).
 
-Usage: python scripts/sf1_probe.py [--regen]
+Usage: python scripts/sf1_probe.py [--regen] [--sf2] [--index-search]
+       [--index-verbs] [name-substring ...]
+
+--sf2 adds a third column at 20 replicas (a second decade) for the
+ratio-trend adjudication of claimed data-driven superlinear rows;
+--index-verbs times ONLY the index-maintenance verbs (delete/purge/
+compact/recluster) with their builds untimed, proving maintenance cost
+tracks the request/fragment footprint rather than index size.
 """
 
 from __future__ import annotations
@@ -43,6 +50,11 @@ SF1 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
 )
 REPLICAS = 10
+# --sf2: a SECOND decade of scale (20 replicas) for the adjudicated
+# superlinear rows — a ratio that keeps accelerating sf1→sf2 is a plan
+# problem; one that flattens toward 2x is the claimed data-driven cost.
+SF2 = os.path.join(os.path.dirname(SF1), "sf2")
+REPLICAS2 = 20
 
 # The families VERDICT r3 asked to probe: dedup, ANN, sketches, plus
 # the heaviest relational shapes. Scratch-writing and effectful
@@ -132,16 +144,23 @@ PROBE = [
 ]
 
 VOWELS = "aeiou"
+# 7 consonants: composed with the 5 vowel rotations this yields 35
+# distinct bijective char maps, so NO two replicas share a map even at
+# 20 replicas (--sf2). The original 5-rotation scheme silently reused
+# maps from replica 5 on, making replicas k and k+5 exact cross-replica
+# duplicates — inflating the dedup families' sf1 workload beyond the
+# intended linear scaling.
+CONS = "bcdfjkm"
 
 
-def _generate(spark) -> None:
+def _generate(spark, target: str = SF1, replicas: int = REPLICAS) -> None:
     from pyspark.sql import functions as F
 
-    os.makedirs(SF1, exist_ok=True)
+    os.makedirs(target, exist_ok=True)
 
     def reps(df, build):
         out = None
-        for k in range(REPLICAS):
+        for k in range(replicas):
             part = build(df, k)
             out = part if out is None else out.unionByName(part)
         return out
@@ -152,16 +171,18 @@ def _generate(spark) -> None:
 
     def doc_rep(df, k):
         rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        c = (k // 5) % 7
+        crot = CONS[c:] + CONS[:c]
         return df.select(
             (F.col("doc_id") + k * n_docs).alias("doc_id"),
-            F.translate(F.col("text"), VOWELS, rot).alias("text"),
+            F.translate(F.col("text"), VOWELS + CONS, rot + crot).alias("text"),
             "lang",
             F.concat(F.col("source"), F.lit(f"_r{k}")).alias("source"),
             "n_chars",
         )
 
     reps(docs, doc_rep).repartition(8).write.mode("overwrite").parquet(
-        f"{SF1}/documents.parquet"
+        f"{target}/documents.parquet"
     )
 
     # embeddings: rotate the vector by k, offset vec_id
@@ -183,7 +204,7 @@ def _generate(spark) -> None:
         )
 
     reps(emb, emb_rep).repartition(8).write.mode("overwrite").parquet(
-        f"{SF1}/embeddings.parquet"
+        f"{target}/embeddings.parquet"
     )
 
     # events: offset ids, keep ts/value/type distributions
@@ -201,7 +222,7 @@ def _generate(spark) -> None:
         )
 
     reps(ev, ev_rep).repartition(8).write.mode("overwrite").parquet(
-        f"{SF1}/events.parquet"
+        f"{target}/events.parquet"
     )
 
     # star schema: offset every key by k * (max+1), consistently
@@ -223,7 +244,7 @@ def _generate(spark) -> None:
         )
 
     reps(li, li_rep).repartition(16).write.mode("overwrite").parquet(
-        f"{SF1}/lineitem.parquet"
+        f"{target}/lineitem.parquet"
     )
 
     orders = spark.read.parquet(f"{SF01}/orders.parquet")
@@ -237,7 +258,7 @@ def _generate(spark) -> None:
         )
 
     reps(orders, o_rep).repartition(8).write.mode("overwrite").parquet(
-        f"{SF1}/orders.parquet"
+        f"{target}/orders.parquet"
     )
 
     cust = spark.read.parquet(f"{SF01}/customer.parquet")
@@ -246,7 +267,7 @@ def _generate(spark) -> None:
         return df.withColumn("c_custkey", F.col("c_custkey") + k * offsets["custkey"])
 
     reps(cust, c_rep).repartition(4).write.mode("overwrite").parquet(
-        f"{SF1}/customer.parquet"
+        f"{target}/customer.parquet"
     )
 
     part = spark.read.parquet(f"{SF01}/part.parquet")
@@ -255,7 +276,7 @@ def _generate(spark) -> None:
         return df.withColumn("p_partkey", F.col("p_partkey") + k * offsets["partkey"])
 
     reps(part, p_rep).repartition(4).write.mode("overwrite").parquet(
-        f"{SF1}/part.parquet"
+        f"{target}/part.parquet"
     )
 
     supp = spark.read.parquet(f"{SF01}/supplier.parquet")
@@ -264,14 +285,14 @@ def _generate(spark) -> None:
         return df.withColumn("s_suppkey", F.col("s_suppkey") + k * offsets["suppkey"])
 
     reps(supp, s_rep).repartition(2).write.mode("overwrite").parquet(
-        f"{SF1}/supplier.parquet"
+        f"{target}/supplier.parquet"
     )
 
     # dims: copy through unchanged
     for dim in ("nation", "region"):
         spark.read.parquet(f"{SF01}/{dim}.parquet").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{SF1}/{dim}.parquet")
+        ).parquet(f"{target}/{dim}.parquet")
 
 
 def _time_index_search(spark, sf_dir: str) -> float:
@@ -305,40 +326,119 @@ def _time_index_search(spark, sf_dir: str) -> float:
     return best
 
 
+def _timed_inner(mod, attr, query_fn, spark, sf_dir) -> float:
+    """Run ``query_fn`` end-to-end but report ONLY the wall-clock spent
+    inside ``mod.attr`` (the maintenance verb) — the build/ingest that
+    precedes it stays untimed, the --index-search treatment applied to
+    the write-side verbs."""
+    orig = getattr(mod, attr)
+    holder = {"t": 0.0}
+
+    def wrapper(*a, **k):
+        t0 = time.time()
+        out = orig(*a, **k)
+        holder["t"] += time.time() - t0
+        return out
+
+    setattr(mod, attr, wrapper)
+    try:
+        query_fn(spark, sf_dir).collect()
+    finally:
+        setattr(mod, attr, orig)
+    return holder["t"]
+
+
+# (label, module, verb attr, registered query that drives it)
+MAINTENANCE_VERBS = [
+    ("ivf delete compaction", "operators.similarity", "_compact_deletes",
+     "ivf_index_delete"),
+    ("ivf recluster (Lloyd retrain + rewrite)", "operators.similarity",
+     "_recluster_index", "ivf_index_recluster"),
+    ("dedup purge (3-table rewrite)", "operators.dedup",
+     "_purge_signature_index", "dedup_index_purge"),
+    ("text compact (bucket+partial fold)", "operators.textstats",
+     "_compact_text_index", "text_index_compact"),
+    ("text delete (forget verb)", "operators.textstats",
+     "_delete_from_text_index", "text_index_delete"),
+]
+
+
+def _time_maintenance_verbs(spark, qs) -> None:
+    import importlib
+
+    print("| maintenance verb (build untimed) | sf0.1 s | sf1 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for label, modname, attr, qname in MAINTENANCE_VERBS:
+        mod = importlib.import_module(
+            f"automated_dow30_earnings_reports_spark.{modname}"
+        )
+        ts = {}
+        for sf_dir, tag in ((SF01, "small"), (SF1, "big")):
+            best = None
+            for _ in range(2):
+                t = _timed_inner(mod, attr, qs[qname], spark, sf_dir)
+                best = t if best is None else min(best, t)
+            ts[tag] = best
+        print(
+            f"| {label} | {ts['small']:.2f} | {ts['big']:.2f} "
+            f"| {ts['big'] / ts['small']:.1f}x |"
+        )
+
+
 def main() -> int:
     from automated_dow30_earnings_reports_spark.session import get_spark
 
     import __spark_entry__ as e
 
     spark = get_spark("sf1-probe")
-    if "--regen" in sys.argv and os.path.isdir(SF1):
-        shutil.rmtree(SF1)
+    if "--regen" in sys.argv:
+        for d in (SF1, SF2):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     if not os.path.isdir(os.path.join(SF1, "lineitem.parquet")):
         t0 = time.time()
         _generate(spark)
         print(f"generated {SF1} in {time.time()-t0:.0f}s", file=sys.stderr)
 
+    dirs = [(SF01, "sf0.1"), (SF1, "sf1")]
+    if "--sf2" in sys.argv:
+        if not os.path.isdir(os.path.join(SF2, "lineitem.parquet")):
+            t0 = time.time()
+            _generate(spark, SF2, REPLICAS2)
+            print(f"generated {SF2} in {time.time()-t0:.0f}s", file=sys.stderr)
+        dirs.append((SF2, "sf2"))
+
+    qs = e.queries()
+    if "--index-verbs" in sys.argv:
+        _time_maintenance_verbs(spark, qs)
+        spark.stop()
+        return 0
+
     filters = [a for a in sys.argv[1:] if not a.startswith("--")]
     probe = (
         [n for n in PROBE if any(f in n for f in filters)] if filters else PROBE
     )
-    qs = e.queries()
-    print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
-    print("|---|---|---|---|")
+    header = " | ".join(f"{tag} s" for _d, tag in dirs)
+    ratios = " | ".join(
+        f"{dirs[i][1]}/{dirs[i - 1][1]}" for i in range(1, len(dirs))
+    )
+    print(f"| query | {header} | {ratios} |")
+    print("|---|" + "---|" * (len(dirs) + len(dirs) - 1))
     for name in probe:
-        times = {}
-        for sf_dir, tag in ((SF01, "small"), (SF1, "big")):
+        times = []
+        for sf_dir, _tag in dirs:
             best = None
             for _ in range(2):
                 t0 = time.time()
                 qs[name](spark, sf_dir).collect()
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
-            times[tag] = best
-        ratio = times["big"] / times["small"]
-        print(
-            f"| {name} | {times['small']:.2f} | {times['big']:.2f} | {ratio:.1f}x |"
+            times.append(best)
+        cells = " | ".join(f"{t:.2f}" for t in times)
+        rcells = " | ".join(
+            f"{times[i] / times[i - 1]:.1f}x" for i in range(1, len(times))
         )
+        print(f"| {name} | {cells} | {rcells} |")
     if not filters or "--index-search" in sys.argv:
         t_small = _time_index_search(spark, SF01)
         t_big = _time_index_search(spark, SF1)

@@ -41,6 +41,9 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
         "variant_lake_roundtrip",
         "text_index_compact",
         "dedup_index_purge",
+        # r7: the text index's forget verb (build-overwrite resets the
+        # lifecycle, so a re-run must erase and search identically)
+        "text_index_delete",
     ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):
