@@ -1964,17 +1964,33 @@ def _write_text_index(docs, path: str, mode: str) -> None:
     )
 
 
-def _search_text_index(spark: SparkSession, path: str) -> DataFrame:
+def _search_text_index(
+    spark: SparkSession, path: str, merge_tombstones: bool = False
+) -> DataFrame:
     """Answer the fixed BM25 query from the LOADED index only:
     directory-pruned bucket read, df/tf from the postings, global stats
-    merged from the partials table, docstats join for dl."""
+    merged from the partials table, docstats join for dl.
+
+    ``merge_tombstones`` is the MERGE-ON-READ delete path: postings and
+    docstats anti-join the ``tombstones`` table and the stats partials
+    are adjusted at read time by the victims' exact (count, sum_dl)
+    integers — every score term (tf, df, dl, n_docs, avgdl) then equals
+    the post-compaction (and from-scratch-rebuild) value, so deletes
+    are visible immediately while the request path has written only K
+    tombstone rows."""
     q_terms = list(BM25_QUERY)
     q_buckets = sorted({_py_term_bucket(t) for t in q_terms})
     post = (
         spark.read.parquet(_os.path.join(path, "postings"))
         .where(F.col("bucket").isin(q_buckets) & F.col("term").isin(q_terms))
-        .localCheckpoint(eager=True)  # feeds both the df agg and the tf pivot
     )
+    tombs = None
+    if merge_tombstones:
+        tombs = spark.read.parquet(_os.path.join(path, "tombstones")).select(
+            "doc_id"
+        )
+        post = post.join(F.broadcast(tombs), "doc_id", "left_anti")
+    post = post.localCheckpoint(eager=True)  # feeds both the df agg and the tf pivot
     dfs = post.agg(
         *[
             F.sum(F.when(F.col("term") == t, 1).otherwise(0))
@@ -1992,7 +2008,20 @@ def _search_text_index(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
     docstats = spark.read.parquet(_os.path.join(path, "docstats"))
-    stats = spark.read.parquet(_os.path.join(path, "stats")).agg(
+    stats_partials = spark.read.parquet(_os.path.join(path, "stats"))
+    if tombs is not None:
+        # fold the victims' exact integers into the partial sums at
+        # read time — the same arithmetic the compaction persists
+        stats_partials = stats_partials.unionByName(
+            docstats.join(F.broadcast(tombs), "doc_id").agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0)))
+                .cast("bigint")
+                .alias("sum_dl"),
+            )
+        )
+        docstats = docstats.join(F.broadcast(tombs), "doc_id", "left_anti")
+    stats = stats_partials.agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
     )
@@ -2368,3 +2397,28 @@ def text_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id")
     _delete_from_text_index(spark, path, victims)
     return _search_text_index(spark, path)
+
+
+@_register(
+    "text_index_delete_mor", _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED})")
+)
+def text_index_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ phase of the text-index forget story — the
+    two-phase design ivf_index_delete pins for the vector store,
+    completed for the text index: the request path writes ONLY the
+    K-row tombstone table (deletes become visible immediately, no
+    index rewrite on the request path), and the read path anti-joins
+    tombstones and folds the victims' exact (count, sum_dl) integers
+    into the stats partials at read time, so the pre-compaction search
+    already equals the post-compaction one (text_index_delete) AND the
+    from-scratch rebuild — all three share this oracle. Compaction
+    (the rewrite) then runs on maintenance schedule, not request
+    latency. Equality of the two read paths is pinned in
+    tests/test_round7_ops.py."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_mor"
+    _write_text_index(d, path, "overwrite")
+    d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "tombstones"))
+    return _search_text_index(spark, path, merge_tombstones=True)

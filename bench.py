@@ -186,6 +186,9 @@ HEADLINE = [
     "text_index_compact",
     "dedup_index_purge",
     "cache_table_reuse",
+    # round 7
+    "text_index_delete",
+    "text_index_delete_mor",
 ]
 
 

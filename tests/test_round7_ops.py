@@ -280,3 +280,17 @@ def test_streaming_dedup_ingest_recovers_from_crashed_publish(
     ]
     expected = [tuple(r) for r in dedup_incremental_index(spark, sf_smoke).collect()]
     assert got == expected
+
+
+def test_text_index_merge_on_read_equals_compacted_delete(spark, sf_smoke):
+    """The two forget read paths — tombstone merge-on-read and
+    post-compaction — must return identical rows (the ivf_index_delete
+    cross-check applied to the text index)."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        text_index_delete,
+        text_index_delete_mor,
+    )
+
+    mor = [tuple(r) for r in text_index_delete_mor(spark, sf_smoke).collect()]
+    compacted = [tuple(r) for r in text_index_delete(spark, sf_smoke).collect()]
+    assert mor == compacted and mor
