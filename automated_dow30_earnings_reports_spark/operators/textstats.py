@@ -2422,3 +2422,31 @@ def text_index_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(_os.path.join(path, "tombstones"))
     return _search_text_index(spark, path, merge_tombstones=True)
+
+
+@_register(
+    "text_index_crud_lifecycle",
+    _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED} AND doc_id % 3 < 2)"),
+)
+def text_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verb COMPOSITION for the text index — the sequence no single
+    lifecycle query exercises: build (gen 0) → append (gen 1) →
+    DELETE while fragmented (two stats partials live; the victims are
+    the forget predicate restricted to gens 0-1) → append gen 2 →
+    search. The final corpus (gens 0-2 minus gen-0/1 victims, with
+    gen-2 docs matching the forget predicate RETAINED) cannot be
+    produced by any one verb, so the oracle catches verb-order bugs:
+    a delete that tombstones future appends, a negative stats partial
+    that double-applies across appends, or an append that resurrects
+    purged postings would each break the hash. Four stats partials
+    (build + append + negative + append) must fold to the rebuild's
+    exact integers."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_crud"
+    gen = F.col("doc_id") % 3
+    _write_text_index(d.where(gen == 0), path, "overwrite")
+    _write_text_index(d.where(gen == 1), path, "append")
+    victims = d.where(F.expr(TEXT_DELETE_PRED) & (gen < 2)).select("doc_id")
+    _delete_from_text_index(spark, path, victims)
+    _write_text_index(d.where(gen == 2), path, "append")
+    return _search_text_index(spark, path)

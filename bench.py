@@ -189,6 +189,7 @@ HEADLINE = [
     # round 7
     "text_index_delete",
     "text_index_delete_mor",
+    "text_index_crud_lifecycle",
 ]
 
 
@@ -257,11 +258,13 @@ def main() -> int:
     # payload, while the full record (3-decimal timings + rows) goes to
     # bench_full.json next to this script. At 80 headline queries even
     # name:timing pairs alone overflow 2 KB, so the stdout dict keeps
-    # every query >= 0.75 s individually and folds the fast tail into
+    # only the slow tier individually and folds the fast tail into
     # fast_queries_n/fast_queries_sec (full per-query detail stays in
     # bench_full.json).
-    slow = {k: round(v, 2) for k, v in timings.items() if v >= 1.0}
-    fast_total = round(sum(v for v in timings.values() if v < 1.0), 2)
+    # r7: the >=1.0 s cut crossed the 2 KB window again (70 slow rows,
+    # 2337 B) — raised to 1.2 s (50 rows, ~1.5 KB; headroom for noise)
+    slow = {k: round(v, 2) for k, v in timings.items() if v >= 1.2}
+    fast_total = round(sum(v for v in timings.values() if v < 1.2), 2)
     # Cross-round regression visibility. Baseline layering: the newest
     # recorded BENCH_r*.json (the driver's per-round artifact) is
     # authoritative for every query it carries — being committed once

@@ -326,6 +326,29 @@ def _time_index_search(spark, sf_dir: str) -> float:
     return best
 
 
+def _time_text_index_search(spark, sf_dir: str) -> float:
+    """Search-only wall clock over a PRE-BUILT persisted text index —
+    the bucket-pruned BM25 read (_search_text_index) with the build
+    amortized away, the ivf_index_search treatment for the third index
+    family."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _search_text_index,
+        _text_index_path,
+        text_index_roundtrip,
+    )
+
+    # rebuild unconditionally (untimed): stale layouts must not be timed
+    text_index_roundtrip(spark, sf_dir).collect()
+    path = _text_index_path(sf_dir)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _search_text_index(spark, path).collect()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
 def _timed_inner(mod, attr, query_fn, spark, sf_dir) -> float:
     """Run ``query_fn`` end-to-end but report ONLY the wall-clock spent
     inside ``mod.attr`` (the maintenance verb) — the build/ingest that
@@ -444,6 +467,12 @@ def main() -> int:
         t_big = _time_index_search(spark, SF1)
         print(
             f"| ivf_index_search (loaded, build amortized) | {t_small:.2f} "
+            f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
+        )
+        t_small = _time_text_index_search(spark, SF01)
+        t_big = _time_text_index_search(spark, SF1)
+        print(
+            f"| text_index_search (loaded, build amortized) | {t_small:.2f} "
             f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
         )
     spark.stop()

@@ -294,3 +294,37 @@ def test_text_index_merge_on_read_equals_compacted_delete(spark, sf_smoke):
     mor = [tuple(r) for r in text_index_delete_mor(spark, sf_smoke).collect()]
     compacted = [tuple(r) for r in text_index_delete(spark, sf_smoke).collect()]
     assert mor == compacted and mor
+
+
+def test_text_index_crud_final_state_and_partials(spark, sf_smoke):
+    """The composed lifecycle's stats table must hold exactly 4
+    partials (build + append + negative delete + append) whose sums
+    equal a from-scratch rebuild over the final survivor set, and
+    gen-2 docs matching the forget predicate must be RETAINED."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        TEXT_DELETE_PRED,
+        _search_text_index,
+        _text_index_path,
+        _write_text_index,
+        text_index_crud_lifecycle,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    got = [tuple(r) for r in text_index_crud_lifecycle(spark, sf_smoke).collect()]
+
+    d = load_table(spark, sf_smoke, "documents")
+    survivors = d.where(~(F.expr(TEXT_DELETE_PRED) & (F.col("doc_id") % 3 < 2)))
+    rebuild_path = _text_index_path(sf_smoke) + "_crud_rebuild"
+    _write_text_index(survivors, rebuild_path, "overwrite")
+    expected = [tuple(r) for r in _search_text_index(spark, rebuild_path).collect()]
+    assert got == expected and got
+
+    path = _text_index_path(sf_smoke) + "_crud"
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    assert stats.count() == 4
+
+    ds = spark.read.parquet(os.path.join(path, "docstats"))
+    retained = ds.where(F.expr(TEXT_DELETE_PRED) & (F.col("doc_id") % 3 == 2))
+    assert retained.count() > 0  # delete must not tombstone future appends
+    purged = ds.where(F.expr(TEXT_DELETE_PRED) & (F.col("doc_id") % 3 < 2))
+    assert purged.count() == 0
