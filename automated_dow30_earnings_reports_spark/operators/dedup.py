@@ -1513,3 +1513,34 @@ def dedup_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     purged = docs.where(~is_new & F.expr(PURGE_PRED_SQL)).select("doc_id")
     _purge_signature_index(spark, path, purged)
     return _probe_signature_index(spark, path, is_new)
+
+
+@_register("dedup_index_crud_lifecycle", _purge_oracle())
+def dedup_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verb COMPOSITION for the signature index (the
+    text/ivf_index_crud_lifecycle twin): the old corpus is ingested in
+    TWO generations (build + append), the forget request is purged
+    BEFORE the new batch arrives, and only then is the new batch
+    appended and the standing new-vs-old probe run. Final index state
+    equals dedup_index_purge's (same oracle), but the verb ORDER is the
+    production one — the forget request lands mid-ingest — so a purge
+    that poisons later appends (stale tombstone state, an emptied
+    bucket directory the next append cannot recreate) breaks the
+    hash."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % 5 == 4
+    path = _dedup_index_path(sf_dir) + "_crud"
+
+    old = docs.where(~is_new)
+    gen = F.col("doc_id") % 2
+    shd_a = _shingle_hashes_of(old.where(gen == 0)).localCheckpoint(eager=True)
+    _build_signature_index(shd_a, path)
+    shd_b = _shingle_hashes_of(old.where(gen == 1)).localCheckpoint(eager=True)
+    _append_signature_index(shd_b, path)
+
+    purged = old.where(F.expr(PURGE_PRED_SQL)).select("doc_id")
+    _purge_signature_index(spark, path, purged)
+
+    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
+    _append_signature_index(shd_new, path)
+    return _probe_signature_index(spark, path, is_new)

@@ -1686,13 +1686,17 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_DELETE_PRED = "vec_id % 7 = 3"  # the forget-request set (SF-independent)
 
 
-def _ivf_delete_oracle() -> str:
+def _ivf_delete_oracle(dead_pred: str = IVF_DELETE_PRED) -> str:
+    """From-scratch IVF over the survivors of ``dead_pred`` — shared by
+    the single-verb delete and the CRUD composition (whose forget set
+    is restricted to the generations ingested before the delete); the
+    default keeps the text byte-identical to the attested form."""
     cos_vc = _COS_SQL.format(a="v.emb", b="c.ce")
     cos_qn = _COS_SQL.format(a="q.qe", b="n.emb")
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     cents AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < {IVF_CELLS}),
-    alive AS (SELECT * FROM e WHERE NOT ({IVF_DELETE_PRED})),
+    alive AS (SELECT * FROM e WHERE NOT ({dead_pred})),
     assign AS (
       SELECT v.vec_id, c.cid,
              ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -1771,6 +1775,56 @@ def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
     postings = spark.read.parquet(_os.path.join(path, "postings"))
     qvec = _query_vectors(e.where(~F.expr(IVF_DELETE_PRED)))
+    return _search_index(postings, idx_cents, qvec)
+
+
+IVF_CRUD_DEAD = f"({IVF_DELETE_PRED}) AND vec_id % 3 < 2"
+
+
+@_register("ivf_index_crud_lifecycle", _ivf_delete_oracle(IVF_CRUD_DEAD))
+def ivf_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verb COMPOSITION for the vector index (the text-index
+    text_index_crud_lifecycle twin): build (gen 0, vec_id % 3) →
+    append gen 1 against the STORED centroids → tombstone + compact
+    the forget set restricted to the INGESTED generations → append
+    gen 2 (vectors matching the forget predicate among gen 2 are
+    RETAINED — a delete must never tombstone future appends) → search.
+    The final posting set (gens 0-2 minus gen-0/1 victims) cannot be
+    produced by any single lifecycle verb, so verb-order bugs (a
+    compaction that drops a cell a later append needs, a tombstone
+    table leaking into the post-delete ingest) break the hash against
+    the from-scratch IVF over the survivors."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
+    e = _emb(spark, sf_dir)
+    path = _index_path(sf_dir, "_crud")
+    gen = F.col("vec_id") % 3
+
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(e.where(gen == 0), idx_cents),
+        _os.path.join(path, "postings"), ["cell"], dynamic=False,
+    )
+    write_partitioned(
+        _assign_cells(e.where(gen == 1), idx_cents),
+        _os.path.join(path, "postings"), ["cell"], mode="append",
+    )
+    e.where(F.expr(IVF_CRUD_DEAD)).select("vec_id").write.mode("overwrite").parquet(
+        _os.path.join(path, "tombstones")
+    )
+    _compact_deletes(spark, path)
+    write_partitioned(
+        _assign_cells(e.where(gen == 2), idx_cents),
+        _os.path.join(path, "postings"), ["cell"], mode="append",
+    )
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    qvec = _query_vectors(e.where(~F.expr(IVF_CRUD_DEAD)))
     return _search_index(postings, idx_cents, qvec)
 
 

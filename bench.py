@@ -190,6 +190,8 @@ HEADLINE = [
     "text_index_delete",
     "text_index_delete_mor",
     "text_index_crud_lifecycle",
+    "ivf_index_crud_lifecycle",
+    "dedup_index_crud_lifecycle",
 ]
 
 

@@ -328,3 +328,49 @@ def test_text_index_crud_final_state_and_partials(spark, sf_smoke):
     assert retained.count() > 0  # delete must not tombstone future appends
     purged = ds.where(F.expr(TEXT_DELETE_PRED) & (F.col("doc_id") % 3 < 2))
     assert purged.count() == 0
+
+
+def test_ivf_crud_retains_post_delete_appends(spark, sf_smoke):
+    """Gen-2 vectors matching the forget predicate must survive the
+    earlier compaction, and no gen-0/1 victim may linger."""
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_CRUD_DEAD,
+        _index_path,
+        ivf_index_crud_lifecycle,
+    )
+
+    rows = [tuple(r) for r in ivf_index_crud_lifecycle(spark, sf_smoke).collect()]
+    assert rows
+    post = spark.read.parquet(
+        os.path.join(_index_path(sf_smoke, "_crud"), "postings")
+    )
+    assert post.where(F.expr(IVF_CRUD_DEAD)).count() == 0
+    retained = post.where(
+        F.expr("vec_id % 7 = 3") & (F.col("vec_id") % 3 == 2)
+    )
+    assert retained.count() > 0
+
+
+def test_dedup_crud_matches_single_verb_purge(spark, sf_smoke):
+    """Purge-mid-ingest must converge to the same probe as the
+    purge-last ordering (dedup_index_purge) — same oracle, different
+    verb order."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        PURGE_PRED_SQL,
+        _dedup_index_path,
+        dedup_index_crud_lifecycle,
+        dedup_index_purge,
+    )
+
+    crud = [tuple(r) for r in dedup_index_crud_lifecycle(spark, sf_smoke).collect()]
+    single = [tuple(r) for r in dedup_index_purge(spark, sf_smoke).collect()]
+    assert crud == single and crud
+    # purged OLD docs gone from every table; NEW docs matching the
+    # pattern (appended after the purge) retained
+    path = _dedup_index_path(sf_smoke) + "_crud"
+    old_purged = F.expr(PURGE_PRED_SQL) & ~(F.col("doc_id") % 5 == 4)
+    new_kept = F.expr(PURGE_PRED_SQL) & (F.col("doc_id") % 5 == 4)
+    for table in ("bands", "shd", "sizes"):
+        tbl = spark.read.parquet(os.path.join(path, table))
+        assert tbl.where(old_purged).count() == 0
+        assert tbl.where(new_kept).count() > 0
