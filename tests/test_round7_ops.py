@@ -374,3 +374,41 @@ def test_dedup_crud_matches_single_verb_purge(spark, sf_smoke):
         tbl = spark.read.parquet(os.path.join(path, table))
         assert tbl.where(old_purged).count() == 0
         assert tbl.where(new_kept).count() > 0
+
+
+def test_publish_staged_batch_is_idempotent_per_batch_id(spark):
+    """Republishing the same batch id must scrub the previous attempt's
+    files (no duplicate rows), even when the retry stages a DIFFERENT
+    file layout; distinct batch ids coexist."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
+
+    live = os.path.join(SCRATCH, "publish_live")
+    shutil.rmtree(live, ignore_errors=True)
+
+    def stage(n_files, lo, hi):
+        staging = os.path.join(SCRATCH, "publish_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        spark.range(lo, hi).repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(staging, "t")
+        )
+        return staging
+
+    # attempt 1 of batch 7: 4 files
+    publish_staged_batch(stage(4, 0, 10), live, ("t",), 7)
+    # retry of batch 7 (simulated replay): 2 files, same rows
+    publish_staged_batch(stage(2, 0, 10), live, ("t",), 7)
+    got = sorted(r["id"] for r in spark.read.parquet(os.path.join(live, "t")).collect())
+    assert got == list(range(10))  # no duplicates from attempt 1
+
+    # batch 8 lands beside batch 7 (prefix "ingest-7-" must not match it)
+    publish_staged_batch(stage(1, 10, 15), live, ("t",), 8)
+    got = sorted(r["id"] for r in spark.read.parquet(os.path.join(live, "t")).collect())
+    assert got == list(range(15))
+
+    # batch 77's tag must not be scrubbed by a batch-7 replay
+    publish_staged_batch(stage(1, 15, 20), live, ("t",), 77)
+    publish_staged_batch(stage(3, 0, 10), live, ("t",), 7)
+    got = sorted(r["id"] for r in spark.read.parquet(os.path.join(live, "t")).collect())
+    assert got == list(range(20))
