@@ -44,6 +44,13 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
         # r7: the text index's forget verb (build-overwrite resets the
         # lifecycle, so a re-run must erase and search identically)
         "text_index_delete",
+        "text_index_delete_mor",
+        # r7 verb-order compositions: the initial build's static
+        # overwrite must reset every prior run's appends, tombstones,
+        # and dropped partition directories
+        "text_index_crud_lifecycle",
+        "ivf_index_crud_lifecycle",
+        "dedup_index_crud_lifecycle",
     ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):
