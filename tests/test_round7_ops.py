@@ -412,3 +412,34 @@ def test_publish_staged_batch_is_idempotent_per_batch_id(spark):
     publish_staged_batch(stage(3, 0, 10), live, ("t",), 7)
     got = sorted(r["id"] for r in spark.read.parquet(os.path.join(live, "t")).collect())
     assert got == list(range(20))
+
+
+def test_committed_ledger_bootstrap_excludes_batch_published_files(spark, tmp_path):
+    """An index that predates the ledger bootstraps it from BASE files
+    only: doc_ids present solely in ingest-<batch>- files (a crashed
+    half-published batch) must NOT be marked committed, so the batch
+    replays instead of being silently half-dropped."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        _ensure_committed_ledger,
+    )
+
+    index = str(tmp_path / "index")
+    spark.range(0, 5).select(F.col("id").alias("doc_id")).write.parquet(
+        os.path.join(index, "docstats")
+    )
+    staging = str(tmp_path / "staging")
+    spark.range(5, 10).select(F.col("id").alias("doc_id")).write.parquet(
+        os.path.join(staging, "docstats")
+    )
+    publish_staged_batch(staging, index, ("docstats",), 3)
+
+    ledger = _ensure_committed_ledger(spark, index, "docstats")
+    got = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+    assert got == {0, 1, 2, 3, 4}
+    # idempotent: a second call must not rebuild or widen the ledger
+    assert _ensure_committed_ledger(spark, index, "docstats") == ledger
+    got = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+    assert got == {0, 1, 2, 3, 4}
