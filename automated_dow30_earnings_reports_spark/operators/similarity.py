@@ -1526,6 +1526,25 @@ def _index_skew_ratio(postings: DataFrame) -> float:
     return float(row["ratio"])
 
 
+def recluster_if_skewed(
+    spark: SparkSession, path: str, threshold: float = RECLUSTER_SKEW_THRESHOLD
+) -> tuple[bool, float]:
+    """The reusable maintenance verb: measure the stored index's cell
+    skew and Lloyd-retrain ONLY when it crosses ``threshold``.
+    Returns ``(reclustered, skew)`` — a healthy index is a legitimate
+    'no maintenance needed' no-op (the searched index is simply the
+    one already on disk), never an error. The registered
+    ivf_index_recluster query layers a loud oracle-parity assertion on
+    top of this, because ITS DuckDB oracle re-clusters unconditionally
+    by construction; library callers running on real drift should call
+    this verb directly and accept either outcome."""
+    skew = _index_skew_ratio(spark.read.parquet(_os.path.join(path, "postings")))
+    if skew < threshold:
+        return False, skew
+    _recluster_index(spark, path)
+    return True, skew
+
+
 def _recluster_index(spark: SparkSession, path: str) -> None:
     """Lloyd re-train over the persisted index, in place. Round 1's
     assignment is read off the stored postings (they already hold the
@@ -1646,21 +1665,23 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     # --- maintenance gate: re-cluster iff the stored index is skewed ---
-    # The oracle runs the Lloyd chain UNCONDITIONALLY, so the gate not
-    # firing would silently return the un-reclustered index and break
-    # the hash at whatever scale first fails to cross the threshold —
-    # fail loudly instead (the drifted append is constructed to skew
-    # the index at every scale; tests pin the margin).
-    skew = _index_skew_ratio(spark.read.parquet(_os.path.join(path, "postings")))
-    if skew < RECLUSTER_SKEW_THRESHOLD:
+    # The REUSABLE verb is recluster_if_skewed (a quiet no-op on a
+    # healthy index). This registered query is BENCHMARK-SHAPED on top
+    # of it: its oracle runs the Lloyd chain UNCONDITIONALLY, so the
+    # gate not firing would silently return the un-reclustered index
+    # and break the hash at whatever scale first fails to cross the
+    # threshold — assert loudly instead (the drifted append is
+    # constructed to skew the index at every scale; tests pin the
+    # margin both ways).
+    reclustered, skew = recluster_if_skewed(spark, path)
+    if not reclustered:
         raise RuntimeError(
             f"re-cluster gate did not fire (skew {skew:.3f} < "
             f"{RECLUSTER_SKEW_THRESHOLD}): the drifted append no longer skews "
-            "the stored index at this scale, but the oracle re-clusters "
-            "unconditionally — returning the un-reclustered index would be a "
-            "silent hash mismatch"
+            "the stored index at this scale, but this query's oracle "
+            "re-clusters unconditionally — returning the un-reclustered "
+            "index would be a silent hash mismatch"
         )
-    _recluster_index(spark, path)
     # --- search the maintained index ---
     idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
     postings = spark.read.parquet(_os.path.join(path, "postings"))

@@ -2328,7 +2328,7 @@ TEXT_DELETE_PRED = "doc_id % 13 = 5"  # the forget-request set
 
 
 def _delete_from_text_index(
-    spark: SparkSession, path: str, victims: DataFrame
+    spark: SparkSession, path: str, victims: DataFrame, request_id: str = "0"
 ) -> None:
     """Erase ``victims`` doc_ids from all three index tables:
 
@@ -2344,24 +2344,48 @@ def _delete_from_text_index(
     - docstats (unpartitioned, one small row per doc) rewritten
       through a checkpoint, the dedup-purge sizes-table pattern.
 
+    The whole verb is RETRY-SAFE per (path, request_id): the negative
+    partial lands under the deterministic file name
+    ``stats/forget-<request_id>.parquet`` (staged then os.replace'd,
+    so existing implies complete), and an existing partial for the
+    request is never recomputed — a crash-and-retry at any step
+    re-runs only idempotent work (the naive mode("append") wrote a
+    SECOND negative partial on retry, and a retry arriving after the
+    docstats rewrite would re-derive zeros from the already-erased
+    rows: both permanently corrupt n_docs/sum_dl). The two rewrites
+    are anti-joins — replaying them over already-clean tables is a
+    no-op. Distinct forget requests must carry distinct request_ids.
+
     Cost is bounded by the forget request's bucket footprint plus the
     per-doc tables — never the corpus."""
+    import shutil as _shutil
+
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         rewrite_affected_partitions,
     )
 
     victims = victims.localCheckpoint(eager=True)
-    # negative stats partial BEFORE docstats loses the victims' rows
-    (
-        spark.read.parquet(_os.path.join(path, "docstats"))
-        .join(F.broadcast(victims), "doc_id")
-        .agg(
-            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+    # negative stats partial BEFORE docstats loses the victims' rows;
+    # skipped if this request already recorded it (retry after a crash
+    # later in the sequence — the victims' docstats rows may be gone)
+    partial = _os.path.join(path, "stats", f"forget-{request_id}.parquet")
+    if not _os.path.exists(partial):
+        stage = _os.path.join(path, f".forget-stage-{request_id}")
+        _shutil.rmtree(stage, ignore_errors=True)
+        (
+            spark.read.parquet(_os.path.join(path, "docstats"))
+            .join(F.broadcast(victims), "doc_id")
+            .agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
         )
-        .write.mode("append")
-        .parquet(_os.path.join(path, "stats"))
-    )
+        staged = [f for f in _os.listdir(stage) if f.endswith(".parquet")]
+        _os.replace(_os.path.join(stage, staged[0]), partial)
+        _shutil.rmtree(stage, ignore_errors=True)
     rewrite_affected_partitions(
         spark, _os.path.join(path, "postings"), "bucket", victims, "doc_id"
     )

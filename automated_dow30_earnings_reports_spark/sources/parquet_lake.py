@@ -99,19 +99,58 @@ def publish_staged_batch(
     ledger commit the batch replays and the scrub removes partial
     state; after it, the replay anti-join drops the batch.
 
+    The scrub is bounded by the BATCH's partition footprint, never the
+    index: the set of live directories a previous attempt could have
+    touched is (a) recorded in a per-batch manifest written BEFORE any
+    file moves (the crash-proof source of truth, deleted once the
+    publish completes) and (b) independently derivable from the staged
+    tree itself (a replayed stage is rebuilt from the same batch
+    content, so its partition directories recur); the scrub lists only
+    the union of those directories. The live table tree is never
+    walked — on an object store that walk would be a full recursive
+    listing per micro-batch.
+
     Driver-side file moves (os.replace) — the same per-batch rename
     fan-out a FileOutputCommitter performs; cost is O(batch files),
     never O(index)."""
+    import json as _json
     import shutil as _shutil
 
     tag = f"{BATCH_FILE_PREFIX}{batch_id}-"
+    # destination directories this batch touches, from the staged delta
+    touched: dict[str, list[str]] = {}
+    for t in tables:
+        stage = _os.path.join(staging_root, t)
+        touched[t] = [
+            _os.path.relpath(dirpath, stage)
+            for dirpath, _dirs, files in sorted(_os.walk(stage))
+            if any(f.endswith(".parquet") for f in files)
+        ]
+    manifest = _os.path.join(live_root, f".publish-manifest-{batch_id}.json")
+    scrub: dict[str, set[str]] = {t: set(rels) for t, rels in touched.items()}
+    if _os.path.exists(manifest):  # a previous attempt crashed mid-move
+        try:
+            with open(manifest) as fh:
+                for t, rels in _json.load(fh).items():
+                    scrub.setdefault(t, set()).update(rels)
+        except (OSError, ValueError):
+            pass  # unreadable manifest: the staged-tree set still covers it
+    for t, rels in scrub.items():
+        live = _os.path.join(live_root, t)
+        for rel in sorted(rels):
+            d = live if rel == "." else _os.path.join(live, rel)
+            if not _os.path.isdir(d):
+                continue
+            for f in _os.listdir(d):
+                if f.startswith(tag):
+                    _os.remove(_os.path.join(d, f))
+    # manifest BEFORE the moves: a crash mid-move leaves the exact
+    # touched-set on disk for the replay's scrub
+    _os.makedirs(live_root, exist_ok=True)
+    with open(manifest, "w") as fh:
+        _json.dump({t: sorted(rels) for t, rels in touched.items()}, fh)
     for t in tables:
         live = _os.path.join(live_root, t)
-        if _os.path.isdir(live):
-            for dirpath, _dirs, files in _os.walk(live):
-                for f in files:
-                    if f.startswith(tag):
-                        _os.remove(_os.path.join(dirpath, f))
         stage = _os.path.join(staging_root, t)
         n = 0
         for dirpath, _dirs, files in sorted(_os.walk(stage)):
@@ -126,6 +165,7 @@ def publish_staged_batch(
                     _os.path.join(dest_dir, f"{tag}{n}.parquet"),
                 )
                 n += 1
+    _os.remove(manifest)
     _shutil.rmtree(staging_root, ignore_errors=True)
 
 

@@ -28,7 +28,7 @@ append idempotent.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -182,8 +182,9 @@ def start_ivf_ingest_stream(
     ``vec_id bigint``) and append each micro-batch into the persisted
     IVF index at ``index_path``. Ingest cost per batch is
     O(batch x K) assignment + an append write — independent of index
-    size; duplicate/replayed arrivals are dropped against the
-    committed postings before the write."""
+    size; replay safety rides the shared exactly-once ``_ingest_batch``
+    protocol (committed vec_id ledger + staged publish), the same
+    commit path as the dedup and text streams."""
     from automated_dow30_earnings_reports_spark.operators.similarity import (
         _assign_cells,
     )
@@ -193,6 +194,7 @@ def start_ivf_ingest_stream(
     )
 
     register(spark)
+    ledger = _ensure_committed_ledger(spark, index_path, "postings", key="vec_id")
     arrivals = (
         spark.readStream.format("kvlinks")
         .schema("vec_id bigint")
@@ -200,21 +202,25 @@ def start_ivf_ingest_stream(
         .load()
     )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        idx_cents = sess.read.parquet(os.path.join(index_path, "centroids"))
-        batch_vecs = emb.join(batch_df.select("vec_id").distinct(), "vec_id")
-        committed = sess.read.parquet(os.path.join(index_path, "postings")).select(
-            "vec_id"
-        )
-        fresh = batch_vecs.join(committed, "vec_id", "left_anti")
+    def stage_ivf(fresh_vecs: DataFrame, staging: str) -> None:
+        idx_cents = spark.read.parquet(os.path.join(index_path, "centroids"))
         write_partitioned(
-            _assign_cells(fresh, idx_cents),
-            os.path.join(index_path, "postings"),
+            _assign_cells(fresh_vecs, idx_cents),
+            os.path.join(staging, "postings"),
             ["cell"],
-            mode="append",
+            dynamic=False,
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _ingest_batch(
+            batch_df,
+            batch_id,
+            key="vec_id",
+            source=emb,
+            index_path=index_path,
+            tables=("postings",),
+            ledger=ledger,
+            stage=stage_ivf,
         )
 
     writer = arrivals.writeStream.foreachBatch(process_batch).option(
@@ -317,23 +323,37 @@ ORACLES["streaming_ivf_ingest"] = _sivf_oracle()
 
 
 def _ensure_committed_ledger(
-    spark: SparkSession, index_path: str, base_table: str
+    spark: SparkSession, index_path: str, base_table: str, key: str = "doc_id"
 ) -> str:
-    """Create the replay ledger (``<index>/committed``, one ``doc_id``
+    """Create the replay ledger (``<index>/committed``, one ``key``
     column) if this index predates it, seeding it from the BASE-BUILD
     files of ``base_table`` only: batch-published files carry the
-    ``ingest-<batch>-`` prefix and are excluded, so doc_ids from a
+    ``ingest-<batch>-`` prefix and are excluded, so keys from a
     half-published crashed batch are NOT marked committed (they replay,
-    and the publisher's scrub removes their partial files). Runs once
-    per index at stream start — driver-side directory walk + one small
+    and the publisher's scrub removes their partial files).
+
+    The seed is written to a temp directory and renamed into place, so
+    ``committed`` existing IMPLIES the seed completed — a crash mid-seed
+    leaves only the temp dir (rebuilt on restart) and can never be
+    mistaken for a complete ledger (a partial seed trusted as complete
+    would re-admit already-indexed base keys as fresh: duplicates).
+
+    Runs once per index at stream start — a driver-side directory walk
+    (O(index files); on an object store this one-time bootstrap is a
+    full recursive listing, the price of adopting a pre-ledger index —
+    measured against a fragmented 10x index in PERF.md) + one small
     distinct."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         BATCH_FILE_PREFIX,
     )
 
+    import shutil
+
     ledger = os.path.join(index_path, "committed")
     if os.path.isdir(ledger):
         return ledger
+    tmp = os.path.join(index_path, ".committed-seed-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
     tdir = os.path.join(index_path, base_table)
     base_files = [
         os.path.join(dp, f)
@@ -344,16 +364,70 @@ def _ensure_committed_ledger(
     if base_files:
         (
             spark.read.parquet(*base_files)
-            .select("doc_id")
+            .select(key)
             .distinct()
             .write.mode("overwrite")
-            .parquet(ledger)
+            .parquet(tmp)
         )
     else:
-        spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").parquet(
-            ledger
+        spark.createDataFrame([], f"{key} bigint").write.mode("overwrite").parquet(
+            tmp
         )
+    os.rename(tmp, ledger)
     return ledger
+
+
+def _ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    key: str,
+    source: DataFrame,
+    index_path: str,
+    tables: tuple[str, ...],
+    ledger: str,
+    stage: "Callable[[DataFrame, str], None]",
+) -> None:
+    """THE shared exactly-once micro-batch ingest — one implementation,
+    three callers (the ivf / dedup-signature / text index streams), the
+    same single-body argument as parquet_lake.rewrite_affected_partitions
+    for deletes: the commit protocol cannot drift between index
+    families. Steps: (1) the batch's keys are anti-joined against the
+    committed ledger, so a replayed or duplicate arrival is a no-op;
+    (2) the per-family ``stage`` callback builds ONLY the fresh rows'
+    index delta under a batch-keyed staging dir with overwrite
+    semantics (a crashed attempt's partial stage is reset); (3) the
+    delta publishes atomically-per-batch
+    (parquet_lake.publish_staged_batch — scrub-then-rename under
+    batch-deterministic file names, scrub bounded by the staged
+    delta's partitions); (4) the ledger records the batch LAST, as one
+    file, so the replay anti-join can never see a half-committed batch
+    as ingested. Per-batch cost is O(batch) staging + the publish's
+    batch-footprint-bounded moves — independent of index size."""
+    import shutil
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
+
+    if batch_df.isEmpty():
+        return
+    sess = batch_df.sparkSession
+    committed = sess.read.parquet(ledger).select(key)
+    fresh = (
+        source.join(batch_df.select(key).distinct(), key)
+        .join(committed, key, "left_anti")
+        .select(key)
+        .localCheckpoint(eager=True)
+    )
+    if fresh.isEmpty():
+        return  # fully-replayed batch: the ledger already has it
+    staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    stage(source.join(fresh, key), staging)
+    publish_staged_batch(staging, index_path, tables, batch_id)
+    # ledger commit LAST, as one file (atomic publish via job commit)
+    fresh.coalesce(1).write.mode("append").parquet(ledger)
 
 
 def start_dedup_ingest_stream(
@@ -367,24 +441,16 @@ def start_dedup_ingest_stream(
     """Tail ``landing_dir`` (kvlinks arrival records, ``doc_id bigint``)
     and append each micro-batch into the persisted dedup-signature
     index at ``index_path``. Per-batch cost is O(batch) shingling +
-    an append write. Replay safety is EXACTLY-ONCE across all three
-    tables: each batch's bands/shd/sizes deltas are staged with
-    overwrite semantics and published atomically-per-batch
-    (parquet_lake.publish_staged_batch — scrub-then-rename under
-    batch-deterministic file names), and the batch is recorded in the
-    ``committed`` ledger LAST, so the replay anti-join can never see a
-    half-committed batch as ingested (keying on any one data table
-    could: three naked appends are not atomic)."""
-    import shutil
-
+    an append write. Replay safety is the shared exactly-once
+    ``_ingest_batch`` protocol (ledger anti-join → staged bands/shd/
+    sizes delta → atomic per-batch publish → ledger LAST — keying on
+    any one data table could invert on a mid-append crash: three naked
+    appends are not atomic)."""
     from automated_dow30_earnings_reports_spark.operators.dedup import (
         _build_signature_index,
         _shingle_hashes_of,
     )
     from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
-    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        publish_staged_batch,
-    )
 
     register(spark)
     ledger = _ensure_committed_ledger(spark, index_path, "bands")
@@ -395,28 +461,21 @@ def start_dedup_ingest_stream(
         .load()
     )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        committed = sess.read.parquet(ledger).select("doc_id")
-        fresh_ids = (
-            docs.join(batch_df.select("doc_id").distinct(), "doc_id")
-            .join(committed, "doc_id", "left_anti")
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        if fresh_ids.isEmpty():
-            return  # fully-replayed batch: the ledger already has it
-        shd = _shingle_hashes_of(docs.join(fresh_ids, "doc_id")).localCheckpoint(
-            eager=True
-        )
-        staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
+    def stage_dedup(fresh_docs: DataFrame, staging: str) -> None:
+        shd = _shingle_hashes_of(fresh_docs).localCheckpoint(eager=True)
         _build_signature_index(shd, staging)  # overwrite semantics
-        publish_staged_batch(staging, index_path, ("bands", "shd", "sizes"), batch_id)
-        # ledger commit LAST, as one file (atomic publish via job commit)
-        fresh_ids.coalesce(1).write.mode("append").parquet(ledger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _ingest_batch(
+            batch_df,
+            batch_id,
+            key="doc_id",
+            source=docs,
+            index_path=index_path,
+            tables=("bands", "shd", "sizes"),
+            ledger=ledger,
+            stage=stage_dedup,
+        )
 
     writer = arrivals.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -517,22 +576,16 @@ def start_text_ingest_stream(
     and append each micro-batch into the persisted text index. Per-batch
     cost is O(batch tokens) — tokenization touches only the batch, the
     stats merge is an appended integer-partial row. Replay safety is
-    EXACTLY-ONCE across all three tables: the batch's postings/docstats/
-    stats deltas are staged with overwrite semantics and published
-    atomically-per-batch (parquet_lake.publish_staged_batch), and the
-    batch is recorded in the ``committed`` ledger LAST — an anti-join
-    keyed on any one DATA table would invert on a mid-append crash
-    (docstats committing first made the replay skip the batch and drop
-    its postings/stats forever)."""
-    import shutil
-
+    the shared exactly-once ``_ingest_batch`` protocol (ledger
+    anti-join → staged postings/docstats/stats delta → atomic
+    per-batch publish → ledger LAST — an anti-join keyed on any one
+    DATA table would invert on a mid-append crash: docstats committing
+    first made the replay skip the batch and drop its postings/stats
+    forever)."""
     from automated_dow30_earnings_reports_spark.operators.textstats import (
         _write_text_index,
     )
     from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
-    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        publish_staged_batch,
-    )
 
     register(spark)
     ledger = _ensure_committed_ledger(spark, index_path, "docstats")
@@ -543,27 +596,20 @@ def start_text_ingest_stream(
         .load()
     )
 
+    def stage_text(fresh_docs: DataFrame, staging: str) -> None:
+        _write_text_index(fresh_docs, staging, "overwrite")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        committed = sess.read.parquet(ledger).select("doc_id")
-        fresh_ids = (
-            docs.join(batch_df.select("doc_id").distinct(), "doc_id")
-            .join(committed, "doc_id", "left_anti")
-            .select("doc_id")
-            .localCheckpoint(eager=True)
+        _ingest_batch(
+            batch_df,
+            batch_id,
+            key="doc_id",
+            source=docs,
+            index_path=index_path,
+            tables=("docstats", "stats", "postings"),
+            ledger=ledger,
+            stage=stage_text,
         )
-        if fresh_ids.isEmpty():
-            return  # fully-replayed batch: the ledger already has it
-        staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
-        _write_text_index(docs.join(fresh_ids, "doc_id"), staging, "overwrite")
-        publish_staged_batch(
-            staging, index_path, ("docstats", "stats", "postings"), batch_id
-        )
-        # ledger commit LAST, as one file (atomic publish via job commit)
-        fresh_ids.coalesce(1).write.mode("append").parquet(ledger)
 
     writer = arrivals.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
