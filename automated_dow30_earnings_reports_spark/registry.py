@@ -65,23 +65,21 @@ _MODULES = [
 # manual _PRIORITY override below is applied ahead of the LRU order for
 # explicit same-round routing of queries whose rows the artifact scan
 # can't know about yet (e.g. a rename).
-# r7: queries whose engine and/or oracle changed this round (ANSI
-# division guards, the NULL-replicate filter, the recluster-gate
-# assertion, the refactored affected-partition rewrite, the
-# exactly-once staged streaming publish) — routed into the budget so
-# their attestation rows reflect the current code. text_index_delete
-# (new) auto-leads via the never-attested rule; the remaining ~40
-# slots drain the r1/r2 stale-attestation backlog per the r6 verdict.
+# r8: queries whose ENGINE changed this round — the shared
+# exactly-once _ingest_batch helper + manifest-bounded publish scrub
+# (the three streaming ingests), the retry-safe text-index forget
+# (text_index_delete + the crud composition that calls it), and the
+# recluster_if_skewed split (ivf_index_recluster) — routed ahead so
+# their attestation rows reflect the current code. New queries
+# auto-lead the tail via the never-attested rule; the remaining slots
+# drain the r2 cohort entirely and ~25 of r3 per the r7 verdict.
 _PRIORITY: list[str] = [
-    "zipf_law_fit",
-    "chunk_overlap_windows",
-    "embedding_drift_centroid",
-    "bootstrap_ci_mean",
-    "ivf_index_recluster",
-    "ivf_index_delete",
-    "dedup_index_purge",
     "streaming_text_ingest",
     "streaming_dedup_ingest",
+    "streaming_ivf_ingest",
+    "text_index_delete",
+    "text_index_crud_lifecycle",
+    "ivf_index_recluster",
 ]
 
 

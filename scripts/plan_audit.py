@@ -27,6 +27,32 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def audit_metrics(plan: str) -> dict:
+    """The three regression-guarded plan stats (tests/test_plan_budgets.py
+    fails on any increase in exchanges / new Python node / lost pushed
+    filter) plus the read-column widths for the human table."""
+    return {
+        # formatted explain prints tree + detail, so raw counts are halved
+        "exchanges": plan.count("Exchange") // 2,
+        "python": sorted(
+            set(
+                re.findall(
+                    r"EvalPython|MapInPandas|FlatMapGroupsInPandas|ArrowAggregatePython",
+                    plan,
+                )
+            )
+        ),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)) // 2,
+        "read_cols": sorted(
+            {
+                str(s.count(",") + 1)
+                for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+                if s
+            }
+        ),
+    }
+
+
 def main() -> int:
     from automated_dow30_earnings_reports_spark.session import get_spark
 
@@ -36,11 +62,29 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
+    extra = EXTRA
 
-    # Non-headline queries still worth a standing plan audit (new or
-    # plan-interesting operators that didn't make the bench set).
-    extra = [
-        "similarity_ann_ivf_kmeans",
+    print("| query | exchanges | python nodes | pushed filters | read cols |")
+    print("|---|---|---|---|---|")
+    for name in bench.HEADLINE + [q for q in extra if q not in bench.HEADLINE]:
+        try:
+            plan = plan_of(qs[name](spark, sf_dir))
+        except Exception as exc:  # iterative queries execute while building
+            print(f"| {name} | (iterative: {type(exc).__name__}) | | | |")
+            continue
+        m = audit_metrics(plan)
+        print(
+            f"| {name} | {m['exchanges']} | {','.join(m['python']) or '—'} |"
+            f" {m['pushed']} | {','.join(m['read_cols']) or '—'} |"
+        )
+    spark.stop()
+    return 0
+
+
+# Non-headline queries still worth a standing plan audit (new or
+# plan-interesting operators that didn't make the bench set).
+EXTRA = [
+    "similarity_ann_ivf_kmeans",
         "semdedup_prune",
         "unigram_logprob_score",
         "ir_candidate_urls",
@@ -75,34 +119,7 @@ def main() -> int:
         "q5_local_supplier_volume",
         "bm25_retrieval",
         "multimodal_audio_fingerprint",
-    ]
-
-    print("| query | exchanges | python nodes | pushed filters | read cols |")
-    print("|---|---|---|---|---|")
-    for name in bench.HEADLINE + [q for q in extra if q not in bench.HEADLINE]:
-        try:
-            plan = plan_of(qs[name](spark, sf_dir))
-        except Exception as exc:  # iterative queries execute while building
-            print(f"| {name} | (iterative: {type(exc).__name__}) | | | |")
-            continue
-        n_exchange = plan.count("Exchange") // 2
-        python_nodes = sorted(
-            set(re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas|ArrowAggregatePython", plan))
-        )
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)) // 2
-        read_cols = sorted(
-            {
-                str(s.count(",") + 1)
-                for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-                if s
-            }
-        )
-        print(
-            f"| {name} | {n_exchange} | {','.join(python_nodes) or '—'} |"
-            f" {pushed} | {','.join(read_cols) or '—'} |"
-        )
-    spark.stop()
-    return 0
+]
 
 
 if __name__ == "__main__":
