@@ -1374,13 +1374,30 @@ def _append_signature_index(shd_new: DataFrame, path: str) -> None:
     ).parquet(_os.path.join(path, "sizes"))
 
 
-def _probe_signature_index(spark: SparkSession, path: str, is_new: Column) -> DataFrame:
+def _probe_signature_index(
+    spark: SparkSession, path: str, is_new: Column, merge_tombstones: bool = False
+) -> DataFrame:
     """new-vs-old banded probe + exact-jaccard verification, reading
     ONLY the persisted index — the search half of the lifecycle,
-    shared by the batch and streaming ingest queries."""
+    shared by the batch and streaming ingest queries.
+
+    ``merge_tombstones`` is the MERGE-ON-READ forget phase (the
+    text-index _search_text_index twin): every index table anti-joins
+    the K-row ``tombstones`` table at read time, so a forgotten doc can
+    neither anchor a candidate pair nor survive as a neighbor while the
+    bucket partitions are still unrewritten — deletes are visible
+    immediately, the rewrite (_purge_signature_index) runs on
+    maintenance schedule."""
     bands = spark.read.parquet(_os.path.join(path, "bands"))
     shd = spark.read.parquet(_os.path.join(path, "shd")).select("doc_id", "h")
     sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    if merge_tombstones:
+        tombs = spark.read.parquet(_os.path.join(path, "tombstones")).select(
+            "doc_id"
+        )
+        bands = bands.join(F.broadcast(tombs), "doc_id", "left_anti")
+        shd = shd.join(F.broadcast(tombs), "doc_id", "left_anti")
+        sizes = sizes.join(F.broadcast(tombs), "doc_id", "left_anti")
     cand = (
         bands.where(is_new)
         .alias("n")
@@ -1513,6 +1530,35 @@ def dedup_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     purged = docs.where(~is_new & F.expr(PURGE_PRED_SQL)).select("doc_id")
     _purge_signature_index(spark, path, purged)
     return _probe_signature_index(spark, path, is_new)
+
+
+@_register("dedup_index_purge_mor", _purge_oracle())
+def dedup_index_purge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ phase of the signature-index forget story —
+    the two-phase design text_index_delete_mor / ivf_index_delete pin
+    for the other families, completed for the dedup index: the request
+    path writes ONLY the K-row tombstone table (deletes visible
+    immediately, no bucket rewrite on the request path), and the probe
+    anti-joins tombstones against every index table at read time, so
+    the pre-compaction answer already equals the post-compaction one
+    (dedup_index_purge — same oracle). Compaction
+    (_purge_signature_index) then runs on maintenance schedule, not
+    request latency. With this, all three persisted index families
+    expose BOTH forget phases."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % 5 == 4
+    path = _dedup_index_path(sf_dir) + "_mor"
+
+    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
+    _build_signature_index(shd_old, path)
+    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
+    _append_signature_index(shd_new, path)
+
+    # the forget request: tombstones only — no index table is touched
+    docs.where(~is_new & F.expr(PURGE_PRED_SQL)).select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "tombstones"))
+    return _probe_signature_index(spark, path, is_new, merge_tombstones=True)
 
 
 @_register("dedup_index_crud_lifecycle", _purge_oracle())

@@ -2448,6 +2448,110 @@ def text_index_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_text_index(spark, path, merge_tombstones=True)
 
 
+@_register("text_index_vacuum", _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED})"))
+def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum/rollback verb for a quiesced index: a publish that
+    crashed MID-MOVE leaves a manifest, a staged delta, and a partial
+    set of ``ingest-<id>-*`` files — state the exactly-once protocol
+    keeps correct only as long as the batch eventually replays. When
+    the stream is retired instead, rollback_orphan_publishes
+    (sources/parquet_lake.py) scrubs exactly the manifest-listed
+    partition directories, retires the manifest, and reclaims every
+    scratch tree. This query CONSTRUCTS that crash state
+    deterministically (base index on the survivors; the victims' delta
+    staged, its manifest written, exactly one postings file moved in —
+    the worst case: a partial file that silently inflates df for its
+    terms), vacuums, and answers the standing BM25 query. The shared
+    survivors-rebuild oracle breaks if the vacuum misses the partial
+    file (df inflation shifts every score), scrubs too much, or leaves
+    the manifest directing a future scrub at nothing."""
+    import json as _json
+    import shutil as _shutil
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        rollback_orphan_publishes,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_vacuum"
+    _write_text_index(d.where(~F.expr(TEXT_DELETE_PRED)), path, "overwrite")
+
+    # --- construct the crashed publish: stage, manifest, one moved file ---
+    staging = _os.path.join(path, ".staging", "batch-99")
+    _shutil.rmtree(staging, ignore_errors=True)
+    _write_text_index(d.where(F.expr(TEXT_DELETE_PRED)), staging, "overwrite")
+    touched = {}
+    for t in ("postings", "docstats", "stats"):
+        stage_t = _os.path.join(staging, t)
+        touched[t] = [
+            _os.path.relpath(dp, stage_t)
+            for dp, _dirs, files in sorted(_os.walk(stage_t))
+            if any(f.endswith(".parquet") for f in files)
+        ]
+    with open(_os.path.join(path, ".publish-manifest-99.json"), "w") as fh:
+        _json.dump(touched, fh)
+    rel0 = sorted(touched["postings"])[0]
+    src_dir = _os.path.join(staging, "postings", rel0)
+    src = sorted(f for f in _os.listdir(src_dir) if f.endswith(".parquet"))[0]
+    dest_dir = _os.path.join(path, "postings", rel0)
+    _os.makedirs(dest_dir, exist_ok=True)
+    _os.replace(
+        _os.path.join(src_dir, src), _os.path.join(dest_dir, "ingest-99-0.parquet")
+    )
+
+    report = rollback_orphan_publishes(path)
+    if report["rolled_back_batches"] != 1 or report["scrubbed_files"] != 1:
+        raise RuntimeError(f"vacuum did not roll back the crashed batch: {report}")
+    return _search_text_index(spark, path)
+
+
+def _compact_text_tombstones(
+    spark: SparkSession, path: str, request_id: str = "tombstones"
+) -> None:
+    """Retire a standing merge-on-read tombstone set by folding it into
+    the index — the maintenance half text_index_delete_mor's docstring
+    promises: victims are read FROM the tombstone table, erased through
+    the retry-safe _delete_from_text_index (negative stats partial +
+    affected-bucket rewrite + docstats anti-join), and the tombstone
+    table is dropped LAST, so a crash at any point leaves either a
+    still-consistent MOR index (tombstones standing, delete replayable
+    under the same request id) or the fully-compacted one — never a
+    state that double-applies the fold (the read-time stats adjustment
+    and the negative partial can never both be live for the same
+    victim set, because the tombstone drop happens only after the
+    rewrite completes)."""
+    import shutil as _shutil
+
+    victims = spark.read.parquet(_os.path.join(path, "tombstones")).select(
+        "doc_id"
+    )
+    _delete_from_text_index(spark, path, victims, request_id=request_id)
+    _shutil.rmtree(_os.path.join(path, "tombstones"))
+
+
+@_register("text_index_mor_compact", _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED})"))
+def text_index_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forget story's third act: build → merge-on-read delete
+    (tombstones only, the text_index_delete_mor request path) →
+    COMPACTION that consumes the tombstones (_compact_text_tombstones:
+    fold into a negative stats partial + affected-bucket rewrite, then
+    retire the tombstone table) → answer the standing query from the
+    PLAIN read path (merge_tombstones=False). The oracle is the shared
+    survivors-rebuild BM25, so a compaction that loses a tombstone,
+    double-applies the stats fold, or leaves the read path dependent on
+    the retired table breaks the hash. Closes the loop the MOR query
+    leaves open: deletes are visible immediately AND the read-time
+    anti-join cost is eventually reclaimed on maintenance schedule."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_morcompact"
+    _write_text_index(d, path, "overwrite")
+    d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "tombstones"))
+    _compact_text_tombstones(spark, path)
+    return _search_text_index(spark, path)
+
+
 @_register(
     "text_index_crud_lifecycle",
     _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED} AND doc_id % 3 < 2)"),

@@ -169,6 +169,70 @@ def publish_staged_batch(
     _shutil.rmtree(staging_root, ignore_errors=True)
 
 
+def rollback_orphan_publishes(live_root: str) -> dict[str, int]:
+    """Vacuum a QUIESCED index: roll back every crashed publish and
+    reclaim its scratch space. Only call this when no stream is running
+    against the index and none will replay its checkpoint — a live
+    stream's replay NEEDS the manifest + staged tree this removes (it
+    would re-publish the batch correctly anyway, but the vacuum races
+    the publish).
+
+    A leftover ``.publish-manifest-<id>.json`` means publish_staged_batch
+    crashed mid-move: the manifest (written before any move) names
+    exactly the live partition directories the attempt could have
+    touched, so the rollback scrubs ``ingest-<id>-*`` files from those
+    directories only — the same batch-footprint bound as the publish's
+    own scrub, never an O(index) walk — then retires the manifest.
+    Because the committed ledger is appended only AFTER a publish
+    completes and its manifest is removed, any manifest still on disk
+    belongs to a batch the ledger does NOT contain; rolling its partial
+    files back restores cross-table consistency (a half-moved batch
+    leaves table A with rows table B never got).
+
+    Also reclaimed: the ``.staging`` tree (crashed attempts' deltas,
+    rebuilt from batch content on any replay), a ``.committed-seed-tmp``
+    (crashed ledger bootstrap, rebuilt at next stream start), and
+    ``.forget-stage-*`` dirs (crashed forget-request staging, rebuilt on
+    retry). Returns per-category counts for the vacuum report."""
+    import json as _json
+    import re as _re
+    import shutil as _shutil
+
+    report = {"rolled_back_batches": 0, "scrubbed_files": 0, "scratch_dirs": 0}
+    if not _os.path.isdir(live_root):
+        return report
+    for entry in sorted(_os.listdir(live_root)):
+        m = _re.fullmatch(r"\.publish-manifest-(\d+)\.json", entry)
+        if not m:
+            continue
+        tag = f"{BATCH_FILE_PREFIX}{m.group(1)}-"
+        manifest = _os.path.join(live_root, entry)
+        try:
+            with open(manifest) as fh:
+                touched = _json.load(fh)
+        except (OSError, ValueError):
+            touched = {}
+        for t, rels in touched.items():
+            live = _os.path.join(live_root, t)
+            for rel in rels:
+                d = live if rel == "." else _os.path.join(live, rel)
+                if not _os.path.isdir(d):
+                    continue
+                for f in _os.listdir(d):
+                    if f.startswith(tag):
+                        _os.remove(_os.path.join(d, f))
+                        report["scrubbed_files"] += 1
+        _os.remove(manifest)
+        report["rolled_back_batches"] += 1
+    for entry in sorted(_os.listdir(live_root)):
+        if entry == ".staging" or entry == ".committed-seed-tmp" or entry.startswith(
+            ".forget-stage-"
+        ):
+            _shutil.rmtree(_os.path.join(live_root, entry), ignore_errors=True)
+            report["scratch_dirs"] += 1
+    return report
+
+
 def rewrite_affected_partitions(
     spark: SparkSession,
     table_path: str,

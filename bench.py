@@ -192,6 +192,10 @@ HEADLINE = [
     "text_index_crud_lifecycle",
     "ivf_index_crud_lifecycle",
     "dedup_index_crud_lifecycle",
+    # round 8
+    "dedup_index_purge_mor",
+    "text_index_mor_compact",
+    "text_index_vacuum",
 ]
 
 

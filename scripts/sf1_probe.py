@@ -349,6 +349,73 @@ def _time_text_index_search(spark, sf_dir: str) -> float:
     return best
 
 
+def _time_text_index_mor_search(spark, sf_dir: str) -> float:
+    """Search-only wall clock over a pre-built text index with a
+    STANDING tombstone set (merge_tombstones=True) — the read-time
+    anti-join + stats fold every query pays between a merge-on-read
+    forget and the next compaction. Compared against the plain
+    text_index_search row: the delta must be tombstone-sized (a
+    broadcast anti-join over the pruned buckets + a K-row stats
+    adjustment), never corpus-sized."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        TEXT_DELETE_PRED,
+        _search_text_index,
+        _text_index_path,
+        _write_text_index,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _text_index_path(sf_dir) + "_morprobe"
+    # rebuild unconditionally (untimed): stale layouts must not be timed
+    _write_text_index(d, path, "overwrite")
+    d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "tombstones"))
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _search_text_index(spark, path, merge_tombstones=True).collect()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
+def _time_ledger_bootstrap(spark, sf_dir: str) -> float:
+    """One-time cost of adopting a pre-ledger index for streaming
+    ingest (_ensure_committed_ledger): a driver-side walk of the base
+    table's files + one distinct over its keys. Probed against a
+    FRAGMENTED index (base build + three appends -> 4x the docstats
+    files) so the row reflects the worst realistic file count; the
+    claim under test is that this is index-sized ONCE at stream start,
+    never per batch."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _text_index_path,
+        _write_text_index,
+    )
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        _ensure_committed_ledger,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _text_index_path(sf_dir) + "_ledgerprobe"
+    gen = F.col("doc_id") % 4
+    _write_text_index(d.where(gen == 0), path, "overwrite")
+    for g in (1, 2, 3):
+        _write_text_index(d.where(gen == g), path, "append")
+    best = None
+    for _ in range(2):
+        shutil.rmtree(os.path.join(path, "committed"), ignore_errors=True)
+        t0 = time.time()
+        _ensure_committed_ledger(spark, path, "docstats")
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
 def _timed_inner(mod, attr, query_fn, spark, sf_dir) -> float:
     """Run ``query_fn`` end-to-end but report ONLY the wall-clock spent
     inside ``mod.attr`` (the maintenance verb) — the build/ingest that
@@ -473,6 +540,19 @@ def main() -> int:
         t_big = _time_text_index_search(spark, SF1)
         print(
             f"| text_index_search (loaded, build amortized) | {t_small:.2f} "
+            f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
+        )
+        t_small = _time_text_index_mor_search(spark, SF01)
+        t_big = _time_text_index_mor_search(spark, SF1)
+        print(
+            f"| text_index_search +standing tombstones (MOR read) | {t_small:.2f} "
+            f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
+        )
+    if not filters or "--ledger-bootstrap" in sys.argv:
+        t_small = _time_ledger_bootstrap(spark, SF01)
+        t_big = _time_ledger_bootstrap(spark, SF1)
+        print(
+            f"| ledger bootstrap (fragmented index, one-time) | {t_small:.2f} "
             f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
         )
     spark.stop()

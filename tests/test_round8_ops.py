@@ -122,6 +122,87 @@ def test_publish_manifest_recovers_crashed_attempt_partitions(spark):
     assert not os.path.exists(os.path.join(live, ".publish-manifest-9.json"))
 
 
+def test_dedup_mor_probe_equals_compacted_purge(spark, sf_smoke):
+    """Both forget phases of the signature index must answer the
+    standing probe identically: the merge-on-read read (tombstones
+    anti-joined at query time, index untouched) and the compacted read
+    (bucket partitions rewritten). The MOR path must also leave every
+    index table byte-identical to the pre-delete build."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    mor = [tuple(r) for r in qs["dedup_index_purge_mor"](spark, sf_smoke).collect()]
+    compacted = [
+        tuple(r) for r in qs["dedup_index_purge"](spark, sf_smoke).collect()
+    ]
+    assert mor == compacted
+    # the request path wrote only the tombstone table: victims' rows
+    # are still physically present in the MOR index
+    from automated_dow30_earnings_reports_spark.operators.dedup import (
+        PURGE_PRED_SQL,
+        _dedup_index_path,
+    )
+
+    path = _dedup_index_path(sf_smoke) + "_mor"
+    for table in ("bands", "shd", "sizes"):
+        tbl = spark.read.parquet(os.path.join(path, table))
+        assert tbl.where(F.expr(PURGE_PRED_SQL)).count() > 0
+
+
+def test_text_mor_compact_retires_tombstones(spark, sf_smoke):
+    """Compaction must consume the tombstone table: after
+    text_index_mor_compact the tombstones directory is gone, the plain
+    read path answers without it, and the result equals the eager
+    delete path's (text_index_delete) — the three forget phases (MOR
+    read, eager delete, tombstone-folding compaction) converge."""
+    import __spark_entry__ as e
+
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        TEXT_DELETE_PRED,
+        _text_index_path,
+    )
+
+    qs = e.queries()
+    got = [tuple(r) for r in qs["text_index_mor_compact"](spark, sf_smoke).collect()]
+    eager = [tuple(r) for r in qs["text_index_delete"](spark, sf_smoke).collect()]
+    assert got == eager
+
+    path = _text_index_path(sf_smoke) + "_morcompact"
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    for table in ("postings", "docstats"):
+        tbl = spark.read.parquet(os.path.join(path, table))
+        assert tbl.where(F.expr(TEXT_DELETE_PRED)).count() == 0
+
+
+def test_vacuum_is_a_noop_on_a_clean_index(spark, tmp_path):
+    """rollback_orphan_publishes on an index with no crashed state must
+    report zeros and leave the tables untouched; a completed publish's
+    files are never scrubbed (its manifest is gone)."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+        rollback_orphan_publishes,
+    )
+
+    live = str(tmp_path / "idx")
+    staging = str(tmp_path / "staging")
+    spark.range(0, 8).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(live, "t")
+    )
+    spark.range(8, 12).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(staging, "t")
+    )
+    publish_staged_batch(staging, live, ("t",), 4)
+
+    report = rollback_orphan_publishes(live)
+    assert report == {
+        "rolled_back_batches": 0,
+        "scrubbed_files": 0,
+        "scratch_dirs": 0,
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(os.path.join(live, "t")).collect()}
+    assert got == set(range(12))
+
+
 def test_recluster_if_skewed_is_a_noop_on_healthy_index(spark, sf_smoke, tmp_path):
     """The reusable maintenance verb must treat 'index not skewed' as a
     legitimate no-maintenance state — return (False, skew) and leave
