@@ -1532,6 +1532,54 @@ def dedup_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_signature_index(spark, path, is_new)
 
 
+def _dedup_index_stats_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_sql_prefix()},
+    per_bucket AS (
+      SELECT band_id, band_key, COUNT(*) AS c
+      FROM bandkeys GROUP BY band_id, band_key
+    )
+    SELECT CAST(band_id AS INT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_bucket
+    FROM per_bucket GROUP BY band_id ORDER BY band_id
+    """
+
+
+@_register("dedup_index_stats", _dedup_index_stats_oracle())
+def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring verb for the persisted signature index — the
+    ivf_index_stats twin the dedup family lacked: per-band occupancy
+    (distinct band keys, total rows, LARGEST bucket) read from the
+    stored bands table. max_bucket is the skew signal that drives
+    maintenance: the banded probe's cost is bounded by the largest
+    (band_id, band_key) bucket (the LSH_BUCKET_CAP gate in
+    dedup_minhash_lsh exists precisely because one hot bucket turns
+    the self-join quadratic), so a drifting max_bucket says 'cap or
+    re-shingle' the way ivf skew says 're-cluster'. The oracle
+    recomputes the banding from the raw corpus, so the row doubles as
+    an anti-entropy check of the persisted band keys themselves."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    path = _dedup_index_path(sf_dir) + "_statsq"
+    shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
+    _build_signature_index(shd, path)
+    bands = spark.read.parquet(_os.path.join(path, "bands"))
+    per_bucket = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_bucket.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+        )
+        .select(F.col("band_id").cast("int").alias("band_id"), "n_keys", "n_rows", "max_bucket")
+        .orderBy("band_id")
+    )
+
+
 @_register("dedup_index_purge_mor", _purge_oracle())
 def dedup_index_purge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MERGE-ON-READ phase of the signature-index forget story —

@@ -2448,6 +2448,54 @@ def text_index_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_text_index(spark, path, merge_tombstones=True)
 
 
+def _text_index_stats_oracle() -> str:
+    from automated_dow30_earnings_reports_spark.operators.dedup import _h_of
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM terms GROUP BY term, doc_id),
+    b AS (SELECT ({_h_of("term")}) % {TEXT_INDEX_BUCKETS} AS bucket, term, tf FROM tf)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf
+    FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("text_index_stats", _text_index_stats_oracle())
+def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring verb for the persisted text index — the
+    ivf_index_stats twin (dedup_index_stats completes the trio): per
+    md5-term-bucket occupancy (distinct terms, posting rows, summed
+    term frequency) read from the STORED postings. Bucket skew here is
+    the text index's maintenance signal the way cell skew drives
+    ivf_index_recluster: the search's directory-pruned read pays for
+    exactly the query terms' buckets, so one hot bucket sets the
+    latency floor of every query whose term hashes into it. The oracle
+    recomputes the bucketing from the raw corpus (the shared 28-bit
+    md5 digest contract), so a green hash is also an anti-entropy
+    check that the persisted postings match a from-scratch build
+    row-for-row."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = _text_index_path(sf_dir) + "_statsq"
+    _write_text_index(d, path, "overwrite")
+    post = spark.read.parquet(_os.path.join(path, "postings"))
+    return (
+        post.groupBy("bucket")
+        .agg(
+            F.countDistinct("term").cast("bigint").alias("n_terms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_terms", "n_postings", "sum_tf")
+        .orderBy("bucket")
+    )
+
+
 @_register("text_index_vacuum", _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED})"))
 def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vacuum/rollback verb for a quiesced index: a publish that

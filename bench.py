@@ -196,6 +196,8 @@ HEADLINE = [
     "dedup_index_purge_mor",
     "text_index_mor_compact",
     "text_index_vacuum",
+    "text_index_stats",
+    "dedup_index_stats",
 ]
 
 

@@ -51,6 +51,14 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
         "text_index_crud_lifecycle",
         "ivf_index_crud_lifecycle",
         "dedup_index_crud_lifecycle",
+        # r8: merge-on-read forget phases + the vacuum query (its
+        # constructed crash state and the retry-safe forget partial
+        # must both reset under the build's overwrite)
+        "dedup_index_purge_mor",
+        "text_index_mor_compact",
+        "text_index_vacuum",
+        "text_index_stats",
+        "dedup_index_stats",
     ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):

@@ -49,6 +49,11 @@ _EXECUTES_ON_BUILD = {
     "streaming_text_ingest",
     "streaming_dedup_ingest",
     "streaming_ivf_ingest",
+    "dedup_index_purge_mor",
+    "text_index_mor_compact",
+    "text_index_vacuum",
+    "text_index_stats",
+    "dedup_index_stats",
 }
 
 

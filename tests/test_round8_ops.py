@@ -244,6 +244,104 @@ def test_recluster_if_skewed_is_a_noop_on_healthy_index(spark, sf_smoke, tmp_pat
     assert skew2 >= RECLUSTER_SKEW_THRESHOLD
 
 
+def test_streaming_ivf_ingest_recovers_from_crashed_publish(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """The ivf stream now rides the shared _ingest_batch protocol; this
+    is its crash drill (the text/dedup twins live in test_round7_ops):
+    attempt 1 of batch 0 dies MID-MOVE — manifest on disk, exactly one
+    ingest-0-* file moved into a live cell, no ledger entry — and the
+    real stream must replay the batch to an index identical to the
+    never-streamed full-corpus IVF (the manifest-directed scrub removes
+    the partial file before the republish)."""
+    import os as _osmod
+
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_APPEND_SPLIT,
+        IVF_CELLS,
+        _assign_cells,
+        _emb,
+        _query_vectors,
+        _search_index,
+        similarity_ann_ivf,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+        write_partitioned,
+    )
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        start_ivf_ingest_stream,
+    )
+
+    register(spark)
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "index")
+
+    e = _emb(spark, sf_smoke).localCheckpoint(eager=True)
+    old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
+    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    write_partitioned(
+        _assign_cells(old, cents),
+        os.path.join(index_path, "postings"),
+        ["cell"],
+        dynamic=False,
+    )
+    batch = e.where(F.col("vec_id") >= IVF_APPEND_SPLIT)
+    batch.select("vec_id").write.format("kvlinks").option("path", landing).mode(
+        "append"
+    ).save()
+
+    # --- attempt 1 of batch 0: stage the real delta, then crash after
+    # the FIRST os.replace (manifest written, one partial file live) ---
+    staging = os.path.join(index_path, ".staging", "batch-0")
+    idx_cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    write_partitioned(
+        _assign_cells(batch, idx_cents),
+        os.path.join(staging, "postings"),
+        ["cell"],
+        dynamic=False,
+    )
+    real_replace = _osmod.replace
+    moves = {"n": 0}
+
+    def crashing_replace(src, dst):
+        if moves["n"] >= 1:
+            raise OSError("simulated crash mid-move")
+        moves["n"] += 1
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_osmod, "replace", crashing_replace)
+    try:
+        publish_staged_batch(staging, index_path, ("postings",), 0)
+        raise AssertionError("publish was supposed to crash mid-move")
+    except OSError:
+        pass
+    monkeypatch.setattr(_osmod, "replace", real_replace)
+    manifest = os.path.join(index_path, ".publish-manifest-0.json")
+    assert os.path.exists(manifest)  # the crash left its touched-set
+
+    # --- the real stream replays batch 0 against the same landing ---
+    q = start_ivf_ingest_stream(spark, landing, index_path, ckpt, e)
+    assert q.awaitTermination(180)
+
+    p = spark.read.parquet(os.path.join(index_path, "postings"))
+    assert p.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+    assert p.count() == e.count()
+    assert not os.path.exists(manifest)  # the republish retired it
+    got = [
+        tuple(r) for r in _search_index(p, idx_cents, _query_vectors(e)).collect()
+    ]
+    want = [tuple(r) for r in similarity_ann_ivf(spark, sf_smoke).collect()]
+    assert got == want and got
+
+
 def test_text_index_delete_is_retry_safe(spark):
     """Replaying a forget request must be a no-op at every crash point:
     (a) full-op replay after completion — the retry must NOT re-derive
