@@ -225,11 +225,21 @@ def rollback_orphan_publishes(live_root: str) -> dict[str, int]:
         _os.remove(manifest)
         report["rolled_back_batches"] += 1
     for entry in sorted(_os.listdir(live_root)):
-        if entry == ".staging" or entry == ".committed-seed-tmp" or entry.startswith(
-            ".forget-stage-"
+        if (
+            entry in (".staging", ".committed-seed-tmp", ".committed-compact-tmp")
+            or entry.startswith(".forget-stage-")
         ):
             _shutil.rmtree(_os.path.join(live_root, entry), ignore_errors=True)
             report["scratch_dirs"] += 1
+    # the parked pre-compaction ledger is a RECOVERY source while
+    # `committed` is missing (see incremental._ensure_committed_ledger);
+    # it is scratch only once the swapped-in ledger exists
+    old_ledger = _os.path.join(live_root, ".committed-old")
+    if _os.path.isdir(old_ledger) and _os.path.isdir(
+        _os.path.join(live_root, "committed")
+    ):
+        _shutil.rmtree(old_ledger, ignore_errors=True)
+        report["scratch_dirs"] += 1
     return report
 
 

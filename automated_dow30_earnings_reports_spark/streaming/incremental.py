@@ -352,6 +352,15 @@ def _ensure_committed_ledger(
     ledger = os.path.join(index_path, "committed")
     if os.path.isdir(ledger):
         return ledger
+    # a ledger compaction (compact_committed_ledger) that crashed
+    # between its two renames left the complete pre-compaction ledger
+    # parked at .committed-old — restore it rather than re-seeding from
+    # base files (a re-seed would forget every streamed batch's keys,
+    # and a later duplicate arrival would re-ingest them)
+    old = os.path.join(index_path, ".committed-old")
+    if os.path.isdir(old):
+        os.rename(old, ledger)
+        return ledger
     tmp = os.path.join(index_path, ".committed-seed-tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     tdir = os.path.join(index_path, base_table)
@@ -375,6 +384,48 @@ def _ensure_committed_ledger(
         )
     os.rename(tmp, ledger)
     return ledger
+
+
+def compact_committed_ledger(spark: SparkSession, index_path: str) -> int:
+    """Fold the replay ledger back to one file. Every committed batch
+    appends a one-file delta (the commit must be a single atomic
+    append), so a long-running ingest leaves the ledger as O(batches)
+    small files and the per-batch anti-join read pays an O(batches)
+    listing. This maintenance verb (run on the same quiesced schedule
+    as index compaction — NOT concurrently with a live stream, whose
+    in-flight batch could commit between the read and the swap)
+    rewrites the distinct keys to a single file via the same
+    temp-dir + atomic-rename protocol as the bootstrap seed, so a
+    crash leaves either the old fragmented ledger or the compacted
+    one, never a partial. Returns the number of files reclaimed.
+    Key-set equality and crash-atomicity pinned in
+    tests/test_round8_ops.py."""
+    import shutil
+
+    ledger = os.path.join(index_path, "committed")
+    before = sum(
+        1
+        for dp, _dirs, files in os.walk(ledger)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if before <= 1:
+        return 0
+    tmp = os.path.join(index_path, ".committed-compact-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(ledger)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = os.path.join(index_path, ".committed-old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(ledger, old)
+    os.rename(tmp, ledger)
+    shutil.rmtree(old, ignore_errors=True)
+    return before - 1
 
 
 def _ingest_batch(

@@ -244,6 +244,58 @@ def test_recluster_if_skewed_is_a_noop_on_healthy_index(spark, sf_smoke, tmp_pat
     assert skew2 >= RECLUSTER_SKEW_THRESHOLD
 
 
+def test_ledger_compaction_preserves_keys_and_recovers_from_crash(spark, tmp_path):
+    """compact_committed_ledger folds the O(batches)-file replay ledger
+    to one file with an identical key set; a crash between its two
+    renames (ledger parked at .committed-old, swap incomplete) must be
+    recovered by _ensure_committed_ledger restoring the parked ledger —
+    NOT re-seeding from base files, which would forget streamed keys
+    and let a later duplicate arrival re-ingest them."""
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        _ensure_committed_ledger,
+        compact_committed_ledger,
+    )
+
+    index = str(tmp_path / "index")
+    spark.range(0, 4).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(index, "docstats")
+    )
+    ledger = _ensure_committed_ledger(spark, index, "docstats")
+    # three committed batches -> three one-file appends
+    for lo in (4, 8, 12):
+        spark.range(lo, lo + 4).selectExpr("id AS doc_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+
+    def keys():
+        return {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+
+    def n_files():
+        return sum(
+            1
+            for dp, _d, fs in os.walk(ledger)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = keys()
+    assert n_files() >= 4
+    reclaimed = compact_committed_ledger(spark, index)
+    assert reclaimed >= 3
+    assert n_files() == 1
+    assert keys() == before
+    # idempotent: already-compacted ledger is a no-op
+    assert compact_committed_ledger(spark, index) == 0
+
+    # crash between the two renames: ledger missing, .committed-old holds
+    # the complete pre-compaction ledger
+    os.rename(ledger, os.path.join(index, ".committed-old"))
+    restored = _ensure_committed_ledger(spark, index, "docstats")
+    assert restored == ledger
+    assert keys() == before
+    assert not os.path.exists(os.path.join(index, ".committed-old"))
+
+
 def test_streaming_ivf_ingest_recovers_from_crashed_publish(
     spark, sf_smoke, tmp_path, monkeypatch
 ):
