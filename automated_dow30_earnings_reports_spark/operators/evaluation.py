@@ -384,19 +384,32 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bin"),
     )
+    # aggregate FIRST (map-side partial combine collapses the corpus to
+    # <= PSI_BINS rows before any shuffle), then left-join the 12-row
+    # bin spine to surface empty bins — the earlier join-then-group form
+    # shuffled the entire corpus onto 12 bin keys (a 12-key skew wall at
+    # 100 TB) just to keep empty bins present
+    agg = binned.groupBy("bin").agg(
+        F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("ref_cnt"),
+        F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("cur_cnt"),
+    )
     counts = (
         spark.range(PSI_BINS)
         .select(F.col("id").alias("bin"))
-        .join(binned, "bin", "left")
-        .groupBy("bin")
-        .agg(
-            F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0))
-            .cast("bigint")
-            .alias("ref_cnt"),
-            F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0))
-            .cast("bigint")
-            .alias("cur_cnt"),
+        .join(F.broadcast(agg), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
         )
+        # <= PSI_BINS rows feeding both the totals aggregate and the
+        # per-bin terms — checkpoint so the corpus aggregation subtree
+        # is not re-derived per consumer (the bounded-frame convention)
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(
         F.sum("ref_cnt").alias("ref_tot"), F.sum("cur_cnt").alias("cur_tot")

@@ -80,6 +80,9 @@ _PRIORITY: list[str] = [
     "text_index_delete",
     "text_index_crud_lifecycle",
     "ivf_index_recluster",
+    # r8 plan fix: aggregate-then-join-the-bin-spine (was a corpus
+    # shuffle onto 12 bin keys); values unchanged, re-attest anyway
+    "psi_feature_drift",
 ]
 
 

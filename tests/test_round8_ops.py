@@ -244,6 +244,74 @@ def test_recluster_if_skewed_is_a_noop_on_healthy_index(spark, sf_smoke, tmp_pat
     assert skew2 >= RECLUSTER_SKEW_THRESHOLD
 
 
+def test_publish_replays_to_exactly_once_from_every_crash_point(spark, tmp_path):
+    """Sweep EVERY move-crash offset of a multi-table publish (not just
+    the hand-picked ones): for each k, attempt 1 dies after its k-th
+    os.replace, then the batch replays from a re-staged delta. The
+    final state must be byte-identical in CONTENT to a never-crashed
+    publish for every k — no duplicate rows, no missing table's rows,
+    no leftover manifest."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
+
+    def stage(root):
+        staging = os.path.join(root, "staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        spark.createDataFrame(
+            [(c, i) for c in (0, 1) for i in range(2)], "cell int, v int"
+        ).repartition(F.col("cell")).write.partitionBy("cell").parquet(
+            os.path.join(staging, "a")
+        )
+        spark.range(100, 103).selectExpr("id AS v").coalesce(1).write.parquet(
+            os.path.join(staging, "b")
+        )
+        return staging
+
+    def table_rows(live):
+        a = sorted(
+            (r["cell"], r["v"])
+            for r in spark.read.parquet(os.path.join(live, "a")).collect()
+        )
+        b = sorted(r["v"] for r in spark.read.parquet(os.path.join(live, "b")).collect())
+        return a, b
+
+    # ground truth: a never-crashed publish
+    clean = str(tmp_path / "clean")
+    publish_staged_batch(stage(clean), clean, ("a", "b"), 1)
+    want = table_rows(clean)
+    total_moves = 3  # 2 'a' partition files + 1 'b' file
+
+    import os as _osmod
+
+    real_replace = _osmod.replace
+    for k in range(total_moves):
+        live = str(tmp_path / f"crash_at_{k}")
+        staging = stage(live)
+        left = {"n": k}
+
+        def crashing(src, dst, _left=left):
+            if _left["n"] == 0:
+                raise OSError("simulated crash")
+            _left["n"] -= 1
+            return real_replace(src, dst)
+
+        _osmod.replace = crashing
+        try:
+            publish_staged_batch(staging, live, ("a", "b"), 1)
+            raise AssertionError(f"k={k}: publish was supposed to crash")
+        except OSError:
+            pass
+        finally:
+            _osmod.replace = real_replace
+        # replay from a re-staged delta (overwrite semantics upstream)
+        publish_staged_batch(stage(live), live, ("a", "b"), 1)
+        assert table_rows(live) == want, f"crash at move {k}"
+        assert not any(
+            f.startswith(".publish-manifest") for f in os.listdir(live)
+        ), f"crash at move {k}: manifest not retired"
+
+
 def test_ledger_compaction_preserves_keys_and_recovers_from_crash(spark, tmp_path):
     """compact_committed_ledger folds the O(batches)-file replay ledger
     to one file with an identical key set; a crash between its two
