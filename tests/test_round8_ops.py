@@ -244,6 +244,66 @@ def test_recluster_if_skewed_is_a_noop_on_healthy_index(spark, sf_smoke, tmp_pat
     assert skew2 >= RECLUSTER_SKEW_THRESHOLD
 
 
+def test_stream_recovers_from_crash_between_publish_and_ledger(
+    spark, sf_smoke, tmp_path
+):
+    """The last crash window in the commit protocol: the batch's delta
+    is FULLY published (all tables, manifest retired) but the process
+    dies before the ledger append. The replay's anti-join sees the keys
+    as uncommitted and re-publishes the whole batch — the scrub must
+    swallow the previous complete publish so nothing duplicates, and
+    the ledger finally records the batch."""
+    from automated_dow30_earnings_reports_spark.operators.textstats import (
+        _search_text_index,
+        _write_text_index,
+        bm25_retrieval,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+    )
+    from automated_dow30_earnings_reports_spark.streaming.incremental import (
+        start_text_ingest_stream,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    register(spark)
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "index")
+
+    d = load_table(spark, sf_smoke, "documents").localCheckpoint(eager=True)
+    n = d.count()
+    base = d.where(F.col("doc_id") < n // 2)
+    batch = d.where(F.col("doc_id") >= n // 2)
+    _write_text_index(base, index_path, "overwrite")
+    batch.select("doc_id").write.format("kvlinks").option("path", landing).mode(
+        "append"
+    ).save()
+
+    # attempt 1 of batch 0: publish COMPLETES across all three tables,
+    # then the crash lands before the ledger append
+    staging = os.path.join(index_path, ".staging", "batch-0")
+    _write_text_index(batch, staging, "overwrite")
+    publish_staged_batch(
+        staging, index_path, ("docstats", "stats", "postings"), 0
+    )
+    assert spark.read.parquet(os.path.join(index_path, "docstats")).count() == n
+    assert not os.path.exists(os.path.join(index_path, "committed"))
+
+    q = start_text_ingest_stream(spark, landing, index_path, ckpt, d)
+    assert q.awaitTermination(180)
+
+    ds = spark.read.parquet(os.path.join(index_path, "docstats"))
+    assert ds.count() == n
+    assert ds.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    # stats: base partial + exactly ONE batch partial (not two)
+    assert spark.read.parquet(os.path.join(index_path, "stats")).count() == 2
+    got = [tuple(r) for r in _search_text_index(spark, index_path).collect()]
+    scan = [tuple(r) for r in bm25_retrieval(spark, sf_smoke).collect()]
+    assert got == scan
+
+
 def test_publish_replays_to_exactly_once_from_every_crash_point(spark, tmp_path):
     """Sweep EVERY move-crash offset of a multi-table publish (not just
     the hand-picked ones): for each k, attempt 1 dies after its k-th
