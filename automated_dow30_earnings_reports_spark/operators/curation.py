@@ -520,14 +520,22 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
     )
     lo = mass.agg(F.min("m").alias("min_m"))
-    th = mass.crossJoin(F.broadcast(lo)).select(
-        "source",
-        "n_docs",
-        F.floor(
-            _RS_SPACE * F.sqrt(F.col("min_m").cast("double") / F.col("m"))
+    th = (
+        mass.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_docs",
+            F.floor(
+                _RS_SPACE * F.sqrt(F.col("min_m").cast("double") / F.col("m"))
+            )
+            .cast("bigint")
+            .alias("threshold"),
         )
-        .cast("bigint")
-        .alias("threshold"),
+        # source-cardinality frame referenced by BOTH the keep gate and
+        # the final report — checkpoint so the corpus mass aggregate
+        # (and the min-mass aggregate under it) run once, not once per
+        # consumer (the bounded-frame convention)
+        .localCheckpoint(eager=True)
     )
     dg = _rs_digest_col(F.col("doc_id").cast("string"))
     kept = (

@@ -537,7 +537,8 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
         F.count("*").cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row, read by binning AND read-out:
+    # without the checkpoint each consumer re-runs the corpus extent scan
     binned = (
         e.crossJoin(F.broadcast(ext))
         .select(

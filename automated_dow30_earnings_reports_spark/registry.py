@@ -80,9 +80,13 @@ _PRIORITY: list[str] = [
     "text_index_delete",
     "text_index_crud_lifecycle",
     "ivf_index_recluster",
-    # r8 plan fix: aggregate-then-join-the-bin-spine (was a corpus
-    # shuffle onto 12 bin keys); values unchanged, re-attest anyway
+    # r8 plan fixes: aggregate-then-join-the-bin-spine (psi was a corpus
+    # shuffle onto 12 bin keys) + bounded-frame checkpoints that stop
+    # per-consumer re-derivation of corpus aggregates; values unchanged,
+    # re-attest anyway
     "psi_feature_drift",
+    "temperature_resample",
+    "quantile_sketch_events",
 ]
 
 

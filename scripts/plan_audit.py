@@ -32,7 +32,11 @@ def audit_metrics(plan: str) -> dict:
     fails on any increase in exchanges / new Python node / lost pushed
     filter) plus the read-column widths for the human table."""
     return {
-        # formatted explain prints tree + detail, so raw counts are halved
+        # formatted explain prints node NAMES in tree + detail, so the
+        # Exchange count is halved; PushedFilters lines appear ONLY in
+        # the detail section (one per scan node) and are counted as-is
+        # (the old //2 under-counted once duplicate subtrees were
+        # checkpointed away — caught by the budget test itself)
         "exchanges": plan.count("Exchange") // 2,
         "python": sorted(
             set(
@@ -42,7 +46,7 @@ def audit_metrics(plan: str) -> dict:
                 )
             )
         ),
-        "pushed": len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)) // 2,
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)),
         "read_cols": sorted(
             {
                 str(s.count(",") + 1)
