@@ -2140,8 +2140,16 @@ def skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("p_lo", "p_hi")
     )
     # Per distinct (bucket, price): latest date (covers the equal-price
-    # dominance case) …
-    pg = ob.groupBy("bucket", "o_totalprice").agg(F.max("o_orderdate").alias("e_max"))
+    # dominance case) … Checkpointed: three consumers (the in-bucket
+    # window, the cross-bucket max, the survivor filter) each re-derived
+    # the orders scan + bucket aggregate otherwise (8 scans -> 3). The
+    # frame is the aggregated (bucket, price) grain — never larger than
+    # the input and materialized once instead of shuffled per consumer.
+    pg = (
+        ob.groupBy("bucket", "o_totalprice")
+        .agg(F.max("o_orderdate").alias("e_max"))
+        .localCheckpoint(eager=True)
+    )
     # … and the in-bucket strictly-higher-price prefix (distinct prices,
     # so "rows preceding" == "strictly higher").
     w_in = (

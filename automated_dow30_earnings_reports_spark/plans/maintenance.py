@@ -303,9 +303,18 @@ def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
     o0 = o.where(F.col("o_orderdate") < F.lit(MVJ_O_CUTOFF))
-    do = o.where(F.col("o_orderdate") >= F.lit(MVJ_O_CUTOFF))
     l0 = li.where(F.col("l_shipdate") < F.lit(MVJ_L_CUTOFF))
-    dl = li.where(F.col("l_shipdate") >= F.lit(MVJ_L_CUTOFF))
+    # the delta sides each feed TWO of the three delta joins — they are
+    # ingest-batch-sized by the refresh cost model, so materialize them
+    # once instead of re-scanning the fact per join (the base slices
+    # stay lazy: re-reading parquet twice with pushed date filters
+    # beats materializing history-sized frames)
+    do = o.where(F.col("o_orderdate") >= F.lit(MVJ_O_CUTOFF)).localCheckpoint(
+        eager=True
+    )
+    dl = li.where(F.col("l_shipdate") >= F.lit(MVJ_L_CUTOFF)).localCheckpoint(
+        eager=True
+    )
 
     def partials(os_: DataFrame, ls_: DataFrame) -> DataFrame:
         return (

@@ -87,6 +87,8 @@ _PRIORITY: list[str] = [
     "psi_feature_drift",
     "temperature_resample",
     "quantile_sketch_events",
+    "skyline_price_date",
+    "mv_join_delta_refresh",
 ]
 
 
