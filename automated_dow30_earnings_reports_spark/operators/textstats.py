@@ -674,10 +674,18 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     big = _doc_bigrams(d)
     uni = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count("*").alias("cu"))
-    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    total_uni = uni.agg(F.count("*").alias("total_uni"))
-    total_big = big.agg(F.count("*").alias("total_big"))
+    # count aggregates checkpointed at vocabulary grain: each feeds the
+    # PMI join AND its own total, and the totals are exact integer SUMs
+    # over the counts — deriving them from the aggregates instead of
+    # re-scanning the corpus cuts the documents scans from 5 to 2
+    uc = uni.groupBy("tok").agg(F.count("*").alias("cu")).localCheckpoint(
+        eager=True
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).localCheckpoint(
+        eager=True
+    )
+    total_uni = uc.agg(F.sum("cu").alias("total_uni"))
+    total_big = bc.agg(F.sum("cb").alias("total_big"))
     pmi = F.round(
         F.log(
             (F.col("cb") / F.col("total_big"))

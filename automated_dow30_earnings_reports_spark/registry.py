@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "quantile_sketch_events",
     "skyline_price_date",
     "mv_join_delta_refresh",
+    "pmi_bigrams",
 ]
 
 
