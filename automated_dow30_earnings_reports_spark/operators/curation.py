@@ -628,14 +628,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary"))
     w = Window.partitionBy("fp").orderBy("doc_id")
-    keepers = (
-        d.select("doc_id", "source", "text", fp.alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("fp", "rn")
+    mass = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("m"))
+        .localCheckpoint(eager=True)  # source-cardinality; feeds lo AND th
     )
-    quality = keepers.where(quality_pass_col(F.col("text")))
-    mass = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("m"))
     lo = mass.agg(F.min("m").alias("min_m"))
     th = mass.crossJoin(F.broadcast(lo)).select(
         "source",
@@ -643,20 +640,54 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("threshold"),
     )
-    sampled = quality.join(F.broadcast(th), "source").where(
-        _rs_digest_col(F.col("doc_id").cast("string")) < F.col("threshold")
+    # SINGLE-PASS funnel (the funnel_conversion_onepass trick): every
+    # stage becomes a per-row boolean over ONE scan + ONE dedup window
+    # + ONE broadcast threshold join, and the four stage counts are
+    # conditional sums of one aggregate — the stage-per-aggregate form
+    # re-ran the dedup window three times and scanned documents six
+    # times to produce the same row.
+    is_keeper = F.row_number().over(w) == 1
+    staged = (
+        d.select("doc_id", "source", "text", fp.alias("fp"))
+        .join(F.broadcast(th), "source")
+        .select(
+            "doc_id",
+            "text",
+            is_keeper.alias("is_keeper"),
+            (_rs_digest_col(F.col("doc_id").cast("string")) < F.col("threshold")).alias(
+                "in_sample"
+            ),
+        )
+        .select(
+            "is_keeper",
+            (F.col("is_keeper") & quality_pass_col(F.col("text"))).alias("is_q"),
+            "in_sample",
+            "text",
+        )
     )
-    n_raw = d.agg(F.count("*").cast("bigint").alias("n_raw"))
-    n_exact = keepers.agg(F.count("*").cast("bigint").alias("n_after_exact"))
-    n_q = quality.agg(F.count("*").cast("bigint").alias("n_after_quality"))
-    final = sampled.agg(
-        F.count("*").cast("bigint").alias("n_after_resample"),
-        F.coalesce(F.sum(F.size(tokens_col(F.col("text")))), F.lit(0))
+    one = F.lit(1)
+    return staged.agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("is_keeper"), one).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_exact"),
+        F.sum(F.when(F.col("is_q"), one).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_quality"),
+        F.sum(F.when(F.col("is_q") & F.col("in_sample"), one).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_resample"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_q") & F.col("in_sample"),
+                    F.size(tokens_col(F.col("text"))),
+                )
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("final_tokens"),
-    )
-    return (
-        n_raw.crossJoin(n_exact).crossJoin(n_q).crossJoin(final)
     )
 
 

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "skyline_price_date",
     "mv_join_delta_refresh",
     "pmi_bigrams",
+    "corpus_curation_funnel",
 ]
 
 

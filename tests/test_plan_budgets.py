@@ -54,6 +54,7 @@ _EXECUTES_ON_BUILD = {
     "text_index_vacuum",
     "text_index_stats",
     "dedup_index_stats",
+    "lake_compaction",
 }
 
 
@@ -67,11 +68,17 @@ def _load_plan_audit():
 
 
 def _audited_names():
-    import bench
+    import __spark_entry__ as entrymod
+
+    from tests.test_plans import ITERATIVE_QUERIES
 
     pa = _load_plan_audit()
-    names = bench.HEADLINE + [q for q in pa.EXTRA if q not in bench.HEADLINE]
-    return pa, [n for n in names if n not in _EXECUTES_ON_BUILD]
+    # EVERY registered query, not just the bench headliners — a fast-
+    # tier query's plan can regress too. Excluded: frames whose build
+    # step executes jobs (index lifecycles, metastore DDL, scratch
+    # writers) and the driver-loop iterative queries.
+    skip = _EXECUTES_ON_BUILD | ITERATIVE_QUERIES
+    return pa, sorted(n for n in entrymod.queries() if n not in skip)
 
 
 def test_plan_budgets(spark, sf_correctness):
