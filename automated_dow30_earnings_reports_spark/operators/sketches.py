@@ -258,6 +258,8 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .distinct()
         .withColumn("dg", _digest_col(F.col("c_custkey").cast("string")))
+        # dim-sized; feeds BOTH the filter build and the verifying join
+        .localCheckpoint(eager=True)
     )
     bloom = (
         cust.select(
@@ -276,21 +278,25 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(BLOOM_K):
         cond = F.array_contains(F.col("bits"), _bloom_pos_col(F.col("dg"), i))
         ok = cond if ok is None else (ok & cond)
-    survivors = probe.where(ok).select("o_custkey", "o_totalprice")
-    joined = survivors.join(
-        cust.select("c_custkey"), survivors.o_custkey == F.col("c_custkey")
-    ).select("o_custkey", "o_totalprice")
-    return (
-        orders.agg(F.count("*").cast("bigint").alias("probe_rows"))
-        .crossJoin(
-            survivors.agg(F.count("*").cast("bigint").alias("bloom_survivors"))
-        )
-        .crossJoin(
-            joined.agg(
-                F.count("*").cast("bigint").alias("joined_rows"),
-                F.round(F.sum("o_totalprice"), 2).cast("double").alias("joined_totalprice"),
-            )
-        )
+    # SINGLE probe-side pass: a LEFT broadcast join keeps every orders
+    # row, so probe count / bloom survivors / true-join rows are three
+    # conditional sums of one aggregate — the count-per-stage form
+    # scanned orders three times for the same output row
+    staged = probe.select("o_custkey", "o_totalprice", ok.alias("pass")).join(
+        F.broadcast(cust.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    hit = F.col("pass") & F.col("c_custkey").isNotNull()
+    return staged.agg(
+        F.count("*").cast("bigint").alias("probe_rows"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bloom_survivors"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("joined_rows"),
+        F.round(F.sum(F.when(hit, F.col("o_totalprice"))), 2)
+        .cast("double")
+        .alias("joined_totalprice"),
     )
 
 

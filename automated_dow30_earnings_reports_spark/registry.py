@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "mv_join_delta_refresh",
     "pmi_bigrams",
     "corpus_curation_funnel",
+    "bloom_join_prune",
 ]
 
 
