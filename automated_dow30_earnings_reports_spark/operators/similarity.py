@@ -1157,7 +1157,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srn") <= PQ_SHORTLIST)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qv = e.select(
+    # query-filtered BEFORE the broadcast: every shortlist query_id is
+    # < N_QUERY_VECS by construction, but without the explicit filter
+    # the broadcast side is the whole corpus — a driver OOM at scale —
+    # and the scan loses its vec_id pushdown
+    qv = e.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
         F.col("norm").alias("qnorm"),
@@ -1988,7 +1992,15 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query, positive, hard-negative, margin) triplets mined from the
     query's IVF cell. Queries lacking an in-cell positive or negative
-    are dropped (a production miner widens nprobe for those)."""
+    are dropped (a production miner widens nprobe for those).
+
+    The labeled assignment frame feeds BOTH sides of the in-cell
+    join (queries and candidates), so it localCheckpoints once: left
+    lazy, each consumer re-ran the O(N*K) nearest-centroid assignment
+    from the raw table — twice the dot-product work and six corpus
+    scans for one mining pass. Materialized, the assignment is
+    computed exactly once (it IS the stored IVF index's posting
+    layout — a persisted index skips even that)."""
     e_raw = load_table(spark, sf_dir, "embeddings")
     e = e_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
@@ -1996,8 +2008,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
     )
-    cells = _assign_cells(e, cents).join(
-        e.select("vec_id", "label"), "vec_id"
+    cells = (
+        _assign_cells(e, cents)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .localCheckpoint(eager=True)
     )
     q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),

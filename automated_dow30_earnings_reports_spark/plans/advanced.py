@@ -592,10 +592,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp, so out-of-order conversions don't count. Stage frontiers
     are one row per user; they join back on user_id with NO hard
     broadcast hint (a frontier is user-cardinality — auto-broadcast
-    below the size threshold, shuffle-hash above it). The frontier
-    joins and the three per-user MIN aggregates all key on user_id, so
-    the shuffle partitioning is computed once and reused down the
-    chain regardless of event volume."""
+    below the size threshold, shuffle-hash above it). Each frontier
+    is localCheckpoint'ed: u1 feeds its own count AND the u2 join (u2
+    likewise), so without the materialization every downstream stage
+    re-derived the whole chain from the fact table — six events scans
+    for a three-stage funnel. Checkpointed, each stage scans events
+    exactly once with its event_type pushed into the scan, and the
+    materialized state is the user-grain frontier (2 narrow ints per
+    converting user), never the fact table."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -605,6 +609,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("es").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     u2 = (
         e.where(F.col("event_type") == "click")
@@ -612,6 +617,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("es") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("es").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     u3 = (
         e.where(F.col("event_type") == "purchase")
@@ -1279,49 +1285,68 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     range, a sign, a not-null — each evaluated as a violation COUNT so
     the report is one small frame a scheduler can alert on.
 
-    Scale shape: uniqueness is one map-side-combined groupBy keeping
-    only groups >1; FKs are LEFT ANTI joins (no row explosion, null-
-    safe); range/sign/null checks are scan-level conditional counts
-    with their predicates pushed down. Each check is linear in its
-    table and they share no state, so a scheduler can also run them as
-    independent jobs; the UNION of six 1-row frames is driver-trivial."""
+    Scale shape: every orders-side check rides ONE orders pass — the
+    customer FK is a LEFT broadcast join marking missing keys, and the
+    key-uniqueness groupBy doubles as the partial-combine stage for
+    the sign / not-null / FK conditional sums (a two-level aggregate:
+    per-key map-side, then one global fold), where the
+    one-aggregate-per-check form scanned orders five times. The
+    lineitem FK likewise marks instead of anti-joining so the quantity
+    range check is a conditional sum of the SAME pass (its right side
+    is a one-column orders key scan — column pruning makes that read a
+    fraction of the full-width pass). Each check stays linear in its
+    table; stack() explodes the two count frames into the 6-row
+    report."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
 
-    def one(name: str, df: DataFrame) -> DataFrame:
-        return df.select(F.lit(name).alias("check_name"), F.col("violations"))
-
-    dup_keys = (
-        o.groupBy("o_orderkey")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-        .agg(F.count("*").cast("bigint").alias("violations"))
+    per_key = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("sg"),
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("nn"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("fk"),
+        )
     )
-    fk_li = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count("*").cast("bigint").alias("violations"))
+    o_checks = per_key.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("bigint").alias("dup"),
+        F.sum("sg").cast("bigint").alias("sg"),
+        F.sum("nn").cast("bigint").alias("nn"),
+        F.sum("fk").cast("bigint").alias("fk"),
     )
-    fk_o = (
-        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count("*").cast("bigint").alias("violations"))
+    li_checks = (
+        li.select("l_orderkey", "l_quantity")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fk"),
+            F.sum(
+                F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rng"),
+        )
     )
-    rng = li.where((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).agg(
-        F.count("*").cast("bigint").alias("violations")
-    )
-    sign = o.where(F.col("o_totalprice") <= 0).agg(
-        F.count("*").cast("bigint").alias("violations")
-    )
-    nn = o.where(F.col("o_orderdate").isNull()).agg(
-        F.count("*").cast("bigint").alias("violations")
-    )
-    report = (
-        one("orders.o_orderkey unique", dup_keys)
-        .unionByName(one("lineitem.l_orderkey fk orders", fk_li))
-        .unionByName(one("orders.o_custkey fk customer", fk_o))
-        .unionByName(one("lineitem.l_quantity in (0,50]", rng))
-        .unionByName(one("orders.o_totalprice positive", sign))
-        .unionByName(one("orders.o_orderdate not null", nn))
+    report = o_checks.selectExpr(
+        "stack(4, 'orders.o_orderkey unique', dup,"
+        " 'orders.o_custkey fk customer', fk,"
+        " 'orders.o_totalprice positive', sg,"
+        " 'orders.o_orderdate not null', nn) AS (check_name, violations)"
+    ).unionByName(
+        li_checks.selectExpr(
+            "stack(2, 'lineitem.l_orderkey fk orders', fk,"
+            " 'lineitem.l_quantity in (0,50]', rng) AS (check_name, violations)"
+        )
     )
     return report.orderBy("check_name")
 
@@ -1348,31 +1373,38 @@ def gdpr_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     to purge vs keep plus the subject count; the keep side IS the
     rewrite input for the actual delete job.
 
-    Scale shape: purge sets are small relative to the fact table, so
-    the purge count is a LEFT SEMI and the survivor set a LEFT ANTI on
-    user_id — no row explosion either way, and AQE broadcasts the
-    request set while it fits. On a partitioned lake the anti-join
-    output rewrites only partitions containing subjects (dynamic
-    partition overwrite, sources/parquet_lake pattern); nothing here
-    is quadratic in the corpus."""
+    Scale shape: the request set is subject-sized, so it checkpoints
+    once (at 100 TB it arrives as its own small table and the distinct
+    is free) and broadcasts onto ONE fact-table pass as a LEFT join —
+    purge and keep counts are conditional sums of the same aggregate
+    (the semi/anti pair scanned events twice more for the same report,
+    re-deriving the request set inside each). The keep side of the
+    actual delete job is the identical join with a filter instead of a
+    sum: on a partitioned lake it rewrites only partitions containing
+    subjects (dynamic partition overwrite, sources/parquet_lake
+    pattern); nothing here is quadratic in the corpus."""
     e = load_table(spark, sf_dir, "events")
-    purge = e.where(F.col("user_id") % 37 == 0).select("user_id").distinct()
-    purged = e.join(purge, "user_id", "left_semi").agg(
-        F.count("*").cast("bigint").alias("rows_purged")
+    purge = (
+        e.where(F.col("user_id") % 37 == 0)
+        .select(F.col("user_id").alias("p_uid"))
+        .distinct()
+        # subject-sized; feeds the mark join AND the subject count
+        .localCheckpoint(eager=True)
     )
-    kept = e.join(purge, "user_id", "left_anti").agg(
-        F.count("*").cast("bigint").alias("rows_kept")
+    marked = e.join(
+        F.broadcast(purge), e.user_id == F.col("p_uid"), "left"
+    )
+    hit = F.col("p_uid").isNotNull()
+    counts = marked.agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("rows_purged"),
+        F.sum(F.when(hit, 0).otherwise(1)).cast("bigint").alias("rows_kept"),
     )
     subjects = purge.agg(F.count("*").cast("bigint").alias("n_subjects"))
-    return (
-        purged.crossJoin(kept)
-        .crossJoin(subjects)
-        .select(
-            F.lit("events").alias("table"),
-            "rows_purged",
-            "rows_kept",
-            "n_subjects",
-        )
+    return counts.crossJoin(subjects).select(
+        F.lit("events").alias("table"),
+        "rows_purged",
+        "rows_kept",
+        "n_subjects",
     )
 
 

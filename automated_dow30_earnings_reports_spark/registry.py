@@ -92,6 +92,13 @@ _PRIORITY: list[str] = [
     "pmi_bigrams",
     "corpus_curation_funnel",
     "bloom_join_prune",
+    # second plan-fix sweep: single-pass mark joins + checkpointed
+    # frontiers/assignments (values unchanged, engines changed)
+    "gdpr_purge_report",
+    "funnel_conversion",
+    "dq_constraint_report",
+    "hard_negative_mining",
+    "similarity_pq_adc",
 ]
 
 

@@ -156,8 +156,13 @@ def test_funnel_stage_frontiers_broadcast(spark, sf_correctness):
     import __spark_entry__ as e
 
     plan = _plan_of(e.queries()["funnel_conversion"](spark, sf_correctness))
-    assert plan.count("BroadcastHashJoin") >= 2
+    # u1/u2 frontiers are checkpointed (each stage scans events once);
+    # the final lazy plan is the purchase stage: ONE broadcast join of
+    # the u2 frontier onto the purchase-filtered scan — never a
+    # sort-merge join, and never a second events scan
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+    assert plan.count("Location") == 1  # one parquet scan in the lazy plan
 
 
 def test_pmi_bigrams_has_no_window(spark, sf_correctness):
