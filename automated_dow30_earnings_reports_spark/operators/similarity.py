@@ -300,12 +300,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N·K) map (no shuffle); search joins query-cells to corpus-cells
     on the cell id — the candidate set per query is N/K instead of N,
     and the join shuffles on the cell key exactly like a partitioned
-    index probe. Recall/latency trades via K and nprobe."""
+    index probe. Recall/latency trades via K and nprobe.
+
+    The assignment checkpoints once, same rationale as _trained_cells:
+    the query side and the candidate side both consume it, and without
+    the materialization each re-runs the O(N·K) assignment from the
+    raw table (it IS the posting layout ivf_index_roundtrip persists)."""
     e = _emb(spark, sf_dir)
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
     )
-    cells = _assign_cells(e, cents)
+    cells = _assign_cells(e, cents).localCheckpoint(eager=True)
     q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
@@ -375,7 +380,11 @@ def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF (nprobe=2): queries search their two nearest
     cells, trading 2x candidates for recall — the standard IVF recall
     knob. Same broadcast-assignment plan as nprobe=1; the probe list is
-    just the top-2 rows of the assignment ranking."""
+    just the top-2 rows of the assignment ranking — which is why the
+    RANKED assignment (cut to rn<=nprobe, all deeper ranks are dead
+    weight for every consumer) checkpoints once: the posting side and
+    the probe list both derive from one materialized O(N·K)
+    assignment instead of two re-runs."""
     e = _emb(spark, sf_dir)
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
@@ -388,7 +397,11 @@ def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dot(F.col("emb"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    ranked_cells = scored.withColumn("rn", F.row_number().over(w_assign))
+    ranked_cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .localCheckpoint(eager=True)
+    )
     cells = ranked_cells.where(F.col("rn") == 1).select(
         "vec_id", F.col("cid").alias("cell"), "emb", "norm"
     )
@@ -2112,6 +2125,10 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pair instead of three, in both rankings
     for c in ("emb", "emb16"):
         e = e.withColumn(f"n_{c}", F.sqrt(dot(F.col(c), F.col(c))))
+    # both rankings consume e twice each (query side + candidate side);
+    # checkpointed, the cast/slice/norm projection runs once instead of
+    # four corpus scans re-deriving it
+    e = e.localCheckpoint(eager=True)
 
     def topk(vec: str) -> DataFrame:
         q = e.where(F.col("vec_id") < N_QUERY_VECS).select(

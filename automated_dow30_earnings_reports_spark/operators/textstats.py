@@ -514,18 +514,27 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (the classic keyword
-    extractor). Term frequencies and document frequencies are two
-    aggregates over one exploded scan; N arrives as a one-row broadcast
-    (scalar-subquery pattern); the per-doc top-3 is a window over
-    doc_id — which is also the natural partitioning at 100 TB, so the
-    rank never concentrates on one executor."""
+    extractor). ONE tokenize pass: tf is the (doc, term) aggregate of
+    the exploded scan, checkpointed — it IS the postings-lite frame a
+    text index stores — and df is then count(*) per term OVER tf (one
+    row per (doc, term) by construction), so the expensive
+    count_distinct expand over raw tokens never runs and the second
+    explode disappears. N comes from a metadata-only count of the raw
+    table (tf can't see token-less documents) as a one-row broadcast;
+    the per-doc top-3 is a window over doc_id — also the natural
+    partitioning at 100 TB, so the rank never concentrates on one
+    executor."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = d.select(F.count("*").alias("n"))
     idf = (
-        tok.groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select("term", F.log(F.col("n") * 1.0 / F.col("df")).alias("idf"))
     )

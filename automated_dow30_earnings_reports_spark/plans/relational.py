@@ -726,6 +726,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 300)
         .select("l_orderkey")
+        # tiny key set consumed by BOTH semi joins — without the
+        # checkpoint each broadcast re-runs the HAVING aggregate's
+        # full lineitem scan
+        .localCheckpoint(eager=True)
     )
     # broadcast the tiny key set into BOTH fact tables — after the semi
     # joins everything downstream is |big|-bounded, so no full-width fact

@@ -99,6 +99,14 @@ _PRIORITY: list[str] = [
     "dq_constraint_report",
     "hard_negative_mining",
     "similarity_pq_adc",
+    # third sweep (full-registry duplicate-scan audit): checkpointed
+    # assignments/key-sets, df derived from tf
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_probe2",
+    "ann_ndcg_at_k",
+    "embedding_matryoshka_recall",
+    "tfidf_top_terms",
+    "q18_large_orders",
 ]
 
 
