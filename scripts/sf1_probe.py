@@ -141,6 +141,16 @@ PROBE = [
     "value_trend_grouped_pandas",
     "ps_api_doc_stats",
     "cache_table_reuse",
+    # r8 plan-fix sweep: the checkpointed forms must stay linear at 10x
+    # (an eager localCheckpoint is a materialization — the probe proves
+    # the materialized grain scales with its claimed bound, not worse)
+    "funnel_conversion",
+    "gdpr_purge_report",
+    "dq_constraint_report",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_probe2",
+    "tfidf_top_terms",
+    "q18_large_orders",
 ]
 
 VOWELS = "aeiou"
