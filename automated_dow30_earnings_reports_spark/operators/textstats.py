@@ -702,9 +702,14 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         3,
     )
+    # NO hard broadcast hint on the unigram side: uc is VOCABULARY
+    # grain, which at 100 TB does not fit a driver (the unigram_logprob
+    # scorer's lookup join makes the same call) — AQE broadcasts it
+    # while it fits and falls back to a hash join on tok beyond that.
+    # Only the 1-row totals carry the hint.
     return (
-        bc.join(F.broadcast(uc.alias("a")), F.col("w1") == F.col("a.tok"))
-        .join(F.broadcast(uc.alias("b")), F.col("w2") == F.col("b.tok"))
+        bc.join(uc.alias("a"), F.col("w1") == F.col("a.tok"))
+        .join(uc.alias("b"), F.col("w2") == F.col("b.tok"))
         .crossJoin(F.broadcast(total_uni))
         .crossJoin(F.broadcast(total_big))
         .select(

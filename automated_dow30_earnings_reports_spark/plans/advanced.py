@@ -1304,7 +1304,10 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = (
         o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .join(
-            F.broadcast(c.select("c_custkey")),
+            # no hard hint: the full customer key set broadcasts only
+            # while it fits (at 100 TB the FK mark degrades to a hash
+            # join on o_custkey, same as the anti-join it replaced)
+            c.select("c_custkey"),
             o.o_custkey == c.c_custkey,
             "left",
         )
@@ -2090,7 +2093,11 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("band", F.explode(months))
 
     pairs = (
-        banded(F.broadcast(a), "a_start", "a_end")
+        # no hard hint on the A side: it is an orders-fraction frame
+        # (auto-broadcast while small; the month-band equi-join hashes
+        # fine when it isn't) — forcing broadcast of a fact subset
+        # would OOM the driver at scale
+        banded(a, "a_start", "a_end")
         .join(banded(b, "b_start", "b_end"), "band")
         .where((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
         .select("a_key", "b_key")

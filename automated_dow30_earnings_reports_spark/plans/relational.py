@@ -586,7 +586,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            # no hard hint: the BUILDING segment is a fifth of CUSTOMER
+            # — comfortably auto-broadcast at bench scale, but at 100 TB
+            # it must be allowed to fall back to a hash join; forcing
+            # broadcast on a customer-fraction frame is a driver OOM
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

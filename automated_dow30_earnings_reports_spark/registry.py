@@ -107,6 +107,10 @@ _PRIORITY: list[str] = [
     "embedding_matryoshka_recall",
     "tfidf_top_terms",
     "q18_large_orders",
+    # broadcast-hint audit: hard hints dropped from scale-unbounded
+    # sides (values unchanged; AQE picks the same join at bench scale)
+    "q3_shipping_priority",
+    "interval_overlap_join",
 ]
 
 
