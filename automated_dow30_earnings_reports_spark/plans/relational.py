@@ -243,7 +243,13 @@ def latest_year_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_list_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 collect-list nested rollup (ref simple_metadata_collector.py:90-108):
     per-group list of members, emitted as a sorted joined string so the
-    hash comparison is order-insensitive."""
+    hash comparison is order-insensitive.
+
+    Scale note: the per-group list grows with group membership — that
+    is the REFERENCE's own semantics (its collector emits the full
+    member list per group), so the unbounded row is inherent to the
+    operator, not an implementation choice; a production variant caps
+    with slice(sort_array(...), 1, K) at the same plan shape."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
