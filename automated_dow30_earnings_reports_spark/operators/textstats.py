@@ -2244,6 +2244,10 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(terms), "term")
         .groupBy("doc_id", "term", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        # (matching-doc, <=7-term) grain, consumed by BOTH the df
+        # aggregate and the scoring join — lazy, each re-ran the
+        # corpus tokenize + postings probe
+        .localCheckpoint(eager=True)
     )
     dfq = tfs.groupBy("term").agg(F.count("*").cast("bigint").alias("df_t"))
     dls = scored_in.select("doc_id", "dl", "n_docs", "avgdl")

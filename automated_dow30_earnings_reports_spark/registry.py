@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     # sides (values unchanged; AQE picks the same join at bench scale)
     "q3_shipping_priority",
     "interval_overlap_join",
+    "prf_query_expansion",
 ]
 
 
