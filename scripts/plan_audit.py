@@ -47,6 +47,11 @@ def audit_metrics(plan: str) -> dict:
             )
         ),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)),
+        # parquet scan count in the LAZY plan (checkpointed subtrees
+        # executed eagerly and left it) — the duplicate-scan guard: a
+        # refactor that re-derives a shared frame per consumer shows up
+        # here as scan growth before any bench run can notice
+        "scans": len(re.findall(r"Location:", plan)),
         "read_cols": sorted(
             {
                 str(s.count(",") + 1)

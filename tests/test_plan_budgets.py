@@ -94,6 +94,7 @@ def test_plan_budgets(spark, sf_correctness):
             "exchanges": m["exchanges"],
             "python": m["python"],
             "pushed": m["pushed"],
+            "scans": m["scans"],
         }
 
     if os.environ.get("PLAN_BUDGETS_REGEN"):
@@ -125,5 +126,12 @@ def test_plan_budgets(spark, sf_correctness):
         if m["pushed"] < b["pushed"]:
             problems.append(
                 f"{name}: pushed filters dropped {b['pushed']} -> {m['pushed']}"
+            )
+        # scans absent from budgets pinned before the metric existed:
+        # treat as unguarded rather than failing on the missing key
+        if "scans" in b and m["scans"] > b["scans"]:
+            problems.append(
+                f"{name}: lazy-plan scans grew {b['scans']} -> {m['scans']}"
+                " (a shared frame is being re-derived per consumer)"
             )
     assert not problems, "plan regressions:\n" + "\n".join(problems)
