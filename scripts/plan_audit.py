@@ -73,18 +73,18 @@ def main() -> int:
     qs = entrymod.queries()
     extra = EXTRA
 
-    print("| query | exchanges | python nodes | pushed filters | read cols |")
-    print("|---|---|---|---|---|")
+    print("| query | exchanges | python nodes | pushed filters | scans | read cols |")
+    print("|---|---|---|---|---|---|")
     for name in bench.HEADLINE + [q for q in extra if q not in bench.HEADLINE]:
         try:
             plan = plan_of(qs[name](spark, sf_dir))
         except Exception as exc:  # iterative queries execute while building
-            print(f"| {name} | (iterative: {type(exc).__name__}) | | | |")
+            print(f"| {name} | (iterative: {type(exc).__name__}) | | | | |")
             continue
         m = audit_metrics(plan)
         print(
             f"| {name} | {m['exchanges']} | {','.join(m['python']) or '—'} |"
-            f" {m['pushed']} | {','.join(m['read_cols']) or '—'} |"
+            f" {m['pushed']} | {m['scans']} | {','.join(m['read_cols']) or '—'} |"
         )
     spark.stop()
     return 0
