@@ -28,6 +28,34 @@ def test_rerun_same_session_is_idempotent(spark, sf_smoke):
 @pytest.mark.parametrize(
     "name",
     [
+        # r8 plan-fix sweep: every query that gained an eager
+        # localCheckpoint builds fresh checkpoint blocks per invocation
+        # — a re-run in the same session must neither collide with nor
+        # reuse the previous run's blocks
+        "funnel_conversion",
+        "gdpr_purge_report",
+        "dq_constraint_report",
+        "hard_negative_mining",
+        "similarity_ann_ivf",
+        "similarity_ann_ivf_probe2",
+        "embedding_matryoshka_recall",
+        "tfidf_top_terms",
+        "prf_query_expansion",
+        "q18_large_orders",
+    ],
+)
+def test_checkpointing_queries_rerun_identically(name, spark, sf_smoke):
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    first = sorted(map(tuple, q(spark, sf_smoke).collect()))
+    second = sorted(map(tuple, q(spark, sf_smoke).collect()))
+    assert first == second
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
         "kv_datasource_roundtrip",
         "lake_compaction",
         "orc_lake_roundtrip",
