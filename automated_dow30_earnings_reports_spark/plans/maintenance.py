@@ -487,3 +487,258 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention / TTL enforcement: the recurring compliance job that ages
+# data out of a partitioned lake. The 100 TB shape: partitions wholly
+# past the cutoff are dropped at the DIRECTORY level (zero rows read),
+# only the single partition straddling the cutoff is rewritten, and
+# fresh partitions keep their exact part files (byte-identical, pinned
+# in tests/test_round8_ops.py). Cost tracks the boundary partition,
+# never the table.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import shutil as _shutil
+
+_SCRATCH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+TTL_CUTOFF = "1998-04-01"  # rows with o_orderdate strictly before this expire
+TTL_CUTOFF_YEAR = 1998  # year(TTL_CUTOFF): the one boundary partition
+
+
+def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
+                cutoff_year: int, survivor_pred) -> None:
+    """Age out every row older than the cutoff from a year-partitioned
+    lake, reading ONLY the boundary partition. The reference has no
+    retention story — its ledgers just accumulate, one fresh full JSON
+    dump per run (src/simple_metadata_collector.py:121-130); partition
+    semantics are what make one affordable at scale: expired partition
+    directories are unlinked
+    without opening a file, the boundary partition is rewritten to its
+    survivors (localCheckpoint first — the read's input files are the
+    overwrite's target), and younger partitions are never listed past
+    the top-level directory scan. A boundary partition with no
+    survivors is unlinked too — dynamic overwrite cannot emit an empty
+    partition (same rule as rewrite_affected_partitions)."""
+    for entry in sorted(_os.listdir(lake_path)):
+        if not entry.startswith(f"{part_col}="):
+            continue
+        year = int(entry.split("=", 1)[1])
+        d = _os.path.join(lake_path, entry)
+        if year > cutoff_year:
+            continue  # fresh partition: never read, never rewritten
+        if year < cutoff_year:
+            _shutil.rmtree(d)  # wholly expired: directory unlink, zero I/O
+            continue
+        survivors = (
+            spark.read.parquet(d).where(survivor_pred).localCheckpoint(eager=True)
+        )
+        if survivors.isEmpty():
+            _shutil.rmtree(d)
+        else:
+            survivors.write.mode("overwrite").parquet(d)
+
+
+@_register(
+    "retention_ttl_enforce",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{TTL_CUTOFF}'
+    GROUP BY 1
+    ORDER BY o_year
+    """,
+)
+def retention_ttl_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a year-partitioned orders lake, enforce a mid-year TTL
+    cutoff through `enforce_ttl`, and aggregate the surviving lake per
+    year. The oracle recomputes the post-TTL state straight off the
+    base table, so an expired row surviving, a survivor dropped, or a
+    fresh-partition disturbance all break the hash.
+
+    Scale shape: with ~7 year-partitions the enforcement reads exactly
+    ONE of them (1998) and unlinks three by name; at 100 TB with daily
+    partitions the same job unlinks thousands of directories and
+    rewrites one — cost is O(boundary partition + directory count),
+    which is why TTL on an unpartitioned lake (full rewrite) is an
+    anti-pattern this operator exists to replace."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+        write_partitioned,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    path = scratch_path(_os.path.join(_SCRATCH, "ttl_lake"), sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(
+        o.withColumn("o_year", F.year("o_orderdate").cast("int")),
+        path,
+        ["o_year"],
+    )
+    enforce_ttl(
+        spark, path, "o_year", TTL_CUTOFF_YEAR,
+        F.col("o_orderdate") >= F.lit(TTL_CUTOFF),
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time travel: manifest-pinned snapshot reads (Iceberg-lite). Each
+# commit appends immutable data files and a manifest naming the EXACT
+# file set of that version; a reader opens the manifest and scans only
+# its files — never the directory listing. That one indirection buys
+# (a) snapshot isolation: version N's answer is stable while N+1 is
+# being written, (b) crash immunity: a dead writer's orphan files are
+# invisible because no manifest names them, (c) O(1) rollback: re-read
+# an old manifest.
+# ---------------------------------------------------------------------------
+
+TT_V1_CUTOFF = "1997-01-01"  # commit 1: orders strictly before
+TT_V2_CUTOFF = "1999-01-01"  # commit 2 appends [V1, V2)
+TT_DELETE_MOD = 97  # commit 3 is a copy-on-write rewrite dropping these keys
+
+
+def _tt_commit(df: DataFrame, data_dir: str, name: str) -> list[str]:
+    """Write one commit's immutable data files; return their paths
+    (the manifest entry). Files are never edited after this."""
+    out = _os.path.join(data_dir, name)
+    df.write.mode("overwrite").parquet(out)
+    return sorted(
+        _os.path.join(out, f) for f in _os.listdir(out) if f.endswith(".parquet")
+    )
+
+
+def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
+    """Read a table AS OF a version: open that version's manifest,
+    scan exactly the files it names. Driver-side cost is one manifest
+    read — O(files in the snapshot), no directory walk."""
+    import json as _json
+
+    with open(_os.path.join(table_path, "manifests", f"v{version}.json")) as fh:
+        files = _json.load(fh)["files"]
+    return spark.read.parquet(*files)
+
+
+@_register(
+    "time_travel_read",
+    f"""
+    WITH v1 AS (
+      SELECT 1 AS version, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{TT_V1_CUTOFF}'
+    ),
+    v2 AS (
+      SELECT 2 AS version, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{TT_V2_CUTOFF}'
+    ),
+    v3 AS (
+      SELECT 3 AS version, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{TT_V2_CUTOFF}'
+        AND o_orderkey % {TT_DELETE_MOD} <> 0
+    ),
+    u AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM u
+    GROUP BY version, o_orderstatus
+    ORDER BY version, o_orderstatus
+    """,
+)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three commits — append, append, copy-on-write delete-rewrite —
+    each sealing a manifest, PLUS a crashed writer's orphan commit
+    that no manifest names. The query reads all three versions through
+    `read_snapshot` and aggregates each per order status; the oracle
+    reconstructs each version's logical content from the base table.
+    Orphan rows (o_orderdate >= '{TT_V2_CUTOFF}') would shift every
+    version's hash if a reader fell back to directory listing — their
+    absence IS the snapshot-isolation check.
+
+    Scale shape: version resolution is one driver-side manifest read;
+    the data scan is exactly the snapshot's files (no LIST on the
+    table root, the object-store killer at 100 TB); the delete commit
+    rewrites live rows once instead of mutating files, so concurrent
+    v2 readers keep a consistent view until they switch manifests.
+    Reference contrast: the reference has no version pointer — each
+    run dumps a fresh full JSON ledger with no link to the last
+    (src/simple_metadata_collector.py:121-130) and downloads clobber
+    by derived filename (src/download_reports.py:550-560), so a
+    half-finished run is indistinguishable from a complete one;
+    sealed manifests are the at-scale replacement for both."""
+    import json as _json
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = scratch_path(_os.path.join(_SCRATCH, "time_travel"), sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    data = _os.path.join(path, "data")
+    manifests = _os.path.join(path, "manifests")
+    _os.makedirs(manifests)
+
+    c1 = _tt_commit(o.where(F.col("o_orderdate") < F.lit(TT_V1_CUTOFF)), data, "c1")
+    c2 = _tt_commit(
+        o.where(
+            (F.col("o_orderdate") >= F.lit(TT_V1_CUTOFF))
+            & (F.col("o_orderdate") < F.lit(TT_V2_CUTOFF))
+        ),
+        data,
+        "c2",
+    )
+    versions = {1: c1, 2: c1 + c2}
+    for v, files in versions.items():
+        with open(_os.path.join(manifests, f"v{v}.json"), "w") as fh:
+            _json.dump({"files": files}, fh)
+    # commit 3: copy-on-write delete — rewrite SURVIVORS of the v2
+    # snapshot into fresh files; v2's files stay on disk untouched
+    # (that is what keeps v2 readable), only the manifest moves on
+    survivors = spark.read.parquet(*versions[2]).where(
+        F.col("o_orderkey") % TT_DELETE_MOD != 0
+    )
+    c3 = _tt_commit(survivors, data, "c3")
+    with open(_os.path.join(manifests, "v3.json"), "w") as fh:
+        _json.dump({"files": c3}, fh)
+    # a crashed writer's orphan: data files on disk, no manifest entry
+    _tt_commit(o.where(F.col("o_orderdate") >= F.lit(TT_V2_CUTOFF)), data, "c-orphan")
+
+    reads = [
+        read_snapshot(spark, path, v).withColumn("version", F.lit(v))
+        for v in (1, 2, 3)
+    ]
+    union = reads[0].unionByName(reads[1]).unionByName(reads[2])
+    return (
+        union.groupBy(F.col("version").cast("int").alias("version"), "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("version", "o_orderstatus")
+    )

@@ -198,6 +198,8 @@ HEADLINE = [
     "text_index_vacuum",
     "text_index_stats",
     "dedup_index_stats",
+    "retention_ttl_enforce",
+    "time_travel_read",
 ]
 
 

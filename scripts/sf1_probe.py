@@ -426,6 +426,44 @@ def _time_ledger_bootstrap(spark, sf_dir: str) -> float:
     return best
 
 
+def _time_ttl_enforce(spark, fresh_rows_per_year: int) -> float:
+    """TTL enforcement cost with the RETAINED data scaled and the
+    expiring data held constant — the claim under test is the inverse
+    of the usual linearity probe: `enforce_ttl` must NOT get slower as
+    the lake's fresh partitions grow, because it never reads them
+    (expired partitions unlink at directory level, only the boundary
+    partition is rewritten). Expired (1995-97) and boundary (1998)
+    partitions are a fixed 30k rows each; fresh (1999-2001) partitions
+    carry ``fresh_rows_per_year``. A flat sf-independent time is the
+    pass condition."""
+    from automated_dow30_earnings_reports_spark.plans.maintenance import enforce_ttl
+    from pyspark.sql import functions as F
+
+    path = os.path.join(os.path.dirname(SF1), "ttl_probe")
+    best = None
+    for _ in range(2):
+        shutil.rmtree(path, ignore_errors=True)
+        fixed = spark.range(4 * 30_000).select(
+            (F.lit(1995) + F.col("id") % 4).cast("int").alias("y"),
+            (F.col("id") % 12 + 1).cast("int").alias("month"),
+            F.col("id").alias("v"),
+        )
+        fresh = spark.range(3 * fresh_rows_per_year).select(
+            (F.lit(1999) + F.col("id") % 3).cast("int").alias("y"),
+            (F.col("id") % 12 + 1).cast("int").alias("month"),
+            F.col("id").alias("v"),
+        )
+        fixed.unionByName(fresh).repartition(F.col("y")).write.partitionBy(
+            "y"
+        ).parquet(path)
+        t0 = time.time()
+        enforce_ttl(spark, path, "y", 1998, F.col("month") >= 4)
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    shutil.rmtree(path, ignore_errors=True)
+    return best
+
+
 def _timed_inner(mod, attr, query_fn, spark, sf_dir) -> float:
     """Run ``query_fn`` end-to-end but report ONLY the wall-clock spent
     inside ``mod.attr`` (the maintenance verb) — the build/ingest that
@@ -556,6 +594,13 @@ def main() -> int:
         t_big = _time_text_index_mor_search(spark, SF1)
         print(
             f"| text_index_search +standing tombstones (MOR read) | {t_small:.2f} "
+            f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
+        )
+    if "--ttl" in sys.argv:
+        t_small = _time_ttl_enforce(spark, 30_000)
+        t_big = _time_ttl_enforce(spark, 300_000)
+        print(
+            f"| ttl enforce (expired+boundary fixed, retained 10x) | {t_small:.2f} "
             f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
         )
     if not filters or "--ledger-bootstrap" in sys.argv:

@@ -55,6 +55,8 @@ _EXECUTES_ON_BUILD = {
     "text_index_stats",
     "dedup_index_stats",
     "lake_compaction",
+    "retention_ttl_enforce",
+    "time_travel_read",
 }
 
 

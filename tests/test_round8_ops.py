@@ -606,3 +606,138 @@ def test_ledger_seed_is_atomic_against_partial_seed_dirs(spark, tmp_path):
     assert got == {0, 1, 2, 3, 4, 5}
     # the temp dir was consumed by the rename — nothing half-built left
     assert not os.path.exists(tmp_seed)
+
+
+# ---------------------------------------------------------------------------
+# Retention / TTL enforcement (plans/maintenance.py enforce_ttl)
+# ---------------------------------------------------------------------------
+
+
+def _file_inventory(root):
+    """(relpath, size, md5) for every parquet file under root."""
+    import hashlib
+
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            out.append((os.path.relpath(p, root), os.path.getsize(p), digest))
+    return out
+
+
+def test_ttl_enforce_touches_only_expired_and_boundary_partitions(spark, sf_smoke):
+    """Fresh partitions must keep their EXACT part files (TTL cost is
+    O(boundary + directory unlinks), so untouched partitions must be
+    provably untouched), expired partitions must vanish at directory
+    level, and the boundary partition must hold exactly its
+    survivors."""
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    path = os.path.join(SCRATCH, "ttl_pin")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_smoke, "orders")
+    write_partitioned(
+        o.withColumn("o_year", F.year("o_orderdate").cast("int")), path, ["o_year"]
+    )
+    years = sorted(
+        int(e.split("=")[1]) for e in os.listdir(path) if e.startswith("o_year=")
+    )
+    fresh = [y for y in years if y > m.TTL_CUTOFF_YEAR]
+    assert fresh and min(years) < m.TTL_CUTOFF_YEAR, "need expired+fresh years"
+    before = {
+        y: _file_inventory(os.path.join(path, f"o_year={y}")) for y in fresh
+    }
+
+    m.enforce_ttl(
+        spark, path, "o_year", m.TTL_CUTOFF_YEAR,
+        F.col("o_orderdate") >= F.lit(m.TTL_CUTOFF),
+    )
+
+    # expired: gone at directory level
+    for y in years:
+        if y < m.TTL_CUTOFF_YEAR:
+            assert not os.path.isdir(os.path.join(path, f"o_year={y}"))
+    # fresh: byte-identical part files
+    for y in fresh:
+        assert _file_inventory(os.path.join(path, f"o_year={y}")) == before[y]
+    # boundary: exactly the survivors
+    got = (
+        spark.read.parquet(os.path.join(path, f"o_year={m.TTL_CUTOFF_YEAR}"))
+        .agg(F.count("*"), F.sum(F.crc32(F.col("o_orderkey").cast("string"))))
+        .collect()[0]
+    )
+    want = (
+        o.where(
+            (F.year("o_orderdate") == m.TTL_CUTOFF_YEAR)
+            & (F.col("o_orderdate") >= F.lit(m.TTL_CUTOFF))
+        )
+        .agg(F.count("*"), F.sum(F.crc32(F.col("o_orderkey").cast("string"))))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
+def test_ttl_enforce_unlinks_boundary_with_no_survivors(spark):
+    """A boundary partition whose every row expired is unlinked, not
+    rewritten empty (dynamic overwrite cannot emit an empty
+    partition — same contract as rewrite_affected_partitions)."""
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    path = os.path.join(SCRATCH, "ttl_empty_boundary")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(1997, 5, "old"), (1998, 2, "boundary-expired"), (1999, 9, "fresh")],
+        "y int, month int, tag string",
+    )
+    df.repartition(F.col("y")).write.partitionBy("y").parquet(path)
+    m.enforce_ttl(spark, path, "y", 1998, F.col("month") >= 4)
+    assert not os.path.isdir(os.path.join(path, "y=1997"))
+    assert not os.path.isdir(os.path.join(path, "y=1998"))
+    assert [r.tag for r in spark.read.parquet(path).collect()] == ["fresh"]
+
+
+# ---------------------------------------------------------------------------
+# Time travel (plans/maintenance.py read_snapshot): manifest-pinned
+# snapshot reads — orphans invisible, old versions stay readable after
+# a delete commit.
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_snapshots_are_manifest_pinned(spark, sf_smoke):
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    m.time_travel_read(spark, sf_smoke).collect()  # builds the versioned lake
+    path = scratch_path(os.path.join(m._SCRATCH, "time_travel"), sf_smoke)
+    o = load_table(spark, sf_smoke, "orders")
+
+    # the crashed writer's files ARE on disk...
+    orphan = os.path.join(path, "data", "c-orphan")
+    assert any(f.endswith(".parquet") for f in os.listdir(orphan))
+    # ...but no manifest names them: v2 contains zero post-V2 rows
+    v2 = m.read_snapshot(spark, path, 2)
+    assert v2.where(F.col("o_orderdate") >= F.lit(m.TT_V2_CUTOFF)).isEmpty()
+    assert v2.count() == o.where(F.col("o_orderdate") < F.lit(m.TT_V2_CUTOFF)).count()
+
+    # the delete commit removed its keys from v3 ONLY — v2, read after
+    # commit 3 sealed, still sees them (old snapshots stay consistent)
+    deleted = F.col("o_orderkey") % m.TT_DELETE_MOD == 0
+    assert m.read_snapshot(spark, path, 3).where(deleted).isEmpty()
+    assert v2.where(deleted).count() > 0
+
+    # rollback is a manifest re-read: v1 == the v1-cutoff filter exactly
+    assert (
+        m.read_snapshot(spark, path, 1).count()
+        == o.where(F.col("o_orderdate") < F.lit(m.TT_V1_CUTOFF)).count()
+    )
