@@ -518,13 +518,37 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
     retention story — its ledgers just accumulate, one fresh full JSON
     dump per run (src/simple_metadata_collector.py:121-130); partition
     semantics are what make one affordable at scale: expired partition
-    directories are unlinked
-    without opening a file, the boundary partition is rewritten to its
-    survivors (localCheckpoint first — the read's input files are the
-    overwrite's target), and younger partitions are never listed past
-    the top-level directory scan. A boundary partition with no
-    survivors is unlinked too — dynamic overwrite cannot emit an empty
-    partition (same rule as rewrite_affected_partitions)."""
+    directories are unlinked without opening a file, the boundary
+    partition is rewritten to its survivors, and younger partitions
+    are never listed past the top-level directory scan. A boundary
+    partition with no survivors is unlinked too — dynamic overwrite
+    cannot emit an empty partition (same rule as
+    rewrite_affected_partitions).
+
+    CRASH-SAFE at every step, so a scheduled retry never loses data:
+    expired unlinks are idempotent; the boundary rewrite stages its
+    survivors to a sibling ``.ttl-stage-<value>`` directory FIRST and
+    only then swaps it in (unlink old, rename stage) — an in-place
+    overwrite would hold the only copy of the survivors in session
+    memory while the target is deleted, exactly the non-atomic window
+    the index verbs closed in r7/r8. A retry that finds a completed
+    stage (_SUCCESS present) with its partition directory missing
+    finishes the swap; an incomplete stage is discarded and rebuilt
+    (the partition directory is then still intact, because the unlink
+    happens only after the stage write returns)."""
+    for entry in sorted(_os.listdir(lake_path)):
+        if not entry.startswith(".ttl-stage-"):
+            continue
+        # crashed previous attempt: complete or discard the swap
+        val = entry[len(".ttl-stage-"):]
+        stage = _os.path.join(lake_path, entry)
+        live = _os.path.join(lake_path, f"{part_col}={val}")
+        if not _os.path.isdir(live) and _os.path.exists(
+            _os.path.join(stage, "_SUCCESS")
+        ):
+            _os.replace(stage, live)
+        else:
+            _shutil.rmtree(stage, ignore_errors=True)
     for entry in sorted(_os.listdir(lake_path)):
         if not entry.startswith(f"{part_col}="):
             continue
@@ -535,13 +559,14 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
         if year < cutoff_year:
             _shutil.rmtree(d)  # wholly expired: directory unlink, zero I/O
             continue
-        survivors = (
-            spark.read.parquet(d).where(survivor_pred).localCheckpoint(eager=True)
-        )
+        survivors = spark.read.parquet(d).where(survivor_pred)
         if survivors.isEmpty():
             _shutil.rmtree(d)
-        else:
-            survivors.write.mode("overwrite").parquet(d)
+            continue
+        stage = _os.path.join(lake_path, f".ttl-stage-{year}")
+        survivors.write.mode("overwrite").parquet(stage)
+        _shutil.rmtree(d)
+        _os.replace(stage, d)
 
 
 @_register(
@@ -626,6 +651,26 @@ def _tt_commit(df: DataFrame, data_dir: str, name: str) -> list[str]:
     )
 
 
+def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
+    """Seal a version: write its manifest to a temp name, fsync, then
+    os.replace into place. The rename IS the commit point — a reader
+    either sees no v<N> manifest (version doesn't exist yet) or a
+    complete one; a crash mid-write leaves only a ``.tmp`` that no
+    reader opens. Same temp+rename protocol as the streaming ledger
+    seed (streaming/incremental.py) — a torn manifest would otherwise
+    be trusted as a version and fail every read of it."""
+    import json as _json
+
+    mdir = _os.path.join(table_path, "manifests")
+    _os.makedirs(mdir, exist_ok=True)
+    tmp = _os.path.join(mdir, f"v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"files": files}, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, _os.path.join(mdir, f"v{version}.json"))
+
+
 def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
     """Read a table AS OF a version: open that version's manifest,
     scan exactly the files it names. Driver-side cost is one manifest
@@ -687,8 +732,6 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     by derived filename (src/download_reports.py:550-560), so a
     half-finished run is indistinguishable from a complete one;
     sealed manifests are the at-scale replacement for both."""
-    import json as _json
-
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         scratch_path,
     )
@@ -699,8 +742,6 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_path(_os.path.join(_SCRATCH, "time_travel"), sf_dir)
     _shutil.rmtree(path, ignore_errors=True)
     data = _os.path.join(path, "data")
-    manifests = _os.path.join(path, "manifests")
-    _os.makedirs(manifests)
 
     c1 = _tt_commit(o.where(F.col("o_orderdate") < F.lit(TT_V1_CUTOFF)), data, "c1")
     c2 = _tt_commit(
@@ -713,8 +754,7 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     versions = {1: c1, 2: c1 + c2}
     for v, files in versions.items():
-        with open(_os.path.join(manifests, f"v{v}.json"), "w") as fh:
-            _json.dump({"files": files}, fh)
+        seal_manifest(path, v, files)
     # commit 3: copy-on-write delete — rewrite SURVIVORS of the v2
     # snapshot into fresh files; v2's files stay on disk untouched
     # (that is what keeps v2 readable), only the manifest moves on
@@ -722,8 +762,7 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % TT_DELETE_MOD != 0
     )
     c3 = _tt_commit(survivors, data, "c3")
-    with open(_os.path.join(manifests, "v3.json"), "w") as fh:
-        _json.dump({"files": c3}, fh)
+    seal_manifest(path, 3, c3)
     # a crashed writer's orphan: data files on disk, no manifest entry
     _tt_commit(o.where(F.col("o_orderdate") >= F.lit(TT_V2_CUTOFF)), data, "c-orphan")
 

@@ -741,3 +741,85 @@ def test_time_travel_snapshots_are_manifest_pinned(spark, sf_smoke):
         m.read_snapshot(spark, path, 1).count()
         == o.where(F.col("o_orderdate") < F.lit(m.TT_V1_CUTOFF)).count()
     )
+
+
+def test_ttl_boundary_swap_recovers_from_every_crash_point(spark):
+    """The staged boundary rewrite must replay to the same final lake
+    from each crash window: (A) complete stage left beside an intact
+    partition (crash before the unlink), (B) complete stage with the
+    partition already unlinked (crash between unlink and rename), (C)
+    partial stage — no _SUCCESS — beside an intact partition (crash
+    mid-stage-write)."""
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    def build(path):
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.createDataFrame(
+            [(1997, 1, "expired"), (1998, 2, "old"), (1998, 9, "keep"),
+             (1999, 5, "fresh")],
+            "y int, month int, tag string",
+        )
+        df.repartition(F.col("y")).write.partitionBy("y").parquet(path)
+
+    def final_tags(path):
+        return sorted(r.tag for r in spark.read.parquet(path).collect())
+
+    base = os.path.join(SCRATCH, "ttl_crash")
+
+    # A: complete stage + live partition intact
+    build(base)
+    stage = os.path.join(base, ".ttl-stage-1998")
+    spark.read.parquet(os.path.join(base, "y=1998")).where(
+        F.col("month") >= 4
+    ).write.parquet(stage)
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    m.enforce_ttl(spark, base, "y", 1998, F.col("month") >= 4)
+    assert final_tags(base) == ["fresh", "keep"] and not os.path.isdir(stage)
+
+    # B: complete stage, partition unlinked
+    build(base)
+    spark.read.parquet(os.path.join(base, "y=1998")).where(
+        F.col("month") >= 4
+    ).write.parquet(stage)
+    shutil.rmtree(os.path.join(base, "y=1998"))
+    m.enforce_ttl(spark, base, "y", 1998, F.col("month") >= 4)
+    assert final_tags(base) == ["fresh", "keep"] and not os.path.isdir(stage)
+
+    # C: partial stage (no _SUCCESS), partition intact
+    build(base)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    m.enforce_ttl(spark, base, "y", 1998, F.col("month") >= 4)
+    assert final_tags(base) == ["fresh", "keep"] and not os.path.isdir(stage)
+
+
+def test_seal_manifest_rename_is_the_commit_point(spark, tmp_path):
+    """A version either has a complete manifest or none: seal leaves no
+    tmp behind, a torn tmp from a crashed seal is never visible to
+    read_snapshot, and an unsealed version raises cleanly instead of
+    half-reading."""
+    import pytest as _pytest
+
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    table = str(tmp_path / "tt")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    files = []
+    out = os.path.join(table, "data", "c1")
+    df.write.parquet(out)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    # a crashed seal's torn tmp for v2 sits in the manifest dir
+    os.makedirs(os.path.join(table, "manifests"))
+    with open(os.path.join(table, "manifests", "v2.json.tmp"), "w") as fh:
+        fh.write('{"files": [')  # torn mid-write
+    m.seal_manifest(table, 1, files)
+    assert sorted(os.listdir(os.path.join(table, "manifests"))) == [
+        "v1.json",
+        "v2.json.tmp",
+    ]
+    assert m.read_snapshot(spark, table, 1).count() == 1
+    with _pytest.raises(FileNotFoundError):
+        m.read_snapshot(spark, table, 2)  # torn tmp is not a version
