@@ -552,7 +552,13 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
     for entry in sorted(_os.listdir(lake_path)):
         if not entry.startswith(f"{part_col}="):
             continue
-        year = int(entry.split("=", 1)[1])
+        try:
+            year = int(entry.split("=", 1)[1])
+        except ValueError:
+            # __HIVE_DEFAULT_PARTITION__ (null) or a foreign value: age
+            # unknown — a retention job must never delete what it
+            # cannot date, so leave it exactly as a fresh partition
+            continue
         d = _os.path.join(lake_path, entry)
         if year > cutoff_year:
             continue  # fresh partition: never read, never rewritten
@@ -658,14 +664,17 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
     complete one; a crash mid-write leaves only a ``.tmp`` that no
     reader opens. Same temp+rename protocol as the streaming ledger
     seed (streaming/incremental.py) — a torn manifest would otherwise
-    be trusted as a version and fail every read of it."""
+    be trusted as a version and fail every read of it. File paths are
+    stored RELATIVE to the table root so the table (manifests + data
+    together) can be relocated/replicated without rewriting history."""
     import json as _json
 
     mdir = _os.path.join(table_path, "manifests")
     _os.makedirs(mdir, exist_ok=True)
     tmp = _os.path.join(mdir, f"v{version}.json.tmp")
+    rels = [_os.path.relpath(f, table_path) for f in files]
     with open(tmp, "w") as fh:
-        _json.dump({"files": files}, fh)
+        _json.dump({"files": rels}, fh)
         fh.flush()
         _os.fsync(fh.fileno())
     _os.replace(tmp, _os.path.join(mdir, f"v{version}.json"))
@@ -673,13 +682,14 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
 
 def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
     """Read a table AS OF a version: open that version's manifest,
-    scan exactly the files it names. Driver-side cost is one manifest
-    read — O(files in the snapshot), no directory walk."""
+    scan exactly the files it names (table-root-relative). Driver-side
+    cost is one manifest read — O(files in the snapshot), no directory
+    walk."""
     import json as _json
 
     with open(_os.path.join(table_path, "manifests", f"v{version}.json")) as fh:
         files = _json.load(fh)["files"]
-    return spark.read.parquet(*files)
+    return spark.read.parquet(*(_os.path.join(table_path, f) for f in files))
 
 
 @_register(

@@ -823,3 +823,78 @@ def test_seal_manifest_rename_is_the_commit_point(spark, tmp_path):
     assert m.read_snapshot(spark, table, 1).count() == 1
     with _pytest.raises(FileNotFoundError):
         m.read_snapshot(spark, table, 2)  # torn tmp is not a version
+
+
+def test_ttl_enforce_never_deletes_undatable_partitions(spark):
+    """A null partition value (__HIVE_DEFAULT_PARTITION__) or a foreign
+    directory has no age — retention must leave it untouched rather
+    than guess."""
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    path = os.path.join(SCRATCH, "ttl_null_part")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(1995, 1, "expired"), (None, 6, "undated"), (1999, 3, "fresh")],
+        "y int, month int, tag string",
+    )
+    df.repartition(F.col("y")).write.partitionBy("y").parquet(path)
+    assert os.path.isdir(os.path.join(path, "y=__HIVE_DEFAULT_PARTITION__"))
+    m.enforce_ttl(spark, path, "y", 1998, F.col("month") >= 4)
+    got = sorted(r.tag for r in spark.read.parquet(path).collect())
+    assert got == ["fresh", "undated"]
+
+
+def test_time_travel_table_is_relocatable(spark, tmp_path):
+    """Manifests store table-root-relative paths, so moving the whole
+    table directory (manifests + data) must keep every version
+    readable — the replication/DR contract."""
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    src = str(tmp_path / "orig")
+    df = spark.createDataFrame([(i, "x") for i in range(7)], "k int, v string")
+    out = os.path.join(src, "data", "c1")
+    df.write.parquet(out)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    m.seal_manifest(src, 1, files)
+    dst = str(tmp_path / "moved")
+    shutil.move(src, dst)
+    assert m.read_snapshot(spark, dst, 1).count() == 7
+
+
+def test_ttl_enforce_equals_filter_oracle_randomized(spark):
+    """Seeded randomized layouts: whatever the (year, month) spread —
+    empty boundary, missing years, all-expired, all-fresh — the
+    enforced lake must equal the plain filter of the input."""
+    import random
+
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    path = os.path.join(SCRATCH, "ttl_fuzz")
+    for seed in range(5):
+        rng = random.Random(seed)
+        years = rng.sample(range(1994, 2003), rng.randint(2, 6))
+        rows = [
+            (y, rng.randint(1, 12), i)
+            for i, y in enumerate(rng.choices(years, k=rng.randint(5, 60)))
+        ]
+        cutoff_year = rng.choice(range(1995, 2002))
+        cutoff_month = rng.randint(1, 12)
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.createDataFrame(rows, "y int, month int, rid int")
+        df.repartition(F.col("y")).write.partitionBy("y").parquet(path)
+        m.enforce_ttl(
+            spark, path, "y", cutoff_year, F.col("month") >= cutoff_month
+        )
+        keep = (F.col("y") > cutoff_year) | (
+            (F.col("y") == cutoff_year) & (F.col("month") >= cutoff_month)
+        )
+        want = sorted(r.rid for r in df.where(keep).collect())
+        survivors = (
+            [] if not os.path.isdir(path) or not any(
+                e.startswith("y=") for e in os.listdir(path)
+            )
+            else sorted(r.rid for r in spark.read.parquet(path).collect())
+        )
+        assert survivors == want, f"seed {seed}: {survivors} != {want}"
