@@ -71,8 +71,13 @@ _MODULES = [
 # (text_index_delete + the crud composition that calls it), and the
 # recluster_if_skewed split (ivf_index_recluster) — routed ahead so
 # their attestation rows reflect the current code. New queries
-# auto-lead the tail via the never-attested rule; the remaining slots
-# drain the r2 cohort entirely and ~25 of r3 per the r7 verdict.
+# auto-lead the tail via the never-attested rule. Slot math at the
+# driver's ~50-query budget: 27 engine-changed + 7 new (5 index
+# verbs, 2 lake-lifecycle) + the full 14-query r2 cohort = 48,
+# leaving ~2 slots for the oldest r3 rows — the r7 verdict's hard
+# criterion (all of r2 re-attested, nothing older than r3 left) is
+# met; the r3 cohort drains across r9-r10 as the engine-changed
+# head shrinks back to normal.
 _PRIORITY: list[str] = [
     "streaming_text_ingest",
     "streaming_dedup_ingest",
