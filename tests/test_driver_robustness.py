@@ -87,6 +87,11 @@ def test_checkpointing_queries_rerun_identically(name, spark, sf_smoke):
         "text_index_vacuum",
         "text_index_stats",
         "dedup_index_stats",
+        # r8 continuation: the TTL lake (partition unlinks + staged
+        # boundary swap) and the versioned lake (sealed manifests +
+        # orphan commit) both rebuild from scratch each call
+        "retention_ttl_enforce",
+        "time_travel_read",
     ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):
