@@ -1986,6 +1986,21 @@ def _write_text_index(docs, path: str, mode: str) -> None:
     )
 
 
+def _tombstone_request_id(tombs: DataFrame) -> str:
+    """Content-hash id for a tombstone set: md5 over the sorted victim
+    ids. Deterministic, so a crashed tombstone compaction retries under
+    the SAME id (its negative stats partial is written once, the
+    retry-safety contract of _delete_from_text_index), and
+    generation-scoped, so the MOR read's double-fold guard matches a
+    persisted partial only against the exact victim set it covers.
+    Driver-side collect of K victim ids — request-footprint-sized, the
+    same bound as the delete itself."""
+    import hashlib
+
+    ids = sorted(r[0] for r in tombs.select("doc_id").distinct().collect())
+    return hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:12]
+
+
 def _search_text_index(
     spark: SparkSession, path: str, merge_tombstones: bool = False
 ) -> DataFrame:
@@ -2033,15 +2048,31 @@ def _search_text_index(
     stats_partials = spark.read.parquet(_os.path.join(path, "stats"))
     if tombs is not None:
         # fold the victims' exact integers into the partial sums at
-        # read time — the same arithmetic the compaction persists
-        stats_partials = stats_partials.unionByName(
-            docstats.join(F.broadcast(tombs), "doc_id").agg(
-                (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-                (-F.coalesce(F.sum("dl"), F.lit(0)))
-                .cast("bigint")
-                .alias("sum_dl"),
-            )
+        # read time — the same arithmetic the compaction persists.
+        # UNLESS the compaction's own negative partial for THIS
+        # tombstone set is already on disk: _compact_text_tombstones
+        # writes it FIRST (under the set's content-hash request id),
+        # and a crash before its docstats rewrite leaves partial +
+        # tombstones + victims' docstats rows all live — folding here
+        # on top of that partial would subtract the same victims
+        # twice. The partial existing means the subtraction is
+        # persisted; the anti-joins above and below still mask the
+        # victims' rows themselves. The content-hash id is what scopes
+        # the check to the CURRENT tombstone generation — a partial
+        # retired with an earlier, different victim set never
+        # suppresses a later set's fold.
+        compact_partial = _os.path.join(
+            path, "stats", f"forget-{_tombstone_request_id(tombs)}.parquet"
         )
+        if not _os.path.exists(compact_partial):
+            stats_partials = stats_partials.unionByName(
+                docstats.join(F.broadcast(tombs), "doc_id").agg(
+                    (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                    (-F.coalesce(F.sum("dl"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("sum_dl"),
+                )
+            )
         docstats = docstats.join(F.broadcast(tombs), "doc_id", "left_anti")
     stats = stats_partials.agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
@@ -2580,7 +2611,7 @@ def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _compact_text_tombstones(
-    spark: SparkSession, path: str, request_id: str = "tombstones"
+    spark: SparkSession, path: str, request_id: str | None = None
 ) -> None:
     """Retire a standing merge-on-read tombstone set by folding it into
     the index — the maintenance half text_index_delete_mor's docstring
@@ -2589,16 +2620,24 @@ def _compact_text_tombstones(
     affected-bucket rewrite + docstats anti-join), and the tombstone
     table is dropped LAST, so a crash at any point leaves either a
     still-consistent MOR index (tombstones standing, delete replayable
-    under the same request id) or the fully-compacted one — never a
-    state that double-applies the fold (the read-time stats adjustment
-    and the negative partial can never both be live for the same
-    victim set, because the tombstone drop happens only after the
-    rewrite completes)."""
+    under the same request id) or the fully-compacted one.
+
+    The request id defaults to the tombstone set's content hash
+    (_tombstone_request_id) — shared with the MOR read path, which
+    skips its read-time stats fold whenever this compaction's negative
+    partial is already persisted. That closes the one crash window
+    where both adjustments were live at once (partial written, docstats
+    rewrite not yet done, tombstones standing): a MOR reader in that
+    state previously subtracted the victims' (count, sum_dl) twice;
+    double-fold-free readback from exactly that state is pinned in
+    tests/test_round8_ops.py."""
     import shutil as _shutil
 
     victims = spark.read.parquet(_os.path.join(path, "tombstones")).select(
         "doc_id"
     )
+    if request_id is None:
+        request_id = _tombstone_request_id(victims)
     _delete_from_text_index(spark, path, victims, request_id=request_id)
     _shutil.rmtree(_os.path.join(path, "tombstones"))
 

@@ -898,3 +898,64 @@ def test_ttl_enforce_equals_filter_oracle_randomized(spark):
             else sorted(r.rid for r in spark.read.parquet(path).collect())
         )
         assert survivors == want, f"seed {seed}: {survivors} != {want}"
+
+
+def test_mor_read_single_fold_when_compaction_crashes_midway(
+    spark, sf_smoke, monkeypatch
+):
+    """The one crash window where a MOR reader could double-subtract
+    the victims' stats: tombstone compaction writes its negative
+    partial, then dies before the postings/docstats rewrite. The read
+    path must detect the persisted partial (content-hash request id)
+    and skip its read-time fold — answers before the crash, inside the
+    window, and after the retried compaction must all be identical."""
+    import pytest as _pytest
+
+    from automated_dow30_earnings_reports_spark.operators import textstats as tx
+    from automated_dow30_earnings_reports_spark.sources import parquet_lake as pl
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = tx._text_index_path(sf_smoke) + "_morcrash"
+    shutil.rmtree(path, ignore_errors=True)
+    tx._write_text_index(d, path, "overwrite")
+    d.where(F.expr(tx.TEXT_DELETE_PRED)).select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "tombstones"))
+
+    want = [
+        tuple(r)
+        for r in tx._search_text_index(spark, path, merge_tombstones=True).collect()
+    ]
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash before the postings rewrite")
+
+    monkeypatch.setattr(pl, "rewrite_affected_partitions", boom)
+    with _pytest.raises(RuntimeError, match="crash before"):
+        tx._compact_text_tombstones(spark, path)
+    monkeypatch.undo()
+
+    # the window's exact state: partial persisted, tombstones standing,
+    # victims' docstats rows still present
+    victims = spark.read.parquet(os.path.join(path, "tombstones"))
+    rid = tx._tombstone_request_id(victims)
+    assert os.path.exists(os.path.join(path, "stats", f"forget-{rid}.parquet"))
+    assert (
+        spark.read.parquet(os.path.join(path, "docstats"))
+        .join(victims, "doc_id")
+        .count()
+        > 0
+    )
+    got = [
+        tuple(r)
+        for r in tx._search_text_index(spark, path, merge_tombstones=True).collect()
+    ]
+    assert got == want  # single fold — the persisted partial is not doubled
+
+    # retry converges: compacted index, plain read path, same answer
+    tx._compact_text_tombstones(spark, path)
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    assert [
+        tuple(r) for r in tx._search_text_index(spark, path).collect()
+    ] == want
