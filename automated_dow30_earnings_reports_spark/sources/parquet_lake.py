@@ -269,7 +269,20 @@ def rewrite_affected_partitions(
 
     Scale shape: cost is proportional to the affected partitions'
     data, not the table size — a K-row forget request against a
-    100 TB index rewrites only the directories K rows live in."""
+    100 TB index rewrites only the directories K rows live in.
+
+    Atomicity boundary, stated honestly: the dynamic overwrite's job
+    commit replaces each affected partition by delete-then-move on
+    plain parquet directories — not transactional, so a crash INSIDE
+    the commit can leave an affected partition half-replaced. Retrying
+    the surrounding verb converges for every state the anti-join can
+    see (it is idempotent over clean or victim-bearing partitions),
+    but not for a torn partition; closing that last window requires a
+    manifest-pinned table layout where the rewrite seals a new file
+    set and readers never list directories (the time-travel pattern in
+    plans/maintenance.py seal_manifest/read_snapshot), which is how
+    production table formats do deletes. The registered queries
+    rebuild their indexes per run, so they never read a torn state."""
     import shutil as _shutil
 
     keys = [key] if isinstance(key, str) else list(key)
