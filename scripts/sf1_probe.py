@@ -464,6 +464,48 @@ def _time_ttl_enforce(spark, fresh_rows_per_year: int) -> float:
     return best
 
 
+def _time_snapshot_read_with_junk(spark, n_junk_commits: int) -> float:
+    """Manifest-pinned snapshot read with a GROWING pile of garbage in
+    the data directory — crashed writers' orphan commits the manifests
+    never name. The claim under test is time_travel_read's central
+    scale property: a reader resolves the version from one manifest
+    and scans exactly its files, so read cost must be independent of
+    how much junk accumulates beside them (a directory-listing reader
+    pays the LIST — the object-store killer — and would also read the
+    junk). Flat time across junk counts is the pass condition."""
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        read_snapshot,
+        seal_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    path = os.path.join(os.path.dirname(SF1), "tt_junk_probe")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    out = os.path.join(path, "data", "c1")
+    df.write.parquet(out)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    seal_manifest(path, 1, files)
+    for j in range(n_junk_commits):
+        d = os.path.join(path, "data", f"c-orphan-{j}")
+        os.makedirs(d)
+        for i in range(20):
+            with open(os.path.join(d, f"part-{i:05d}.parquet"), "wb") as fh:
+                fh.write(b"\x00" * 4096)  # never opened: content irrelevant
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        read_snapshot(spark, path, 1).agg(F.sum("v")).collect()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    shutil.rmtree(path, ignore_errors=True)
+    return best
+
+
 def _timed_inner(mod, attr, query_fn, spark, sf_dir) -> float:
     """Run ``query_fn`` end-to-end but report ONLY the wall-clock spent
     inside ``mod.attr`` (the maintenance verb) — the build/ingest that
@@ -595,6 +637,13 @@ def main() -> int:
         print(
             f"| text_index_search +standing tombstones (MOR read) | {t_small:.2f} "
             f"| {t_big:.2f} | {t_big / t_small:.1f}x |"
+        )
+    if "--snapshot-junk" in sys.argv:
+        t_clean = _time_snapshot_read_with_junk(spark, 0)
+        t_junk = _time_snapshot_read_with_junk(spark, 50)
+        print(
+            f"| snapshot read (0 vs 50 orphan commits beside the data) | {t_clean:.2f} "
+            f"| {t_junk:.2f} | {t_junk / t_clean:.1f}x |"
         )
     if "--ttl" in sys.argv:
         t_small = _time_ttl_enforce(spark, 30_000)
