@@ -959,3 +959,26 @@ def test_mor_read_single_fold_when_compaction_crashes_midway(
     assert [
         tuple(r) for r in tx._search_text_index(spark, path).collect()
     ] == want
+
+
+def test_vacuum_retires_torn_manifests_without_touching_data(spark, tmp_path):
+    """A publish that died MID-manifest-write left a torn (unparseable)
+    manifest and — because the manifest is written before any file
+    move — zero ingest files. Vacuum must retire the torn manifest,
+    count the batch rolled back, and leave every data file exactly as
+    it found it."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        rollback_orphan_publishes,
+    )
+
+    live = str(tmp_path / "idx")
+    spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").write.parquet(
+        os.path.join(live, "t")
+    )
+    before = _file_inventory(live)
+    with open(os.path.join(live, ".publish-manifest-7.json"), "w") as fh:
+        fh.write('{"t": ["cell=')  # torn mid-write
+    report = rollback_orphan_publishes(live)
+    assert report["rolled_back_batches"] == 1
+    assert not os.path.exists(os.path.join(live, ".publish-manifest-7.json"))
+    assert _file_inventory(live) == before
