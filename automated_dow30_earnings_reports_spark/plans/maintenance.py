@@ -791,3 +791,221 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency control over the manifest-pinned table. The
+# single-writer `seal_manifest` above uses os.replace, which silently
+# OVERWRITES a same-numbered manifest — fine for the bootstrap path
+# that builds a fresh table, fatal for two concurrent writers racing to
+# seal the same next version (last writer wins, the loser's commit is
+# silently orphaned with no error anywhere). `occ_commit` closes that:
+# the seal becomes a compare-and-swap (create-exclusive), the loser
+# detects the lost race, re-reads the winners' manifests, and either
+# REBASES its delta on the new snapshot (disjoint work) or raises a
+# CommitConflictError (overlapping work) — the same commit protocol
+# Delta Lake / Iceberg run against an object store's conditional PUT.
+#
+# Conflict rule (Delta semantics): an APPEND is blind — it read nothing
+# from the snapshot, so it composes with any concurrent commit and can
+# always rebase. A REWRITE of partition set R read R's files at its
+# base version; it conflicts with any winner that touched (appended to
+# or rewrote) a partition in R — committing anyway would silently
+# un-see the winner's rows. Partition here is the commit-metadata
+# grain, exactly Delta's per-file partition values.
+# ---------------------------------------------------------------------------
+
+import itertools as _itertools
+
+_CAS_TMP_SEQ = _itertools.count()
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent winner touched a partition this rewrite was based
+    on; the commit cannot be rebased and must be retried from a fresh
+    snapshot read (or abandoned — its data files are unreferenced and
+    reclaimable by `vacuum_unreferenced`)."""
+
+
+def current_version(table_path: str) -> int:
+    """Highest sealed version, 0 if the table has none. One directory
+    listing of ``manifests/`` — the table root / data tree is never
+    listed (at 100 TB the manifest directory is KB-sized while the
+    data tree is the object-store LIST killer)."""
+    import re as _re
+
+    mdir = _os.path.join(table_path, "manifests")
+    if not _os.path.isdir(mdir):
+        return 0
+    best = 0
+    for entry in _os.listdir(mdir):
+        m = _re.fullmatch(r"v(\d+)\.json", entry)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    import json as _json
+
+    with open(_os.path.join(table_path, "manifests", f"v{version}.json")) as fh:
+        return _json.load(fh)
+
+
+def _manifest_parts(man: dict) -> dict[str, list[str]]:
+    """Per-partition file map of a manifest. Legacy single-writer
+    manifests (seal_manifest: {"files": [...]} only) map to one
+    unnamed partition so occ_commit can adopt a bootstrap-built table
+    without rewriting its history."""
+    if "parts" in man:
+        return {p: list(fs) for p, fs in man["parts"].items()}
+    return {"": list(man.get("files", []))}
+
+
+def _cas_seal(table_path: str, version: int, payload: dict) -> bool:
+    """Compare-and-swap seal: returns False iff v<version> already
+    exists. The tmp write is fsynced, then os.link() publishes it —
+    link (unlike os.replace) fails atomically on an existing target,
+    which is the local-filesystem spelling of an object store's
+    conditional PUT (If-None-Match). The tmp name is pid+sequence
+    unique so concurrent writers never clobber each other's staging."""
+    import json as _json
+
+    mdir = _os.path.join(table_path, "manifests")
+    _os.makedirs(mdir, exist_ok=True)
+    final = _os.path.join(mdir, f"v{version}.json")
+    tmp = _os.path.join(
+        mdir, f"v{version}.json.tmp-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
+    )
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    try:
+        _os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        _os.remove(tmp)
+
+
+def occ_commit(
+    table_path: str,
+    adds: dict[str, list[str]],
+    replaces: list[str] | tuple[str, ...] = (),
+    base_version: int = 0,
+    max_attempts: int = 10,
+) -> int:
+    """Commit a delta (per-partition file adds + replaced partitions)
+    against the snapshot the writer prepared it on (``base_version``),
+    tolerating concurrent winners. Returns the sealed version number.
+
+    Protocol per attempt: (1) list manifests once; for every winner
+    sealed after base_version, check the conflict rule — a winner that
+    touched any partition in ``replaces`` makes this rewrite
+    unrebasable (CommitConflictError); (2) apply the delta to the
+    LATEST snapshot's partition map (drop replaced partitions, append
+    added files); (3) CAS-seal the next version. A lost CAS race (a
+    winner sealed between the listing and the link) loops back to (1)
+    — bounded by max_attempts so a livelocked table fails loudly.
+
+    Appends (empty ``replaces``) never conflict and always rebase; the
+    data files were already written before this is called, so retries
+    re-seal metadata only — no data is rewritten on rebase. An aborted
+    writer's files are unreferenced by every manifest (invisible to
+    read_snapshot) and reclaimed by `vacuum_unreferenced`.
+
+    Scale shape: each attempt is one KB-scale manifest-directory
+    listing + one manifest read + one conditional write, independent
+    of table size. Reference contrast: the reference's ledger writer
+    simply clobbers the previous full JSON dump per run
+    (src/simple_metadata_collector.py:121-130) — two concurrent runs
+    interleave silently, which is the failure mode this verb exists
+    to make impossible."""
+    rel_adds = {
+        p: [
+            f if not _os.path.isabs(f) else _os.path.relpath(f, table_path)
+            for f in fs
+        ]
+        for p, fs in adds.items()
+    }
+    replaces = list(replaces)
+    base = base_version
+    for _ in range(max_attempts):
+        head = current_version(table_path)
+        if head > base:
+            for w in range(base + 1, head + 1):
+                wm = _read_manifest(table_path, w)
+                w_touched = set(wm.get("adds", {})) | set(wm.get("replaces", []))
+                if not ("adds" in wm or "replaces" in wm):
+                    # legacy seal_manifest commit: touched-set unknown,
+                    # so a rewrite cannot prove disjointness
+                    w_touched = set(replaces)
+                if set(replaces) & w_touched:
+                    raise CommitConflictError(
+                        f"rewrite of partitions {sorted(set(replaces) & w_touched)} "
+                        f"conflicts with concurrent commit v{w}"
+                    )
+            base = head
+        parts = _manifest_parts(_read_manifest(table_path, head)) if head else {}
+        for p in replaces:
+            parts.pop(p, None)
+        for p, fs in rel_adds.items():
+            parts[p] = parts.get(p, []) + [f for f in fs if f not in parts.get(p, [])]
+        payload = {
+            "files": sorted(f for fs in parts.values() for f in fs),
+            "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
+            "adds": {p: sorted(fs) for p, fs in sorted(rel_adds.items())},
+            "replaces": sorted(replaces),
+            "base": base,
+        }
+        if _cas_seal(table_path, head + 1, payload):
+            return head + 1
+        # lost the CAS race: a winner sealed head+1 after our listing;
+        # loop re-reads it and re-runs conflict detection
+    raise RuntimeError(
+        f"occ_commit gave up after {max_attempts} lost races on {table_path}"
+    )
+
+
+def vacuum_unreferenced(table_path: str) -> dict[str, int]:
+    """Reclaim a QUIESCED table's garbage: data files no manifest of
+    any version references (aborted/conflicted writers, crashed
+    commits that never sealed) and stale CAS staging files. Never call
+    concurrently with a writer — a writer's files are unreferenced
+    between its data write and its seal, exactly the window a racing
+    vacuum would destroy (same quiesce contract as
+    rollback_orphan_publishes). Manifests themselves are never
+    removed: every sealed version stays readable (time travel), so
+    vacuum reclaims only what no version can see. Returns counts for
+    the vacuum report."""
+    report = {"data_files_removed": 0, "tmp_files_removed": 0, "dirs_removed": 0}
+    mdir = _os.path.join(table_path, "manifests")
+    referenced: set[str] = set()
+    if _os.path.isdir(mdir):
+        for entry in sorted(_os.listdir(mdir)):
+            if entry.endswith(".json"):
+                import json as _json
+
+                with open(_os.path.join(mdir, entry)) as fh:
+                    referenced.update(_json.load(fh).get("files", []))
+            elif ".json.tmp-" in entry:
+                _os.remove(_os.path.join(mdir, entry))
+                report["tmp_files_removed"] += 1
+    data = _os.path.join(table_path, "data")
+    if _os.path.isdir(data):
+        for dirpath, _dirs, files in sorted(_os.walk(data), reverse=True):
+            for f in files:
+                full = _os.path.join(dirpath, f)
+                if f.endswith(".parquet"):
+                    if _os.path.relpath(full, table_path) in referenced:
+                        continue
+                    _os.remove(full)
+                    report["data_files_removed"] += 1
+                else:
+                    _os.remove(full)  # _SUCCESS/.crc sidecars never referenced
+            if not _os.listdir(dirpath):
+                _os.rmdir(dirpath)
+                report["dirs_removed"] += 1
+    return report

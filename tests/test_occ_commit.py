@@ -1,0 +1,190 @@
+"""Optimistic-concurrency commit protocol over the manifest-pinned
+table (plans/maintenance.py: occ_commit / _cas_seal / vacuum_unreferenced).
+
+The single-writer seal_manifest os.replace's its manifest — two racing
+writers would be silent last-writer-wins. These tests pin the OCC
+replacement: the seal is create-exclusive, losers rebase (disjoint
+work) or fail loudly (overlapping rewrites), aborted commits stay
+invisible to every snapshot and are reclaimable by vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+
+def _commit_files(spark, table, name, keys):
+    """One commit's immutable data files holding the given keys."""
+    df = spark.createDataFrame([(k, f"val-{k}") for k in keys], "k int, v string")
+    return m._tt_commit(df.coalesce(1), os.path.join(table, "data"), name)
+
+
+def _snapshot_keys(spark, table, version):
+    return sorted(
+        r.k for r in m.read_snapshot(spark, str(table), version).select("k").collect()
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """v1 = one OCC append of partition p0 (keys 0-4)."""
+    t = str(tmp_path / "occ_table")
+    files = _commit_files(spark, t, "c-base", range(5))
+    assert m.occ_commit(t, {"p0": files}, base_version=0) == 1
+    assert m.current_version(t) == 1
+    return t
+
+
+def test_append_append_rebase(spark, table):
+    # A and B both prepared on v1; A seals v2 first, B's commit finds
+    # the newer head and rebases — no error, both deltas visible.
+    fa = _commit_files(spark, table, "c-a", range(10, 13))
+    fb = _commit_files(spark, table, "c-b", range(20, 23))
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    assert m.occ_commit(table, {"pB": fb}, base_version=1) == 3
+    assert _snapshot_keys(spark, table, 3) == [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 22]
+    # snapshot isolation: v2 still reads A-only, v1 still base-only
+    assert _snapshot_keys(spark, table, 2) == [0, 1, 2, 3, 4, 10, 11, 12]
+    assert _snapshot_keys(spark, table, 1) == [0, 1, 2, 3, 4]
+
+
+def test_rewrite_rewrite_same_partition_conflicts(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(100, 103))
+    fb = _commit_files(spark, table, "c-b", range(200, 203))
+    assert m.occ_commit(table, {"p0": fa}, replaces=["p0"], base_version=1) == 2
+    with pytest.raises(m.CommitConflictError, match="p0"):
+        m.occ_commit(table, {"p0": fb}, replaces=["p0"], base_version=1)
+    # the loser changed nothing: head is still the winner's commit
+    assert m.current_version(table) == 2
+    assert _snapshot_keys(spark, table, 2) == [100, 101, 102]
+
+
+def test_rewrite_vs_disjoint_append_rebases(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(10, 12))  # appends pA
+    fb = _commit_files(spark, table, "c-b", range(300, 302))  # rewrites p0
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    assert m.occ_commit(table, {"p0": fb}, replaces=["p0"], base_version=1) == 3
+    assert _snapshot_keys(spark, table, 3) == [10, 11, 300, 301]
+
+
+def test_rewrite_of_concurrently_appended_partition_conflicts(spark, table):
+    # winner appends INTO p0; loser's rewrite of p0 was based on v1 and
+    # would silently drop the winner's rows — must refuse.
+    fa = _commit_files(spark, table, "c-a", range(10, 12))
+    fb = _commit_files(spark, table, "c-b", range(300, 302))
+    assert m.occ_commit(table, {"p0": fa}, base_version=1) == 2
+    with pytest.raises(m.CommitConflictError):
+        m.occ_commit(table, {"p0": fb}, replaces=["p0"], base_version=1)
+
+
+def test_threaded_cas_race_serializes_both_appends(spark, table):
+    # Two writers race the seal itself: both may list head=1 before
+    # either links v2. The loser's os.link fails atomically and its
+    # retry loop rebases — both commits land, versions serialize.
+    fa = _commit_files(spark, table, "c-a", range(10, 13))
+    fb = _commit_files(spark, table, "c-b", range(20, 23))
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def commit(name, files, part):
+        try:
+            barrier.wait()
+            results[name] = m.occ_commit(table, {part: files}, base_version=1)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    ta = threading.Thread(target=commit, args=("a", fa, "pA"))
+    tb = threading.Thread(target=commit, args=("b", fb, "pB"))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+    assert not errors
+    assert sorted(results.values()) == [2, 3]
+    assert _snapshot_keys(spark, table, 3) == [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 22]
+
+
+def test_adopts_legacy_seal_manifest_table(spark, tmp_path):
+    # A table bootstrapped by the single-writer path (manifest has only
+    # "files") accepts OCC appends on top without history rewrites;
+    # a rewrite cannot prove disjointness against the legacy commit
+    # when racing it, but a rewrite based ON it is fine.
+    t = str(tmp_path / "legacy")
+    f1 = _commit_files(spark, t, "c1", range(3))
+    m.seal_manifest(t, 1, f1)
+    f2 = _commit_files(spark, t, "c2", range(10, 12))
+    assert m.occ_commit(t, {"pA": f2}, base_version=1) == 2
+    assert _snapshot_keys(spark, t, 2) == [0, 1, 2, 10, 11]
+    # legacy files live under the unnamed partition; replacing it works
+    f3 = _commit_files(spark, t, "c3", range(50, 52))
+    assert m.occ_commit(t, {"": f3}, replaces=[""], base_version=2) == 3
+    assert _snapshot_keys(spark, t, 3) == [10, 11, 50, 51]
+    # ...but a rewrite BASED BEFORE the legacy commit conflicts (its
+    # touched-set is unknowable, so disjointness can't be proven)
+    t2 = str(tmp_path / "legacy2")
+    f4 = _commit_files(spark, t2, "c4", range(60, 62))
+    fa = _commit_files(spark, t2, "c1", range(3))
+    assert m.occ_commit(t2, {"p0": fa}, base_version=0) == 1
+    m.seal_manifest(t2, 2, _commit_files(spark, t2, "c2", range(5, 8)))
+    with pytest.raises(m.CommitConflictError):
+        m.occ_commit(t2, {"p0": f4}, replaces=["p0"], base_version=1)
+
+
+def test_crash_mid_seal_leaves_no_version_and_vacuum_reclaims(spark, table):
+    # a writer that died after its data write but before (or during)
+    # the seal: data files exist, maybe a torn CAS tmp exists — no
+    # reader sees any of it, and vacuum removes exactly the garbage.
+    dead = _commit_files(spark, table, "c-dead", range(900, 905))
+    mdir = os.path.join(table, "manifests")
+    with open(os.path.join(mdir, "v2.json.tmp-999-0"), "w") as fh:
+        fh.write('{"files": ["torn')  # torn tmp from the dead writer
+    assert m.current_version(table) == 1
+    assert _snapshot_keys(spark, table, 1) == [0, 1, 2, 3, 4]
+    live_before = set(m._read_manifest(table, 1)["files"])
+    report = m.vacuum_unreferenced(table)
+    assert report["data_files_removed"] == len(dead)
+    assert report["tmp_files_removed"] == 1
+    for f in dead:
+        assert not os.path.exists(f)
+    # every referenced file survived; v1 still reads
+    for rel in live_before:
+        assert os.path.exists(os.path.join(table, rel))
+    assert _snapshot_keys(spark, table, 1) == [0, 1, 2, 3, 4]
+
+
+def test_conflicted_writer_files_are_invisible_then_vacuumed(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(100, 103))
+    fb = _commit_files(spark, table, "c-b", range(200, 203))
+    assert m.occ_commit(table, {"p0": fa}, replaces=["p0"], base_version=1) == 2
+    with pytest.raises(m.CommitConflictError):
+        m.occ_commit(table, {"p0": fb}, replaces=["p0"], base_version=1)
+    assert _snapshot_keys(spark, table, 2) == [100, 101, 102]
+    report = m.vacuum_unreferenced(table)
+    # exactly the loser's parquet files reclaimed — the winner's and
+    # v1's (time travel!) stay
+    assert report["data_files_removed"] == len(fb)
+    assert _snapshot_keys(spark, table, 2) == [100, 101, 102]
+    assert _snapshot_keys(spark, table, 1) == [0, 1, 2, 3, 4]
+
+
+def test_lost_race_retries_are_bounded(spark, table, monkeypatch):
+    # livelock guard: if the CAS loses forever, occ_commit fails loudly
+    monkeypatch.setattr(m, "_cas_seal", lambda *a, **k: False)
+    files = _commit_files(spark, table, "c-x", range(10, 12))
+    with pytest.raises(RuntimeError, match="gave up"):
+        m.occ_commit(table, {"pX": files}, base_version=1, max_attempts=3)
+
+
+def test_manifest_payload_roundtrips_relative_paths(spark, table):
+    # paths in manifests stay table-root-relative so the table can be
+    # relocated wholesale (same contract as seal_manifest)
+    man = m._read_manifest(table, 1)
+    assert man["replaces"] == [] and man["base"] == 0
+    for f in man["files"]:
+        assert not os.path.isabs(f)
+    assert set(man["parts"]) == {"p0"}
+    assert json.dumps(man)  # fully JSON-serializable
