@@ -969,6 +969,127 @@ def occ_commit(
     )
 
 
+OCC_V1_CUTOFF = "1996-01-01"  # v1: orders strictly before
+OCC_APPEND_CUTOFF = "1997-01-01"  # concurrent appender adds [V1, APPEND)
+OCC_DELETE_MOD = 89  # concurrent rewriter drops these keys from v1
+OCC_STALE_MOD = 11  # the stale third writer's (refused) delete
+
+
+@_register(
+    "occ_concurrent_commits",
+    f"""
+    WITH final AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{OCC_V1_CUTOFF}'
+        AND o_orderkey % {OCC_DELETE_MOD} <> 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{OCC_V1_CUTOFF}'
+        AND o_orderdate < TIMESTAMP '{OCC_APPEND_CUTOFF}'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def occ_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two genuinely concurrent writers (threads racing the CAS seal
+    from the same base snapshot) — an appender and a copy-on-write
+    partition rewrite — both land via occ_commit's rebase in whichever
+    order they win; a third writer's rewrite based on the now-stale
+    snapshot is REFUSED (CommitConflictError), its orphaned files are
+    reclaimed by vacuum_unreferenced, and the query aggregates the
+    final snapshot per order status. The oracle reconstructs the final
+    logical state from the base table, so a lost append, a resurrected
+    deleted row, a double-applied rewrite, or a vacuum eating a live
+    file all break the hash — regardless of which writer won the race.
+
+    Scale shape: the race is resolved in O(manifest) metadata ops
+    (one KB-scale listing + conditional write per attempt), never by
+    rewriting data; the refused writer's data files cost one vacuum,
+    not a table scan. Reference contrast: concurrent reference runs
+    clobber each other's full-ledger JSON dump silently
+    (src/simple_metadata_collector.py:121-130)."""
+    import threading
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = scratch_path(_os.path.join(_SCRATCH, "occ_commits"), sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    data = _os.path.join(path, "data")
+
+    base = _tt_commit(o.where(F.col("o_orderdate") < F.lit(OCC_V1_CUTOFF)), data, "c-base")
+    if occ_commit(path, {"hist": base}, base_version=0) != 1:
+        raise RuntimeError("fresh table's first commit must seal v1")
+    # both writers' data files are written BEFORE the race: the race is
+    # over the commit protocol, not Spark job scheduling
+    a_files = _tt_commit(
+        o.where(
+            (F.col("o_orderdate") >= F.lit(OCC_V1_CUTOFF))
+            & (F.col("o_orderdate") < F.lit(OCC_APPEND_CUTOFF))
+        ),
+        data,
+        "c-append",
+    )
+    survivors = spark.read.parquet(*base).where(
+        F.col("o_orderkey") % OCC_DELETE_MOD != 0
+    )
+    b_files = _tt_commit(survivors, data, "c-rewrite")
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def _commit(adds: dict, replaces: tuple) -> None:
+        try:
+            barrier.wait()
+            occ_commit(path, adds, replaces, base_version=1)
+        except Exception as e:  # surfaced after join — a writer failing IS a failure
+            errs.append(e)
+
+    ta = threading.Thread(target=_commit, args=({"y96": a_files}, ()))
+    tb = threading.Thread(target=_commit, args=({"hist": b_files}, ("hist",)))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+    if errs:
+        raise RuntimeError(f"concurrent commit failed: {errs}")
+    if current_version(path) != 3:
+        raise RuntimeError("both racing commits should have serialized to v3")
+    # stale third writer: rewrite of 'hist' prepared on v1, after the
+    # rewrite landed — committing would un-see it, must refuse
+    c_files = _tt_commit(
+        survivors.where(F.col("o_orderkey") % OCC_STALE_MOD != 0), data, "c-stale"
+    )
+    try:
+        occ_commit(path, {"hist": c_files}, ("hist",), base_version=1)
+        raise RuntimeError("stale rewrite was not refused")
+    except CommitConflictError:
+        pass
+    report = vacuum_unreferenced(path)
+    if report["data_files_removed"] != len(c_files) or any(
+        _os.path.exists(f) for f in c_files
+    ):
+        raise RuntimeError(f"vacuum did not reclaim exactly the refused commit: {report}")
+    return (
+        read_snapshot(spark, path, 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def vacuum_unreferenced(table_path: str) -> dict[str, int]:
     """Reclaim a QUIESCED table's garbage: data files no manifest of
     any version references (aborted/conflicted writers, crashed

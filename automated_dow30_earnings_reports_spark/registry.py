@@ -72,12 +72,12 @@ _MODULES = [
 # recluster_if_skewed split (ivf_index_recluster) — routed ahead so
 # their attestation rows reflect the current code. New queries
 # auto-lead the tail via the never-attested rule. Slot math at the
-# driver's ~50-query budget: 27 engine-changed + 7 new (5 index
-# verbs, 2 lake-lifecycle) + the full 14-query r2 cohort = 48,
-# leaving ~2 slots for the oldest r3 rows — the r7 verdict's hard
-# criterion (all of r2 re-attested, nothing older than r3 left) is
-# met; the r3 cohort drains across r9-r10 as the engine-changed
-# head shrinks back to normal.
+# driver's ~50-query budget: 27 engine-changed + 8 new (5 index
+# verbs, 2 lake-lifecycle, occ_concurrent_commits) + the full
+# 14-query r2 cohort = 49, leaving ~1 slot for the oldest r3 row —
+# the r7 verdict's hard criterion (all of r2 re-attested, nothing
+# older than r3 left) is met; the r3 cohort drains across r9-r10 as
+# the engine-changed head shrinks back to normal.
 _PRIORITY: list[str] = [
     "streaming_text_ingest",
     "streaming_dedup_ingest",

@@ -57,6 +57,7 @@ _EXECUTES_ON_BUILD = {
     "lake_compaction",
     "retention_ttl_enforce",
     "time_travel_read",
+    "occ_concurrent_commits",
 }
 
 
