@@ -2001,6 +2001,35 @@ def _tombstone_request_id(tombs: DataFrame) -> str:
     return hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:12]
 
 
+def _write_tombstone_set(victims: DataFrame, path: str) -> None:
+    """Publish a MOR tombstone set: the K-row table plus a
+    ``_request_id.txt`` sidecar holding its content-hash id, INSIDE the
+    tombstone directory so Spark's reader ignores it (underscore
+    convention) and any overwrite of the set atomically retires the old
+    sidecar with the old rows — a stale id can never describe a newer
+    set. Persisting the id at write time keeps the derivation's
+    driver-side collect on the REQUEST path; without it every MOR
+    search re-collected the whole tombstone table just to compute the
+    double-fold guard's filename (an extra eager job per query on the
+    hot read path). A missing sidecar (pre-sidecar index, or a crash
+    between the two writes) degrades to deriving from the table."""
+    tdir = _os.path.join(path, "tombstones")
+    victims.write.mode("overwrite").parquet(tdir)
+    rid = _tombstone_request_id(victims)
+    with open(_os.path.join(tdir, "_request_id.txt"), "w") as fh:
+        fh.write(rid)
+
+
+def _tombstone_set_request_id(path: str, tombs: DataFrame) -> str:
+    """The standing tombstone set's request id: sidecar if persisted
+    (one driver-side file read), else derived from the table."""
+    sidecar = _os.path.join(path, "tombstones", "_request_id.txt")
+    if _os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            return fh.read().strip()
+    return _tombstone_request_id(tombs)
+
+
 def _search_text_index(
     spark: SparkSession, path: str, merge_tombstones: bool = False
 ) -> DataFrame:
@@ -2062,7 +2091,7 @@ def _search_text_index(
         # retired with an earlier, different victim set never
         # suppresses a later set's fold.
         compact_partial = _os.path.join(
-            path, "stats", f"forget-{_tombstone_request_id(tombs)}.parquet"
+            path, "stats", f"forget-{_tombstone_set_request_id(path, tombs)}.parquet"
         )
         if not _os.path.exists(compact_partial):
             stats_partials = stats_partials.unionByName(
@@ -2325,10 +2354,39 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
     (their merge is exact addition, so compaction cannot change any
     score), docstats re-laid-out. Reads are localCheckpointed before
     each overwrite so the rewrite never races its own source — the
-    lake_compaction contract applied to the index's own tables."""
+    lake_compaction contract applied to the index's own tables.
+
+    While a TOMBSTONE SET IS STANDING, the ``forget-<id>.parquet``
+    negative partials are kept as separate files instead of being
+    folded anonymously: each one doubles as the marker telling the MOR
+    read path its subtraction is already persisted
+    (_search_text_index's compact_partial check). Folding it into the
+    single stats row is numerically identical but ERASES the marker —
+    a MOR reader would then re-fold the still-live victims' docstats
+    on top of the already-applied negative, double-subtracting
+    n_docs/sum_dl (the exact window _compact_text_tombstones closed).
+    Once no tombstones stand, the markers are spent and fold like any
+    other partial. Pinned in tests/test_round8_ops.py."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
+
+    import shutil as _shutil
+
+    stats_dir = _os.path.join(path, "stats")
+    stage = _os.path.join(path, ".stats-compact-stage")
+    # recovery from a crashed previous compaction swap: _SWAP_READY is
+    # written only after the folded row AND every kept marker are in
+    # the stage, so a ready stage with the live dir already unlinked
+    # completes the swap; any other crash state discards the stage
+    # (the live stats dir is then still intact)
+    if _os.path.isdir(stage):
+        if _os.path.exists(
+            _os.path.join(stage, "_SWAP_READY")
+        ) and not _os.path.isdir(stats_dir):
+            _os.replace(stage, stats_dir)
+        else:
+            _shutil.rmtree(stage, ignore_errors=True)
 
     post = spark.read.parquet(_os.path.join(path, "postings")).localCheckpoint(
         eager=True
@@ -2336,15 +2394,42 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
     write_partitioned(post, _os.path.join(path, "postings"), ["bucket"], dynamic=False)
     ds = spark.read.parquet(_os.path.join(path, "docstats")).localCheckpoint(eager=True)
     ds.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
+    tombstones_standing = _os.path.isdir(_os.path.join(path, "tombstones"))
+    keep = (
+        sorted(
+            f
+            for f in _os.listdir(stats_dir)
+            if f.startswith("forget-") and f.endswith(".parquet")
+        )
+        if tombstones_standing
+        else []
+    )
+    fold_files = [
+        _os.path.join(stats_dir, f)
+        for f in _os.listdir(stats_dir)
+        if f.endswith(".parquet") and f not in keep
+    ]
     stats = (
-        spark.read.parquet(_os.path.join(path, "stats"))
+        spark.read.parquet(*fold_files)
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
         )
         .localCheckpoint(eager=True)
     )
-    stats.write.mode("overwrite").parquet(_os.path.join(path, "stats"))
+    if keep:
+        # stage the fold, then swap folded + kept markers back in —
+        # mode("overwrite") on stats_dir would briefly delete the
+        # markers (and a crash there would orphan them permanently)
+        stats.write.mode("overwrite").parquet(stage)
+        for f in keep:
+            _os.link(_os.path.join(stats_dir, f), _os.path.join(stage, f))
+        with open(_os.path.join(stage, "_SWAP_READY"), "w"):
+            pass
+        _shutil.rmtree(stats_dir)
+        _os.replace(stage, stats_dir)
+    else:
+        stats.write.mode("overwrite").parquet(stats_dir)
 
 
 @_register("text_index_compact", _bm25_oracle())
@@ -2499,9 +2584,7 @@ def text_index_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_mor"
     _write_text_index(d, path, "overwrite")
-    d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id").write.mode(
-        "overwrite"
-    ).parquet(_os.path.join(path, "tombstones"))
+    _write_tombstone_set(d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id"), path)
     return _search_text_index(spark, path, merge_tombstones=True)
 
 
@@ -2637,7 +2720,7 @@ def _compact_text_tombstones(
         "doc_id"
     )
     if request_id is None:
-        request_id = _tombstone_request_id(victims)
+        request_id = _tombstone_set_request_id(path, victims)
     _delete_from_text_index(spark, path, victims, request_id=request_id)
     _shutil.rmtree(_os.path.join(path, "tombstones"))
 
@@ -2658,9 +2741,7 @@ def text_index_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_morcompact"
     _write_text_index(d, path, "overwrite")
-    d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id").write.mode(
-        "overwrite"
-    ).parquet(_os.path.join(path, "tombstones"))
+    _write_tombstone_set(d.where(F.expr(TEXT_DELETE_PRED)).select("doc_id"), path)
     _compact_text_tombstones(spark, path)
     return _search_text_index(spark, path)
 

@@ -531,11 +531,16 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
     only then swaps it in (unlink old, rename stage) — an in-place
     overwrite would hold the only copy of the survivors in session
     memory while the target is deleted, exactly the non-atomic window
-    the index verbs closed in r7/r8. A retry that finds a completed
-    stage (_SUCCESS present) with its partition directory missing
-    finishes the swap; an incomplete stage is discarded and rebuilt
-    (the partition directory is then still intact, because the unlink
-    happens only after the stage write returns)."""
+    the index verbs closed in r7/r8. On retry a COMPLETED stage
+    (_SUCCESS present) always wins the swap, even when the partition
+    directory still exists: a crash partway through the unlink leaves
+    a truncated live directory, and recomputing survivors from that
+    remnant would silently lose every already-unlinked survivor —
+    the stage, written from the still-complete partition before any
+    unlink began, is the one full copy in every crash state. An
+    incomplete stage (no _SUCCESS) is discarded and rebuilt, which is
+    safe precisely because the unlink is sequenced after the stage
+    write returns (live is still complete)."""
     for entry in sorted(_os.listdir(lake_path)):
         if not entry.startswith(".ttl-stage-"):
             continue
@@ -543,9 +548,9 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
         val = entry[len(".ttl-stage-"):]
         stage = _os.path.join(lake_path, entry)
         live = _os.path.join(lake_path, f"{part_col}={val}")
-        if not _os.path.isdir(live) and _os.path.exists(
-            _os.path.join(stage, "_SUCCESS")
-        ):
+        if _os.path.exists(_os.path.join(stage, "_SUCCESS")):
+            if _os.path.isdir(live):
+                _shutil.rmtree(live)  # possibly-truncated remnant
             _os.replace(stage, live)
         else:
             _shutil.rmtree(stage, ignore_errors=True)

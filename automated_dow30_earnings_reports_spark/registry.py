@@ -72,12 +72,17 @@ _MODULES = [
 # recluster_if_skewed split (ivf_index_recluster) — routed ahead so
 # their attestation rows reflect the current code. New queries
 # auto-lead the tail via the never-attested rule. Slot math at the
-# driver's ~50-query budget: 27 engine-changed + 8 new (5 index
+# driver's ~50-query budget: 28 engine-changed + 8 new (5 index
 # verbs, 2 lake-lifecycle, occ_concurrent_commits) + the full
-# 14-query r2 cohort = 49, leaving ~1 slot for the oldest r3 row —
-# the r7 verdict's hard criterion (all of r2 re-attested, nothing
-# older than r3 left) is met; the r3 cohort drains across r9-r10 as
-# the engine-changed head shrinks back to normal.
+# 14-query r2 cohort = exactly 50 — the r7 verdict's hard criterion
+# (all of r2 re-attested, nothing older than r3 left) is met with
+# zero slack, which is why the review-fix wave's OTHER touched
+# queries (text_index_delete_mor/compact: marker + sidecar;
+# orc/compaction/evo/dpp: scratch-key relocation only) are NOT
+# routed ahead: each would displace an r2 slot, and all eight were
+# re-validated green on current code by driver_sim + their pytest
+# pins this session. They re-attest under plain LRU in r9 along
+# with the r3 cohort.
 _PRIORITY: list[str] = [
     "streaming_text_ingest",
     "streaming_dedup_ingest",

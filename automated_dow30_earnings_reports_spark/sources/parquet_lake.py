@@ -355,7 +355,7 @@ def orc_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_dow30_earnings_reports_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    path = _os.path.join(_SCRATCH_ORC, _os.path.basename(sf_dir.rstrip("/")))
+    path = scratch_path(_SCRATCH_ORC, sf_dir)
     (
         d.repartition(F.col("lang"))
         .write.mode("overwrite")
@@ -414,7 +414,7 @@ def lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_dow30_earnings_reports_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    path = _os.path.join(_SCRATCH_COMPACT, _os.path.basename(sf_dir.rstrip("/")))
+    path = scratch_path(_SCRATCH_COMPACT, sf_dir)
     frag = _os.path.join(path, "fragmented")
     compacted = _os.path.join(path, "compacted")
     d.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag)
@@ -478,7 +478,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_dow30_earnings_reports_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    path = _os.path.join(_SCRATCH_EVO, _os.path.basename(sf_dir.rstrip("/")))
+    path = scratch_path(_SCRATCH_EVO, sf_dir)
     v1 = d.where(F.col("doc_id") < 250).select("doc_id", "lang", "n_chars")
     v2 = (
         d.where(F.col("doc_id") >= 250)
@@ -663,7 +663,7 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_dow30_earnings_reports_spark.tables import load_table
 
     o = load_table(spark, sf_dir, "orders")
-    path = _os.path.join(_SCRATCH_DPP, _os.path.basename(sf_dir.rstrip("/")))
+    path = scratch_path(_SCRATCH_DPP, sf_dir)
     (
         o.withColumn("o_year", F.year("o_orderdate").cast("int"))
         .write.mode("overwrite")

@@ -6,8 +6,10 @@ is batch, but its shape — "new URLs arrive, fetch them, keep only
 unseen links" — is exactly an incremental stream:
 
   - ``dedup_links_stream``: the visited-set (:129, :722) as Spark's
-    built-in streaming dedup state (watermark bounds state size —
-    the knob the reference's unbounded Python set lacks);
+    built-in streaming dedup state — exact reference parity, which
+    means state as unbounded as the reference's Python set; the
+    bounded-state production forms are ``dedup_links_within_watermark``
+    (per-key TTL) and the committed-sink anti-join below;
   - ``start_incremental_crawl``: seeds arrive as files; each
     micro-batch runs the batch fetch/extract stages via
     ``foreachBatch`` and appends only never-seen links to the sink —
@@ -19,8 +21,10 @@ unseen links" — is exactly an incremental stream:
     family from extract_reports.py:98-108).
 
 Scale notes: streaming dedup state shuffles on the dedup key exactly
-like batch dropDuplicates; the watermark is what keeps 100 TB of
-history out of the state store. foreachBatch sinks must tolerate batch
+like batch dropDuplicates; keeping 100 TB of history out of the state
+store takes an explicit per-key TTL (dropDuplicatesWithinWatermark) or
+moving the visited-set into the sink — a watermark alone does not
+bound plain dropDuplicates state. foreachBatch sinks must tolerate batch
 replay — the anti-join against the already-committed sink makes the
 append idempotent.
 """
@@ -41,10 +45,22 @@ from automated_dow30_earnings_reports_spark.pipeline.crawl import extract_links
 from automated_dow30_earnings_reports_spark.pipeline.fetch import FetcherFactory, fetch_stage
 
 
-def dedup_links_stream(links: DataFrame, ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
-    """Streaming visited-set: first sighting of each href survives;
-    state older than the watermark is dropped."""
-    return links.withWatermark(ts_col, watermark).dropDuplicates(["href"])
+def dedup_links_stream(links: DataFrame) -> DataFrame:
+    """Streaming visited-set with the reference's EXACT semantics: the
+    first sighting of each href survives, forever
+    (enhanced_selenium_scraper.py:129's Python set). State is therefore
+    keyed by every distinct href ever seen and is NOT bounded by a
+    watermark — Spark evicts dropDuplicates state only when the
+    event-time column is part of the dedup subset, and putting ts in
+    the subset would change the semantics (same href at two timestamps
+    would both survive). A watermark on the input would silently do
+    nothing for this operator, so none is taken. For an unbounded
+    crawl use the bounded-state forms instead:
+    ``dedup_links_within_watermark`` (per-key TTL via
+    dropDuplicatesWithinWatermark) or the committed-sink anti-join in
+    ``start_incremental_crawl`` (state lives in the sink, not the
+    state store)."""
+    return links.dropDuplicates(["href"])
 
 
 def start_incremental_crawl(

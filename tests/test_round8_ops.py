@@ -982,3 +982,124 @@ def test_vacuum_retires_torn_manifests_without_touching_data(spark, tmp_path):
     assert report["rolled_back_batches"] == 1
     assert not os.path.exists(os.path.join(live, ".publish-manifest-7.json"))
     assert _file_inventory(live) == before
+
+
+def test_ttl_recovery_prefers_complete_stage_over_truncated_partition(spark):
+    """Crash window D (found in review): the unlink of the boundary
+    partition dies PARTWAY — live dir still exists but is truncated.
+    Recovery must complete the swap from the complete stage; discarding
+    the stage and recomputing survivors from the remnant would silently
+    lose every already-unlinked survivor row."""
+    from automated_dow30_earnings_reports_spark.plans import maintenance as m
+
+    path = os.path.join(SCRATCH, "ttl_truncated")
+    shutil.rmtree(path, ignore_errors=True)
+    rows = [(1998, mth, i) for i, mth in enumerate([1, 2, 5, 6, 7, 8, 9, 10])]
+    rows += [(1999, 3, 100)]
+    df = spark.createDataFrame(rows, "y int, month int, rid int")
+    # several files per partition so a partial unlink is constructible
+    df.repartition(4).write.partitionBy("y").parquet(path)
+    live = os.path.join(path, "y=1998")
+    files = sorted(f for f in os.listdir(live) if f.endswith(".parquet"))
+    assert len(files) >= 2, "need a multi-file partition for this pin"
+
+    # a previous run staged the complete survivor set...
+    stage = os.path.join(path, ".ttl-stage-1998")
+    spark.read.parquet(live).where(F.col("month") >= 4).write.parquet(stage)
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    # ...then crashed after unlinking only SOME of the live files
+    for f in files[: len(files) // 2]:
+        os.remove(os.path.join(live, f))
+
+    m.enforce_ttl(spark, path, "y", 1998, F.col("month") >= 4)
+    got = sorted(r.rid for r in spark.read.parquet(path).collect())
+    want = sorted(r.rid for r in df.where(
+        (F.col("y") > 1998) | (F.col("month") >= 4)
+    ).collect())
+    assert got == want and not os.path.isdir(stage)
+
+
+def test_file_compaction_preserves_standing_forget_marker(
+    spark, sf_smoke, monkeypatch
+):
+    """Found in review: routine FILE compaction (_compact_text_index)
+    used to fold the forget-<id> negative partial anonymously into the
+    single stats row, erasing the marker the MOR read path's
+    double-fold guard keys on. With tombstones still standing (crashed
+    tombstone compaction), a subsequent MOR read then re-subtracted the
+    victims' stats. The file compaction must keep standing markers as
+    separate files — numerically identical, marker intact."""
+    import pytest as _pytest
+
+    from automated_dow30_earnings_reports_spark.operators import textstats as tx
+    from automated_dow30_earnings_reports_spark.sources import parquet_lake as pl
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = tx._text_index_path(sf_smoke) + "_morfilecompact"
+    shutil.rmtree(path, ignore_errors=True)
+    tx._write_text_index(d, path, "overwrite")
+    tx._write_tombstone_set(
+        d.where(F.expr(tx.TEXT_DELETE_PRED)).select("doc_id"), path
+    )
+    want = [
+        tuple(r)
+        for r in tx._search_text_index(spark, path, merge_tombstones=True).collect()
+    ]
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash before the postings rewrite")
+
+    monkeypatch.setattr(pl, "rewrite_affected_partitions", boom)
+    with _pytest.raises(RuntimeError, match="crash before"):
+        tx._compact_text_tombstones(spark, path)
+    monkeypatch.undo()
+    victims = spark.read.parquet(os.path.join(path, "tombstones"))
+    rid = tx._tombstone_set_request_id(path, victims)
+    marker = os.path.join(path, "stats", f"forget-{rid}.parquet")
+    assert os.path.exists(marker)
+
+    # routine file compaction runs over the crashed-window state
+    tx._compact_text_index(spark, path)
+    assert os.path.exists(marker), "file compaction must keep the standing marker"
+    got = [
+        tuple(r)
+        for r in tx._search_text_index(spark, path, merge_tombstones=True).collect()
+    ]
+    assert got == want  # still a single fold
+
+    # once tombstones are retired the spent marker folds away
+    tx._compact_text_tombstones(spark, path)
+    tx._compact_text_index(spark, path)
+    stats_files = [
+        f for f in os.listdir(os.path.join(path, "stats")) if f.endswith(".parquet")
+    ]
+    assert len(stats_files) == 1 and not stats_files[0].startswith("forget-")
+    assert [
+        tuple(r) for r in tx._search_text_index(spark, path).collect()
+    ] == want
+
+
+def test_mor_read_uses_persisted_request_id_sidecar(spark, sf_smoke, monkeypatch):
+    """The tombstone set's content-hash id is persisted at WRITE time
+    (_write_tombstone_set sidecar); the MOR read path must use it
+    instead of re-collecting the tombstone table per query — the
+    derivation collect is request-path cost, not read-path cost."""
+    from automated_dow30_earnings_reports_spark.operators import textstats as tx
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = tx._text_index_path(sf_smoke) + "_sidecar"
+    shutil.rmtree(path, ignore_errors=True)
+    tx._write_text_index(d, path, "overwrite")
+    tx._write_tombstone_set(
+        d.where(F.expr(tx.TEXT_DELETE_PRED)).select("doc_id"), path
+    )
+    assert os.path.exists(os.path.join(path, "tombstones", "_request_id.txt"))
+
+    def boom(*_a, **_k):
+        raise AssertionError("read path must not re-derive the request id")
+
+    monkeypatch.setattr(tx, "_tombstone_request_id", boom)
+    got = tx._search_text_index(spark, path, merge_tombstones=True)
+    assert got.count() > 0  # executes the read without deriving
