@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from automated_dow30_earnings_reports_spark.operators.dedup import shingles_col
 from automated_dow30_earnings_reports_spark.operators.textstats import tokens_col
 from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
@@ -31,14 +32,9 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-def word_shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingle array (generalizes textstats.shingles3)."""
-    t = tokens_col(text)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
-    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+# word n-gram shingling is dedup.shingles_col — ONE shingling contract
+# shared by the dedup tiers and contamination_ngram, so a fix to the
+# short-document guard cannot leave the two computing different sets
 
 
 def split_bucket(key: Column) -> Column:
@@ -98,7 +94,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         split_bucket(F.col("doc_id")).alias("bucket"),
-        word_shingles(F.col("text"), 5).alias("s"),
+        shingles_col(F.col("text"), 5).alias("s"),
     ).localCheckpoint(eager=True)
     bench = (
         sh.where(F.col("bucket") >= 90)

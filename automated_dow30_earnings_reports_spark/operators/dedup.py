@@ -276,11 +276,18 @@ def lsh_candidates(bandkeys: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Dat
     )
 
 
-def verified_jaccard(cand: DataFrame, shd: DataFrame, key: str) -> DataFrame:
+def verified_jaccard(
+    cand: DataFrame, shd: DataFrame, key: str, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact jaccard for candidate pairs via set intersection on `key`
     (shingle strings for the exact tiers, 28-bit hashes for the MinHash
-    tier's narrow working set)."""
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    tier's narrow working set). ``sizes`` lets an index-backed caller
+    supply the STORED (doc_id, sz) table instead of recomputing it from
+    shd — part of the persisted-index contract (sizes must survive the
+    parquet round trip, so the probe must not silently re-derive
+    them)."""
+    if sizes is None:
+        sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = shd.select(F.col("doc_id").alias("id_a"), key)
     sb = shd.select(F.col("doc_id").alias("id_b"), key)
     inter = (
@@ -299,6 +306,32 @@ def verified_jaccard(cand: DataFrame, shd: DataFrame, key: str) -> DataFrame:
             "id_b",
             (F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))).alias("jaccard"),
         )
+    )
+
+
+def _verify_new_old_pairs(
+    cand: DataFrame, shd: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
+    """The shared verification tail of the incremental-batch and
+    persisted-index probes: exact jaccard for (new_id, old_id)
+    candidates over the 28-bit hash working set through THE
+    verified_jaccard contract, thresholded and 3-dp rounded. One
+    jaccard implementation — a threshold or denominator fix cannot
+    miss a copy."""
+    ver = verified_jaccard(
+        cand.select(F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")),
+        shd,
+        "h",
+        sizes=sizes,
+    )
+    return (
+        ver.where(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            F.round("jaccard", 3).alias("jaccard"),
+        )
+        .orderBy("new_id", "old_id")
     )
 
 
@@ -451,25 +484,9 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(lsh_band_keys(minhash_signatures(shd))).localCheckpoint(
         eager=True
     )
-    # exact ground truth: inverted-index self-join on the shingle hash
-    # (the dedup_ngram_jaccard shape over the narrow int working set)
-    sa = shd.select(F.col("doc_id").alias("id_a"), "h")
-    sb = shd.select(F.col("doc_id").alias("id_b"), "h")
-    inter = (
-        sa.join(sb, "h")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
-    truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .where(jac >= NEARDUP_THRESHOLD)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # exact ground truth: the shared tier-3 edge generator over the
+    # narrow int working set (one jaccard contract, not a re-inline)
+    truth = _ngram_edges(shd, NEARDUP_THRESHOLD, key="h").localCheckpoint(eager=True)
     n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
     tp = (
@@ -591,6 +608,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.doc_id)
@@ -610,7 +628,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).isEmpty():
+            converged = True
             break
+    if not converged:
+        # a path-shaped component with diameter > max_iter would exit
+        # here with non-minimal labels — wrong cluster assignments
+        # with nothing breaking downstream. Fail loudly instead: the
+        # caller raises max_iter (cost is per-round, graph-diameter
+        # bounded), it does not get silently-split clusters.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds: "
+            "a component's diameter exceeds max_iter; raise max_iter"
+        )
     return labels
 
 
@@ -1037,25 +1066,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shd.select(F.col("doc_id").alias("new_id"), "h")
-    sb = shd.select(F.col("doc_id").alias("old_id"), "h")
-    inter = (
-        cand.join(sa, "new_id")
-        .join(sb, ["old_id", "h"])
-        .groupBy("new_id", "old_id")
-        .agg(F.count("*").alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("old_id"), F.col("sz").alias("sz_b"))
-    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
-    return (
-        inter.join(za, "new_id")
-        .join(zb, "old_id")
-        .where(jac >= NEARDUP_THRESHOLD)
-        .select("new_id", "old_id", F.round(jac, 3).alias("jaccard"))
-        .orderBy("new_id", "old_id")
-    )
+    return _verify_new_old_pairs(cand, shd)
 
 
 # ---------------------------------------------------------------------------
@@ -1331,26 +1342,38 @@ def _banded(shd: DataFrame) -> DataFrame:
     )
 
 
-def _build_signature_index(shd_old: DataFrame, path: str) -> None:
-    """Write the three index tables from the old corpus's (doc_id, h)
+def _build_signature_index(
+    shd_old: DataFrame,
+    path: str,
+    tables: tuple[str, ...] = ("bands", "shd", "sizes"),
+) -> None:
+    """Write the index tables from the old corpus's (doc_id, h)
     working set — static overwrite, so re-running a lifecycle resets
-    any earlier appends (the idempotency contract)."""
+    any earlier appends (the idempotency contract). ``tables`` lets a
+    consumer that reads only part of the index skip the rest of the
+    build: the stats verb needs just ``bands``, and the ``shd`` table
+    (one row per distinct (doc_id, shingle-hash) — the largest
+    artifact) is a corpus-sized write it would otherwise pay for
+    nothing."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
-    write_partitioned(
-        _banded(shd_old), _os.path.join(path, "bands"), ["bucket"], dynamic=False
-    )
-    write_partitioned(
-        shd_old.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
-        _os.path.join(path, "shd"),
-        ["dbucket"],
-        dynamic=False,
-    )
-    shd_old.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode(
-        "overwrite"
-    ).parquet(_os.path.join(path, "sizes"))
+    if "bands" in tables:
+        write_partitioned(
+            _banded(shd_old), _os.path.join(path, "bands"), ["bucket"], dynamic=False
+        )
+    if "shd" in tables:
+        write_partitioned(
+            shd_old.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
+            _os.path.join(path, "shd"),
+            ["dbucket"],
+            dynamic=False,
+        )
+    if "sizes" in tables:
+        shd_old.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(path, "sizes"))
 
 
 def _append_signature_index(shd_new: DataFrame, path: str) -> None:
@@ -1410,24 +1433,9 @@ def _probe_signature_index(
         .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
         .distinct()
     )
-    sa = shd.select(F.col("doc_id").alias("new_id"), "h")
-    sb = shd.select(F.col("doc_id").alias("old_id"), "h")
-    inter = (
-        cand.join(sa, "new_id")
-        .join(sb, ["old_id", "h"])
-        .groupBy("new_id", "old_id")
-        .agg(F.count("*").alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("old_id"), F.col("sz").alias("sz_b"))
-    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
-    return (
-        inter.join(za, "new_id")
-        .join(zb, "old_id")
-        .where(jac >= NEARDUP_THRESHOLD)
-        .select("new_id", "old_id", F.round(jac, 3).alias("jaccard"))
-        .orderBy("new_id", "old_id")
-    )
+    # stored sizes, not a re-derive: the parquet round trip is part
+    # of what the green hash proves
+    return _verify_new_old_pairs(cand, shd, sizes=sizes)
 
 
 @_register("dedup_incremental_index", _incremental_oracle())
@@ -1563,7 +1571,7 @@ def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     path = _dedup_index_path(sf_dir) + "_statsq"
     shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
-    _build_signature_index(shd, path)
+    _build_signature_index(shd, path, tables=("bands",))  # stats reads only bands
     bands = spark.read.parquet(_os.path.join(path, "bands"))
     per_bucket = bands.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("c")

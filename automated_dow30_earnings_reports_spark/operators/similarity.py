@@ -174,25 +174,16 @@ def similarity_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOCKED_ORACLE = ORACLES["similarity_top_pairs"]
 
 
-@_register("similarity_top_pairs_blocked", _BLOCKED_ORACLE)
-def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine top-N via BLOCKED MATRIX MULTIPLY — the scale
-    path for the same computation as similarity_top_pairs.
-
-    Vectors are hashed into B blocks; each block is packed into one
-    numpy matrix (unit-normalized) by applyInPandas; the B·(B+1)/2
-    block pairs are joined and each task runs one A @ B.T, keeping its
-    local top-N; a global top-N finishes. Work per task is bounded by
-    the block size regardless of corpus size, and the heavy math is
-    vectorized float64 BLAS instead of per-pair expression evaluation
-    (~100x over the row-at-a-time plan at sf0.1).
-    """
+def _pack_block_pairs(e: DataFrame, n_blocks: int) -> DataFrame:
+    """THE shared half of the blocked-matrix-multiply scale path
+    (similarity_top_pairs_blocked top-N + dedup_embedding_cosine
+    threshold — one packing contract, two selectors): hash vectors into
+    blocks, pack each block into one unit-normalized float64 matrix via
+    applyInPandas, and return the B·(B+1)/2 upper-triangle block-pair
+    join frame ready for _blocked_cosine_scores."""
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
-    top = TOP_PAIRS
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     blocked = e.withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -211,14 +202,31 @@ def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    packed = blocked.groupBy("block").applyInPandas(pack, "block int, n int, ids binary, mat binary")
+    packed = blocked.groupBy("block").applyInPandas(
+        pack, "block int, n int, ids binary, mat binary"
+    )
     a = packed.select(
-        F.col("block").alias("ba"), F.col("n").alias("na_"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
+        F.col("block").alias("ba"), F.col("n").alias("na_"),
+        F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"),
     )
     b = packed.select(
-        F.col("block").alias("bb"), F.col("n").alias("nb_"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b")
+        F.col("block").alias("bb"), F.col("n").alias("nb_"),
+        F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"),
     )
-    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+    return a.join(b, F.col("ba") <= F.col("bb"))
+
+
+def _blocked_cosine_scores(pairs: DataFrame, select) -> DataFrame:
+    """Shared BLAS kernel over packed block pairs: each task runs one
+    A @ B.T; ``select(C)`` returns the (row, col) index arrays to emit
+    as (id_a, id_b, cos) rows with id_a < id_b. Diagonal blocks mask
+    the diagonal-and-below to -inf — NOT a finite sentinel: the old
+    -1.0 fill was itself eligible for a fill-the-k argpartition cut,
+    so a block pair with fewer real upper-triangle cells than k
+    emitted bogus (cos=-1.0, duplicate-pair) rows. -inf cells can
+    never win a top-k or a threshold and are skipped on emit."""
+    import numpy as np
+    import pandas as pd
 
     def score(it):
         for pdf in it:
@@ -230,20 +238,48 @@ def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 B = np.frombuffer(r.mat_b, dtype=np.float64).reshape(r.nb_, -1)
                 C = A @ B.T
                 if r.ba == r.bb:
-                    C = np.triu(C, k=1) - np.tril(np.ones_like(C))  # mask diag+lower
-                k = min(top, C.size)
-                flat = np.argpartition(C.ravel(), -k)[-k:]
-                ii, jj = np.unravel_index(flat, C.shape)
-                for i, j in zip(ii, jj):
+                    C = np.where(
+                        np.triu(np.ones(C.shape, dtype=bool), k=1), C, -np.inf
+                    )
+                for i, j in zip(*select(C)):
+                    c = float(C[i, j])
+                    if not np.isfinite(c):
+                        continue  # masked cell picked by a fill-the-k selector
                     ia, ib = int(ids_a[i]), int(ids_b[j])
-                    if ia == ib:
-                        continue
                     out_a.append(min(ia, ib))
                     out_b.append(max(ia, ib))
-                    out_c.append(float(C[i, j]))
+                    out_c.append(c)
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
-    local = pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+    return pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+
+
+@_register("similarity_top_pairs_blocked", _BLOCKED_ORACLE)
+def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine top-N via BLOCKED MATRIX MULTIPLY — the scale
+    path for the same computation as similarity_top_pairs.
+
+    Vectors are hashed into B blocks; each block is packed into one
+    numpy matrix (unit-normalized) by applyInPandas; the B·(B+1)/2
+    block pairs are joined and each task runs one A @ B.T, keeping its
+    local top-N; a global top-N finishes. Work per task is bounded by
+    the block size regardless of corpus size, and the heavy math is
+    vectorized float64 BLAS instead of per-pair expression evaluation
+    (~100x over the row-at-a-time plan at sf0.1).
+    """
+    import numpy as np
+
+    top = TOP_PAIRS
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = _pack_block_pairs(e, n_blocks=8)
+
+    def local_topk(C):
+        k = min(top, C.size)
+        return np.unravel_index(
+            np.argpartition(C.ravel(), -k)[-k:], C.shape
+        )
+
+    local = _blocked_cosine_scores(pairs, local_topk)
     return (
         local.orderBy(F.desc("cos"), "id_a", "id_b")
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
@@ -252,6 +288,39 @@ def similarity_top_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CELLS = 8  # coarse-quantizer cells (deterministic seed centroids)
+
+
+def _seed_cents(vecs: DataFrame) -> DataFrame:
+    """THE deterministic coarse quantizer: the first IVF_CELLS vectors
+    as (cid, ce, cnorm) — one projection shared by every IVF query and
+    index verb so the quantizer contract cannot drift between the
+    search, build, append, and recluster paths."""
+    return vecs.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+
+
+def _topk_output(scored_q: DataFrame) -> DataFrame:
+    """THE (query_id, neighbor_id, cosine, rnk) output contract shared
+    by the ANN family: row_number per query over (cos desc,
+    neighbor_id) ties, rnk <= TOP_K, 6-dp rounding, int rank,
+    (query_id, rnk) order. One implementation so a tie-break or
+    rounding change cannot miss a copy."""
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored_q.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
 
 
 def _ivf_oracle() -> str:
@@ -307,9 +376,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialization each re-runs the O(N·K) assignment from the
     raw table (it IS the posting layout ivf_index_roundtrip persists)."""
     e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     cells = _assign_cells(e, cents).localCheckpoint(eager=True)
     q = cells.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -323,18 +390,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored_q.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-        .orderBy("query_id", "rnk")
-    )
+    return _topk_output(scored_q)
 
 
 IVF_NPROBE = 2
@@ -386,9 +442,7 @@ def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe list both derive from one materialized O(N·K)
     assignment instead of two re-runs."""
     e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         "emb",
@@ -422,18 +476,7 @@ def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored_q.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-        .orderBy("query_id", "rnk")
-    )
+    return _topk_output(scored_q)
 
 
 NEARDUP_COS = 0.45  # synthetic embeddings max out ~0.51; no pair near the boundary
@@ -463,57 +506,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_top_pairs_blocked) with a threshold filter instead of
     top-N — per-task work stays bounded by block size at any corpus
     size, and the τ filter prunes inside the BLAS kernel's output
-    before anything is emitted to Spark."""
+    before anything is emitted to Spark (shared _pack_block_pairs /
+    _blocked_cosine_scores kernel, threshold selector)."""
     import numpy as np
-    import pandas as pd
 
-    n_blocks = 8
     tau = NEARDUP_COS
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    blocked = e.withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
-        order = np.argsort(ids)
-        return pd.DataFrame(
-            [{"block": int(pdf["block"].iloc[0]), "n": len(ids),
-              "ids": ids[order].tobytes(), "mat": mat[order].tobytes()}]
-        )
-
-    packed = blocked.groupBy("block").applyInPandas(pack, "block int, n int, ids binary, mat binary")
-    a = packed.select(
-        F.col("block").alias("ba"), F.col("n").alias("na_"),
-        F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"),
-    )
-    b = packed.select(
-        F.col("block").alias("bb"), F.col("n").alias("nb_"),
-        F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"),
-    )
-    pairs = a.join(b, F.col("ba") <= F.col("bb"))
-
-    def score(it):
-        for pdf in it:
-            out_a, out_b, out_c = [], [], []
-            for r in pdf.itertuples(index=False):
-                ids_a = np.frombuffer(r.ids_a, dtype=np.int64)
-                ids_b = np.frombuffer(r.ids_b, dtype=np.int64)
-                A = np.frombuffer(r.mat_a, dtype=np.float64).reshape(r.na_, -1)
-                B = np.frombuffer(r.mat_b, dtype=np.float64).reshape(r.nb_, -1)
-                C = A @ B.T
-                if r.ba == r.bb:
-                    C = np.triu(C, k=1) - np.tril(np.ones_like(C))
-                for i, j in zip(*np.nonzero(C >= tau)):
-                    ia, ib = int(ids_a[i]), int(ids_b[j])
-                    if ia == ib:
-                        continue
-                    out_a.append(min(ia, ib))
-                    out_b.append(max(ia, ib))
-                    out_c.append(float(C[i, j]))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
-
-    hits = pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+    pairs = _pack_block_pairs(e, n_blocks=8)
+    hits = _blocked_cosine_scores(pairs, lambda C: np.nonzero(C >= tau))
     return (
         hits.groupBy(F.col("id_b").alias("dup_id"))
         .agg(
@@ -685,9 +685,7 @@ def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReusedExchange) — at 100 TB that is 2-3 corpus passes instead of
     one."""
     e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     for _ in range(KMEANS_ROUNDS):
         cells = _assign_cells(e, cents)
         cents = _update_centroids(cells).localCheckpoint(eager=False)
@@ -746,18 +744,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored_q.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-        .orderBy("query_id", "rnk")
-    )
+    return _topk_output(scored_q)
 
 
 def _int8_oracle() -> str:
@@ -1360,18 +1347,7 @@ def _search_index(postings: DataFrame, idx_cents: DataFrame, qvec: DataFrame) ->
         F.col("vec_id").alias("neighbor_id"),
         (dot(F.col("qe"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored_q.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-        .orderBy("query_id", "rnk")
-    )
+    return _topk_output(scored_q)
 
 
 def _query_vectors(e: DataFrame) -> DataFrame:
@@ -1404,9 +1380,7 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     path = _index_path(sf_dir, "")
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     write_partitioned(
@@ -1458,9 +1432,7 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- initial build on the old slice ---
     old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
-    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(old)
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     write_partitioned(
         _assign_cells(old, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
@@ -1666,9 +1638,7 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- build on the (undrifted: split > all its vec_ids) old slice ---
     old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
-    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(old)
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     write_partitioned(
         _assign_cells(old, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
@@ -1796,9 +1766,7 @@ def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     path = _index_path(sf_dir, "_delete")
 
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     write_partitioned(
         _assign_cells(e, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
@@ -1840,9 +1808,7 @@ def ivf_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _index_path(sf_dir, "_crud")
     gen = F.col("vec_id") % 3
 
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
     write_partitioned(
@@ -1912,9 +1878,7 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     path = _index_path(sf_dir, "_stats")
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     write_partitioned(
         _assign_cells(e, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
@@ -2018,9 +1982,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
-    )
+    cents = _seed_cents(e)
     cells = (
         _assign_cells(e, cents)
         .join(e.select("vec_id", "label"), "vec_id")

@@ -688,7 +688,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, e.event_type, value,
            ROUND((value - mu) / sd, 3) AS z
     FROM events e JOIN stats USING (event_type)
-    WHERE abs((value - mu) / sd) > 2.5
+    WHERE sd IS NOT NULL AND sd > 0
+      AND abs((value - mu) / sd) > 2.5
     ORDER BY event_id
     """,
 )
@@ -697,7 +698,12 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, broadcast back over the stream) rather than a window —
     at 100 TB a window over event_type would shuffle the whole fact
     table into a handful of giant partitions; the broadcast join keeps
-    the scan pipelined with no shuffle at all."""
+    the scan pipelined with no shuffle at all. A degenerate group
+    (every value identical, sd = 0, or a single event, sd NULL) has no
+    outliers BY DEFINITION and is filtered before the division — under
+    the session's ANSI default an unguarded (value-mu)/sd would throw
+    DIVIDE_BY_ZERO for it, the seasonal_hour_anomaly guard applied
+    here too (both engines' WHERE mirrors it)."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
@@ -705,6 +711,7 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
         e.join(F.broadcast(stats), "event_type")
+        .where(F.col("sd").isNotNull() & (F.col("sd") > 0))
         .where(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
         .orderBy("event_id")
@@ -1179,11 +1186,19 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.floor(F.unix_timestamp(F.lead("ts").over(w))).cast("bigint") - es).alias("dt"),
     ).where(F.col("dt").isNotNull())
+    # division guarded INSIDE the agg: the _sum_dt > 0 filter runs after
+    # the aggregate, so an all-zero-gap user (2+ events in the same
+    # floor-second) would already have thrown DIVIDE_BY_ZERO under the
+    # session's ANSI default before the filter could drop the group —
+    # the same hazard value_trend_by_type guards against
+    sum_dt = F.sum("dt")
     return (
         deltas.groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("twap"),
-            F.sum("dt").alias("_sum_dt"),
+            F.round(
+                F.when(sum_dt > 0, F.sum(F.col("value") * F.col("dt")) / sum_dt), 4
+            ).alias("twap"),
+            sum_dt.alias("_sum_dt"),
         )
         .where(F.col("_sum_dt") > 0)
         .drop("_sum_dt")
@@ -1306,8 +1321,13 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             # no hard hint: the full customer key set broadcasts only
             # while it fits (at 100 TB the FK mark degrades to a hash
-            # join on o_custkey, same as the anti-join it replaced)
-            c.select("c_custkey"),
+            # join on o_custkey, same as the anti-join it replaced).
+            # distinct() because a mark join must probe a key SET: a
+            # duplicated c_custkey — exactly the dirty data this report
+            # exists to catch — would otherwise fan out the orders rows
+            # and inflate every per-key count (false uniqueness
+            # violations included); the EXISTS-form oracle is immune
+            c.select("c_custkey").distinct(),
             o.o_custkey == c.c_custkey,
             "left",
         )
@@ -1327,7 +1347,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li_checks = (
         li.select("l_orderkey", "l_quantity")
-        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left")
+        # same distinct-key-set rule: a duplicated o_orderkey would
+        # replicate lineitem rows and inflate the quantity-range count
+        .join(o.select("o_orderkey").distinct(), li.l_orderkey == o.o_orderkey, "left")
         .agg(
             F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
             .cast("bigint")

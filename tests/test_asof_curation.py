@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from automated_dow30_earnings_reports_spark.operators.asof import asof_join
 from automated_dow30_earnings_reports_spark.operators.curation import (
     split_bucket,
-    word_shingles,
+    shingles_col,
 )
 
 
@@ -83,7 +83,7 @@ def test_asof_left_columns_pass_through(spark):
 def test_word_shingles_counts_and_short_text(spark):
     df = spark.createDataFrame(
         [("a b c d e",), ("a b",)], "text string"
-    ).select(word_shingles(F.col("text"), 3).alias("s"))
+    ).select(shingles_col(F.col("text"), 3).alias("s"))
     got = [r.s for r in df.collect()]
     assert got[0] == ["a b c", "b c d", "c d e"]
     assert got[1] == []  # shorter than n → empty, not null
