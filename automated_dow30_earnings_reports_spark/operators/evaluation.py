@@ -266,13 +266,22 @@ def cohen_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cnt(~F.col("k") & F.col("r")).alias("rules_only"),
         _cnt(~F.col("k") & ~F.col("r")).alias("both_drop"),
     )
-    po = (F.col("both_keep") + F.col("both_drop")).cast("double") / F.col("n_docs")
-    pe = (
-        (F.col("both_keep") + F.col("qc_only"))
-        * (F.col("both_keep") + F.col("rules_only")).cast("decimal(38,0)")
-        + (F.col("rules_only") + F.col("both_drop"))
-        * (F.col("qc_only") + F.col("both_drop")).cast("decimal(38,0)")
-    ).cast("double") / (F.col("n_docs").cast("double") * F.col("n_docs"))
+    # n_docs > 0 guard: an empty corpus still emits the one aggregate
+    # row, and ANSI division would throw where DuckDB's /0 yields NULL
+    # (the roc_auc_binned convention in this file)
+    po = F.when(
+        F.col("n_docs") > 0,
+        (F.col("both_keep") + F.col("both_drop")).cast("double") / F.col("n_docs"),
+    )
+    pe = F.when(
+        F.col("n_docs") > 0,
+        (
+            (F.col("both_keep") + F.col("qc_only"))
+            * (F.col("both_keep") + F.col("rules_only")).cast("decimal(38,0)")
+            + (F.col("rules_only") + F.col("both_drop"))
+            * (F.col("qc_only") + F.col("both_drop")).cast("decimal(38,0)")
+        ).cast("double") / (F.col("n_docs").cast("double") * F.col("n_docs")),
+    )
     prob = cm.select("*", po.alias("po"), pe.alias("pe"))
     kappa = F.when(F.lit(1.0) - F.col("pe") == 0, F.lit(None)).otherwise(
         (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_dow30_earnings_reports_spark.tables import load_table
+from automated_dow30_earnings_reports_spark.tables import load_table, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -127,7 +127,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     has at most d*w = {CMS_D}x{CMS_W} groups regardless of corpus
     size; probing joins {TOP_TOKENS}*d rows against the sketch —
     broadcast territory forever."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): the token explode + per-token digest is the dominant map
+    # stage and the one-file local scan would otherwise run it on one
+    # core (tables.spread contract; no-op at scale)
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )
@@ -267,7 +270,8 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[_bloom_pos_col(F.col("dg"), i) for i in range(BLOOM_K)])
             ).alias("pos")
         )
-        .distinct()
+        # no distinct: collect_set dedupes (map-side partials included),
+        # so a pre-distinct was one full extra shuffle for nothing
         .agg(F.collect_set("pos").alias("bits"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
@@ -322,6 +326,21 @@ KMV_K = 256
 KMV_SPACE = 16**7  # 28-bit digest space
 
 
+def _kmv_estimate_col(k: int) -> Column:
+    """THE KMV read-out contract, Spark side (_kmv_estimate_sql's twin):
+    (k-1)*space/h_(k) for a full sketch; a sketch smaller than k holds
+    every distinct key, so its size IS the exact answer. One
+    implementation for both the single-set and union sketches — a fix
+    to the partial-sketch guard or estimator constant cannot skew only
+    one of them."""
+    return F.round(
+        F.when(
+            F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+        ).otherwise((k - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash")),
+        4,
+    )
+
+
 def _kmv_estimate_sql(minset: str, k: int) -> str:
     return (
         f"SELECT MAX(dg) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS sketch_size "
@@ -369,19 +388,10 @@ def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("sketch_size"),
     )
     exact = keys.agg(F.count("*").cast("bigint").alias("exact_distinct"))
-    # (k-1)*2^28/h_(k) assumes a FULL sketch; with fewer than k distinct
-    # keys the k-min set IS the key set, so its size is the exact answer.
     return exact.crossJoin(F.broadcast(sk)).select(
         "exact_distinct",
         "kth_hash",
-        F.round(
-            F.when(
-                F.col("sketch_size") < KMV_K, F.col("sketch_size").cast("double")
-            ).otherwise(
-                (KMV_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash")
-            ),
-            4,
-        ).alias("kmv_estimate"),
+        _kmv_estimate_col(KMV_K).alias("kmv_estimate"),
     )
 
 
@@ -446,20 +456,10 @@ def kmv_union_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").cast("bigint").alias("exact_union"))
     )
-    # Same partial-sketch guard as kmv_distinct_orders: a merged sketch
-    # smaller than k holds every distinct key, so its size is exact.
     return exact.crossJoin(F.broadcast(sk)).select(
         "exact_union",
         "kth_hash",
-        F.round(
-            F.when(
-                F.col("sketch_size") < KMV_UNION_K,
-                F.col("sketch_size").cast("double"),
-            ).otherwise(
-                (KMV_UNION_K - 1) * F.lit(float(KMV_SPACE)) / F.col("kth_hash")
-            ),
-            4,
-        ).alias("union_estimate"),
+        _kmv_estimate_col(KMV_UNION_K).alias("union_estimate"),
     )
 
 
@@ -484,10 +484,13 @@ def _qsketch_oracle() -> str:
         f"WHEN q = {q} THEN quantile_cont(value, {q})" for q in QSK_QS
     )
     return f"""
-    WITH ext AS (
+    WITH vals AS (
+      SELECT value FROM events WHERE value IS NOT NULL
+    ),
+    ext AS (
       SELECT MIN(value) AS vmin, MAX(value) AS vmax,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events
+      FROM vals
     ),
     binned AS (
       SELECT CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
@@ -496,7 +499,7 @@ def _qsketch_oracle() -> str:
                                   AS BIGINT)) END
                AS bin,
              COUNT(*) AS cnt
-      FROM events CROSS JOIN ext
+      FROM vals CROSS JOIN ext
       GROUP BY 1
     ),
     cum AS (
@@ -538,7 +541,16 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only the histogram."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").select("value")
+    # NULL values are excluded in BOTH engines: Spark's unpartitioned
+    # ORDER BY bin sorts a NULL bin NULLS FIRST while DuckDB's window
+    # sorts it NULLS LAST, so an unfiltered NULL row would land in
+    # opposite ends of the cumulative sum and skew every quantile
+    # differently per engine (the bootstrap_ci_mean convention)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("value")
+        .where(F.col("value").isNotNull())
+    )
     ext = e.agg(
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),

@@ -43,7 +43,10 @@ def _register(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 RCTE_MAX_HOPS = 4
-_RCTE_EDGES = 400  # == graph.TRI_EDGES: the same strongest-edge bound
+from automated_dow30_earnings_reports_spark.operators.graph import (  # noqa: E402
+    _COSUPPLY_SQL,
+    TRI_EDGES as _RCTE_EDGES,
+)
 
 
 def _rcte_sql(edges_cte: str) -> str:
@@ -73,16 +76,11 @@ def _rcte_sql(edges_cte: str) -> str:
     """
 
 
-_RCTE_EDGES_ORACLE = f"""ps AS (
-      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-    ),
-    sup AS (
-      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
-      FROM ps a JOIN ps b
-        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2
-    ),
-    e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {_RCTE_EDGES})"""
+# the edge CTE is graph._COSUPPLY_SQL verbatim — ONE definition of the
+# strongest-edge co-supply graph, so tuning TRI_EDGES or the tie-break
+# cannot leave this oracle validating a different graph than the query
+# (the Spark side already runs graph._cosupply_edges)
+_RCTE_EDGES_ORACLE = _COSUPPLY_SQL
 
 
 @_register("recursive_cte_reachability", _rcte_sql(_RCTE_EDGES_ORACLE))
@@ -121,10 +119,10 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)  AS n_events,
-           CAST(COUNT(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS n_with_k,
-           CAST(MIN(CAST(props::JSON->>'k' AS INTEGER)) AS INT)  AS min_k,
-           CAST(MAX(CAST(props::JSON->>'k' AS INTEGER)) AS INT)  AS max_k,
-           CAST(SUM(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k
+           CAST(COUNT(TRY_CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS n_with_k,
+           CAST(MIN(TRY_CAST(props::JSON->>'k' AS INTEGER)) AS INT)  AS min_k,
+           CAST(MAX(TRY_CAST(props::JSON->>'k' AS INTEGER)) AS INT)  AS max_k,
+           CAST(SUM(TRY_CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -221,9 +219,9 @@ _SCRATCH_VARIANT = _os.path.join(
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
-           CAST(COUNT(*) FILTER (props::JSON->>'k' IS NULL) AS BIGINT)
-             AS n_null_k
+           CAST(SUM(TRY_CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) FILTER (TRY_CAST(props::JSON->>'k' AS INTEGER) IS NULL)
+                AS BIGINT) AS n_null_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -295,7 +293,7 @@ def ps_api_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.pandas as ps
 
     psdf = ps.read_parquet(_os.path.join(sf_dir, "documents.parquet"))
-    g = psdf.groupby("lang", as_index=False).agg(
+    g = psdf.groupby("lang", as_index=False, dropna=False).agg(
         {"doc_id": "count", "n_chars": "sum"}
     )
     sdf = g.to_spark()
