@@ -58,7 +58,11 @@ def asof_join(
     tagged_l = left.select(*lcols, F.lit(1).alias("_side")).withColumns(
         {f"asof_{p}": F.lit(None).cast(right.schema[p].dataType) for p in payload}
     )
-    tagged_r = right.select(
+    # NULL-ts right rows can never match: DuckDB ASOF's p.ts >= c.ts is
+    # NULL for them, while Spark's ascending sort is NULLS FIRST — left
+    # unfiltered they would sort before every left row and be attributed
+    # as a "prior" row that temporally never existed
+    tagged_r = right.where(F.col(ts).isNotNull()).select(
         on,
         ts,
         F.lit(0).alias("_side"),
@@ -71,15 +75,20 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {
-            f"asof_{p}": F.last(
-                F.when(F.col("_side") == 0, F.col(f"asof_{p}")), ignorenulls=True
-            ).over(w)
-            for p in payload
-        }
+    # ONE last() over a struct of the payloads, not one per column:
+    # the struct is non-NULL for every right row even when a payload
+    # FIELD is NULL, so a matched row's NULL value comes through as
+    # NULL (per-column ignorenulls skipped it and resurrected an older
+    # row's value — not ASOF semantics). Also one window eval instead
+    # of len(payload).
+    marker = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"asof_{p}").alias(p) for p in payload]),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    filled = unioned.withColumn(
+        "_asof_row", F.last(marker, ignorenulls=True).over(w)
+    ).withColumns({f"asof_{p}": F.col(f"_asof_row.{p}") for p in payload})
+    return filled.where(F.col("_side") == 1).drop("_side", "_asof_row")
 
 
 def _floor_epoch(c: Column) -> Column:

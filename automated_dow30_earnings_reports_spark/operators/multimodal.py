@@ -656,18 +656,31 @@ DHASH_COLS = 8  # bits per row; grid is (DHASH_COLS+1) x DHASH_ROWS pixels
 DHASH_BANDS = 4
 
 
-def _dhash_pixel_spark(text_col: Column, p: int) -> Column:
+def _md5_chain_byte_spark(text_col: Column, p: int, salt: str) -> Column:
+    """Byte p of the salted md5-chain expansion (the deterministic
+    decode stand-in) — ONE chain scheme shared by the image dHash
+    pixels (salt '#') and the audio fingerprint frames (salt '~'), so
+    a change to the hex-pair decoding cannot leave the Spark/SQL
+    oracle pairs of one modality drifting from the other."""
     k, off = divmod(p, 16)
-    m = F.md5(F.concat(text_col, F.lit(f"#{k}")).cast("binary"))
+    m = F.md5(F.concat(text_col, F.lit(f"{salt}{k}")).cast("binary"))
     return F.conv(F.substring(m, 2 * off + 1, 2), 16, 10).cast("int")
 
 
-def _dhash_pixel_sql(text_expr: str, p: int) -> str:
+def _md5_chain_byte_sql(text_expr: str, p: int, salt: str) -> str:
     k, off = divmod(p, 16)
-    hx = f"substr(md5({text_expr} || '#{k}'), {2 * off + 1}, 2)"
+    hx = f"substr(md5({text_expr} || '{salt}{k}'), {2 * off + 1}, 2)"
     hi = f"(strpos('0123456789abcdef', substr({hx}, 1, 1)) - 1)"
     lo = f"(strpos('0123456789abcdef', substr({hx}, 2, 1)) - 1)"
     return f"({hi} * 16 + {lo})"
+
+
+def _dhash_pixel_spark(text_col: Column, p: int) -> Column:
+    return _md5_chain_byte_spark(text_col, p, "#")
+
+
+def _dhash_pixel_sql(text_expr: str, p: int) -> str:
+    return _md5_chain_byte_sql(text_expr, p, "#")
 
 
 def dhash_bands_spark(text_col: Column) -> list[Column]:
@@ -708,44 +721,11 @@ def dhash_candidate_pairs(signed: DataFrame, max_hamming: int = 3) -> DataFrame:
     sharing ANY 16-bit band are candidates (guaranteed to include all
     pairs with hamming <= DHASH_BANDS - 1); candidates are verified
     with an exact 4-band XOR popcount. One shuffle on the band key,
-    never all-pairs."""
-    bands = signed.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv"))
-                    for b in range(DHASH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.bi", "e.bv")
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["bi", "bv"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    a = signed.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{b}").alias(f"a{b}") for b in range(DHASH_BANDS)],
-    )
-    bsig = signed.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(DHASH_BANDS)],
-    )
-    ham = None
-    for b in range(DHASH_BANDS):
-        t = F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")))
-        ham = t if ham is None else ham + t
-    return (
-        cand.join(a, "doc_a")
-        .join(bsig, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+    never all-pairs. Delegates to banded_hamming_pairs — one
+    candidate/verify implementation for every banded-Hamming modality
+    (the 45-line inline twin could drift from the generic one)."""
+    return banded_hamming_pairs(
+        signed, [f"b{b}" for b in range(DHASH_BANDS)], max_hamming
     )
 
 
@@ -793,17 +773,11 @@ AFP_BANDS = 2  # 2 x 16-bit bands: all pairs with hamming <= 1 guaranteed
 
 
 def _afp_frame_spark(text_col: Column, p: int) -> Column:
-    k, off = divmod(p, 16)
-    m = F.md5(F.concat(text_col, F.lit(f"~{k}")).cast("binary"))
-    return F.conv(F.substring(m, 2 * off + 1, 2), 16, 10).cast("int")
+    return _md5_chain_byte_spark(text_col, p, "~")
 
 
 def _afp_frame_sql(text_expr: str, p: int) -> str:
-    k, off = divmod(p, 16)
-    hx = f"substr(md5({text_expr} || '~{k}'), {2 * off + 1}, 2)"
-    hi = f"(strpos('0123456789abcdef', substr({hx}, 1, 1)) - 1)"
-    lo = f"(strpos('0123456789abcdef', substr({hx}, 2, 1)) - 1)"
-    return f"({hi} * 16 + {lo})"
+    return _md5_chain_byte_sql(text_expr, p, "~")
 
 
 def afp_bands_spark(text_col: Column) -> list[Column]:

@@ -104,7 +104,13 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_sliding",
     f"""
     WITH expanded AS (
-      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - k * 1800) AS window_start,
+      -- make_timestamp keeps the arithmetic in NAIVE timestamps:
+      -- to_timestamp returns TIMESTAMPTZ, whose strftime renders in the
+      -- HOST timezone while Spark renders UTC — the oracle would shift
+      -- by the UTC offset on any non-UTC machine (the tumbling oracle's
+      -- date_trunc-on-naive convention, kept here)
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                             - k * 1800) * 1000000) AS window_start,
              event_type
       FROM events, unnest([0, 1]) AS t(k)
     )

@@ -91,7 +91,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampType
 
-    raw_schema = spark.read.parquet(path).schema if _raw_reads_cleanly(spark, path) else None
+    raw_schema = _raw_schema_or_none(spark, path)
     if raw_schema is not None and not isinstance(raw_schema["ts"].dataType, LongType):
         stream = spark.readStream.schema(raw_schema).parquet(path)
     else:
@@ -110,22 +110,34 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return stream
 
 
-def _raw_reads_cleanly(spark: SparkSession, path: str) -> bool:
+def _raw_schema_or_none(spark: SparkSession, path: str):
+    """One schema probe, reused as the value: probing twice (a clean
+    check, then a re-read for the schema) ran two driver-side
+    schema-inference jobs per stream start — and on the nanos path the
+    first deliberately failed a task just to be thrown away."""
     from pyspark.sql.utils import AnalysisException
 
     try:
-        _ = spark.read.parquet(path).schema
-        return True
+        return spark.read.parquet(path).schema
     except AnalysisException:
-        return False
+        return None
 
 
 def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Byte-valued session conf, honoring Spark's size suffixes
+    ('64m', '1g', '512k', '128mb', ...). Parsing only the digit run
+    read '64m' as 64 BYTES, which made maxSplitBytes tiny, the split
+    estimate enormous, and spread() a silent no-op — one core doing
+    every compute-bound map stage whenever the user passed a suffixed
+    conf value."""
     import re
 
-    raw = spark.conf.get(key, str(default))
-    m = re.match(r"(\d+)", str(raw))
-    return int(m.group(1)) if m else default
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", raw)
+    if not m:
+        return default
+    scale = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}[m.group(2)]
+    return int(m.group(1)) << scale
 
 
 def spread(df: DataFrame, parts: int | None = None) -> DataFrame:

@@ -298,3 +298,30 @@ def test_session_gap_is_microsecond_exact(spark, tmp_path):
     ev2.coalesce(1).write.mode("overwrite").parquet(f"{sf2}/events.parquet")
     r2 = session_stats_batch(spark, sf2).collect()[0]
     assert r2.n_sessions == 1 and r2.max_events == 2
+
+
+def test_conf_bytes_honors_size_suffixes(spark):
+    """'64m' must read as 64 MiB, not 64 bytes — the digit-run parse
+    made maxSplitBytes tiny and spread() a silent no-op whenever the
+    user passed a suffixed conf value (review find)."""
+    from automated_dow30_earnings_reports_spark.tables import _conf_bytes
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key, None)
+    try:
+        for raw, want in [
+            ("64m", 64 << 20), ("64mb", 64 << 20), ("1g", 1 << 30),
+            ("512k", 512 << 10), ("134217728", 134217728), ("128MB", 128 << 20),
+        ]:
+            spark.conf.set(key, raw)
+            got = _conf_bytes(spark, key, 0)
+            assert got == want, f"{raw}: {got} != {want}"
+        # unparsable -> default (a free-form key: Spark validates size
+        # confs at set time, so the real key can't hold garbage)
+        spark.conf.set("spark.test.fakeBytes", "not-a-size")
+        assert _conf_bytes(spark, "spark.test.fakeBytes", 42) == 42
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
