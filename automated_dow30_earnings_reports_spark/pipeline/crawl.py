@@ -67,7 +67,10 @@ def extract_links(pages: DataFrame) -> DataFrame:
         "source_url",
         F.regexp_extract("anchor", r'href="([^"]+)"', 1).alias("raw_href"),
         F.regexp_extract("anchor", r'title="([^"]+)"', 1).alias("title"),
-        F.trim(F.regexp_replace(F.regexp_extract("anchor", r">(.*)</a>", 1), r"<[^>]*>", "")).alias(
+        # (?s) matches the anchor-capture regex's dotall: a pretty-printed
+        # anchor whose text spans newlines otherwise extracted as '' and
+        # zeroed the page's keyword score
+        F.trim(F.regexp_replace(F.regexp_extract("anchor", r"(?s)>(.*)</a>", 1), r"<[^>]*>", "")).alias(
             "text"
         ),
     ).filter(F.col("raw_href") != "")

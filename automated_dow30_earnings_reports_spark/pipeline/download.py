@@ -25,6 +25,7 @@ loop bounds memory per task regardless of file size.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import uuid
 from collections.abc import Callable, Iterator
@@ -67,9 +68,22 @@ def _sanitize(name: str) -> str:
     return "".join("_" if c in _ILLEGAL else c for c in name)
 
 
+def _clean_scalar(v):
+    """pandas nullability repair: Arrow hands NaN (and floats like
+    2023.0) for nullable int columns once any row in the batch is null,
+    so 'is not None' checks passed for missing values and filenames
+    came out as 'Title_nanQnan.pdf' / 'Title_2023.0Q1.0.pdf'."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
 def derive_filename(url: str, title=None, year=None, quarter=None, ext=None) -> str:
     """F11 3-priority coalesce (ref :389-418), Python twin of
     functions.scalars.build_filename for use inside the sink."""
+    title, year, quarter = _clean_scalar(title), _clean_scalar(year), _clean_scalar(quarter)
     if title is not None and year is not None and quarter is not None:
         return f"{_sanitize(str(title))}_{year}Q{quarter}{ext or ''}"
     last = url.split("?")[0].split("#")[0].rstrip("/").rsplit("/", 1)[-1]
@@ -87,6 +101,15 @@ def download_stage(
 
     Input may carry optional title/year/quarter/file_extension columns
     used for filename derivation (F11).
+
+    Collision semantics are REFERENCE PARITY: distinct URLs deriving
+    the same filename clobber each other, last writer wins (src/
+    download_reports.py:550-560 does exactly this), so the ledger can
+    record two successes whose checksums cannot both match the one
+    surviving file. Idempotence is guaranteed per-URL (same URL retried
+    lands the same bytes under the same name); a deployment needing
+    per-URL files should add a content-hash suffix to derive_filename
+    — deliberately not done here so filenames match the reference's.
     """
     in_cols = set(df.columns)
 

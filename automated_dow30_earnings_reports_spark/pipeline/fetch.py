@@ -49,6 +49,15 @@ def fetch_stage(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Fetch every row's ``url_col``; append FETCH_RESULT_FIELDS."""
+    clash = {f.name for f in FETCH_RESULT_FIELDS} & set(df.columns)
+    if clash:
+        # duplicate field names would pass schema construction and fail
+        # (or silently mispair columns) at the Arrow boundary — e.g.
+        # re-fetching a prior fetch_stage output for a retry pass.
+        # Select-away or rename the stale result columns first.
+        raise ValueError(
+            f"fetch_stage: input already has result column(s) {sorted(clash)}"
+        )
     out_schema = StructType(list(df.schema.fields) + FETCH_RESULT_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -96,19 +96,26 @@ def llm_extract_stage(
                     if wait > 0:
                         time.sleep(wait)
                     last_call = time.monotonic()
+                # the record coercion lives INSIDE the dead-letter try:
+                # a model returning year='FY2024' (int() raises) or a
+                # non-dict item (r.get raises) is malformed OUTPUT, not
+                # a task failure — the 'never a task failure' contract
+                # covers the whole per-company unit of work
                 try:
                     reports = extractor(company, text, model)
+                    rows = []
+                    for r in reports:
+                        vals = [r.get(k) for k in _REPORT_KEYS]
+                        vals[3] = int(vals[3]) if vals[3] is not None else None
+                        vals[4] = int(vals[4]) if vals[4] is not None else None
+                        rows.append((company, model, *vals, None))
                 except Exception as exc:  # dead-letter channel
                     out.append(
                         (company, model, None, None, None, None, None,
                          f"{type(exc).__name__}: {exc}")
                     )
                     continue
-                for r in reports:
-                    vals = [r.get(k) for k in _REPORT_KEYS]
-                    vals[3] = int(vals[3]) if vals[3] is not None else None
-                    vals[4] = int(vals[4]) if vals[4] is not None else None
-                    out.append((company, model, *vals, None))
+                out.extend(rows)
             yield pd.DataFrame(out, columns=[f.name for f in EXTRACTED_REPORTS_SCHEMA.fields])
 
     return prepared.mapInPandas(run, schema=EXTRACTED_REPORTS_SCHEMA)

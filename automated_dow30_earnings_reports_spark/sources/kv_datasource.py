@@ -137,13 +137,38 @@ def _input_files(path: str) -> list[str]:
 
 
 def _caster(dt: str):
+    """Typed parse of a captured value. The format collapses NULL and
+    the empty string into one representation (both serialize as
+    key='' — the reference's regex reparse, orchestrator.py:111-125,
+    is equally blind) and the reader resolves that value to NULL; a
+    consumer that must distinguish them needs a different format.
+    Unsupported column types fail HERE at plan time with a clear
+    message — silently parsing a decimal/date column as a raw string
+    used to surface as an opaque Arrow conversion error at collect."""
     if dt in ("bigint", "int", "integer", "long", "smallint", "tinyint"):
         return lambda s: int(s) if s else None
     if dt in ("double", "float"):
         return lambda s: float(s) if s else None
     if dt == "boolean":
         return lambda s: s.lower() == "true" if s else None
-    return lambda s: s if s else None
+    if dt.startswith("decimal"):
+        from decimal import Decimal
+
+        return lambda s: Decimal(s) if s else None
+    if dt == "date":
+        import datetime
+
+        return lambda s: datetime.date.fromisoformat(s) if s else None
+    if dt in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        return lambda s: datetime.datetime.fromisoformat(s) if s else None
+    if dt in ("string", "varchar"):
+        return lambda s: s if s else None
+    raise ValueError(
+        f"kvlinks: unsupported column type {dt!r} — the key='value' text "
+        "format carries scalars only"
+    )
 
 
 _PUSHABLE = (
@@ -399,12 +424,19 @@ class KVLinksStreamReader(SimpleDataSourceStreamReader):
     def _seen(self, offset: dict) -> set:
         if "n_files" in offset and "seen" not in offset:
             # migration shim for checkpoints written by the earlier
-            # sorted-count-prefix offset scheme: reconstruct its exact
-            # semantics (first N files of the sorted listing were
-            # ingested) so an upgraded stream neither re-ingests nor
-            # skips anything that scheme had committed
+            # sorted-count-prefix offset scheme: that scheme had
+            # ingested every file PRESENT when the offset was written,
+            # so the committed set is the n ARRIVAL-oldest files —
+            # (mtime, name) order, not name order. Reconstructing from
+            # the name-sorted CURRENT listing was wrong as soon as a
+            # newly-arrived file sorted lexicographically before a
+            # committed one: the newcomer was marked seen (skipped
+            # forever) and the committed tail file replayed as fresh.
             n = offset["n_files"]
-            return {os.path.basename(p) for p in self._files()[:n]}
+            by_arrival = sorted(
+                self._files(), key=lambda p: (os.path.getmtime(p), p)
+            )
+            return {os.path.basename(p) for p in by_arrival[:n]}
         # a JSON list, NOT a joined string: file names may contain any
         # character including the would-be delimiter
         return set(offset.get("seen", []))
