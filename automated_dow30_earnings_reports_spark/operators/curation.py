@@ -171,8 +171,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT lang, source, bucket,
-             CASE WHEN source = 'web' THEN 25
-                  WHEN source = 'pdf' THEN 50
+             CASE CAST(substr(source, 4) AS INTEGER) % 3
+                  WHEN 0 THEN 25
+                  WHEN 1 THEN 50
                   ELSE 100 END AS rate
       FROM b
     )
@@ -188,11 +189,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source gets its own keep-rate, membership is content-addressed
     (md5 bucket < rate), so the sample is reproducible under
     re-partitioning and incremental appends — no rand() seeds. Single
-    map-side pass + one tiny aggregate shuffle."""
+    map-side pass + one tiny aggregate shuffle.
+
+    The per-source rates key off the ACTUAL source strata (srcN mod 3
+    → 25/50/100%): the earlier 'web'/'pdf' literals matched no real
+    source value, so every stratum fell through to 100% and the
+    bucket<rate gating — the operator's entire point — was dead code a
+    regression could not break."""
     d = load_table(spark, sf_dir, "documents")
     rate = (
-        F.when(F.col("source") == "web", 25)
-        .when(F.col("source") == "pdf", 50)
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 25)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 50)
         .otherwise(100)
     )
     b = d.select(
@@ -245,7 +252,9 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT label,
              list_transform(embedding,
-               x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qv
+               x -> CASE WHEN m > 0
+                         THEN CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS qv
       FROM (
         SELECT label, embedding,
                list_max(list_transform(embedding, x -> abs(x))) AS m
@@ -264,12 +273,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard ANN-index compression): array-local transform, zero
     shuffles until the audit aggregate. floor(x+0.5) rounding is used
     on both engines because round()'s half-tie rule differs between
-    them."""
+    them. An all-zero vector (padding/null embeddings are routine in
+    real corpora) has max-abs 0 and quantizes to all zeros — the
+    unguarded division crashed with DIVIDE_BY_ZERO under the session's
+    ANSI default, mirrored as a CASE in the oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     m = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
     qv = F.transform(
         "embedding",
-        lambda x: F.floor(x * F.lit(127.0) / F.col("m") + F.lit(0.5)).cast("bigint"),
+        lambda x: F.when(
+            F.col("m") > 0,
+            F.floor(x * F.lit(127.0) / F.col("m") + F.lit(0.5)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
     )
     q = e.select("label", m.alias("m"), "embedding").select(
         "label", qv.alias("qv")

@@ -263,13 +263,13 @@ def keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles3(text: Column) -> Column:
-    """Word 3-shingles array (same construction as operators/dedup)."""
-    t = tokens_col(text)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
-        lambda i: F.array_join(F.slice(t, i, 3), " "),
-    )
-    return F.when(F.size(t) >= 3, make).otherwise(F.array().cast("array<string>"))
+    """Word 3-shingles — dedup.shingles_col(k=3): ONE shingling
+    contract across the dedup tiers, contamination_ngram, and the
+    repetition rule (the curation.py convention), so a fix to the
+    short-document guard cannot leave them computing different sets."""
+    from automated_dow30_earnings_reports_spark.operators.dedup import shingles_col
+
+    return shingles_col(text, 3)
 
 
 @_register(
@@ -306,9 +306,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("n_shingles") > 0).orderBy("doc_id")
 
 
-_STOP_SQL = " + ".join(
-    f"(CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END)" for m in EN_STOPWORDS
-)
+_STOP_SQL = _marker_score_sql(EN_STOPWORDS)  # ONE marker-score SQL shape
 
 
 def quality_pass_col(text: Column) -> Column:
@@ -322,7 +320,14 @@ def quality_pass_col(text: Column) -> Column:
     n_words = F.size(toks)
     avg_wlen = F.length(text) / n_words
     n_stop = marker_score(toks, EN_STOPWORDS)
-    sym_frac = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", "")) / F.length(text)
+    # empty text has symbol fraction DEFINED as 1.0 (a definite gate
+    # fail): the raw 0/0 threw DIVIDE_BY_ZERO under the session's ANSI
+    # default, and a NULL would ripple three-valued logic into every
+    # consumer of the conjunction; the SQL twins mirror the CASE
+    sym_frac = F.when(
+        F.length(text) > 0,
+        F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", "")) / F.length(text),
+    ).otherwise(F.lit(1.0))
     return (
         n_words.between(20, 100000)
         & avg_wlen.between(2, 12)
@@ -336,8 +341,10 @@ QUALITY_PASS_SQL = f"""(
     len(toks) BETWEEN 20 AND 100000
     AND (1.0 * length(text) / len(toks)) BETWEEN 2 AND 12
     AND ({_STOP_SQL}) >= 2
-    AND (1.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-         / length(text)) < 0.1
+    AND (CASE WHEN length(text) > 0
+              THEN 1.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                   / length(text)
+              ELSE 1.0 END) < 0.1
 )"""
 
 
@@ -353,8 +360,10 @@ QUALITY_PASS_SQL = f"""(
              len(toks) AS n_words,
              1.0 * length(text) / len(toks) AS avg_wlen,
              {_STOP_SQL} AS n_stop,
-             1.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text)
-               AS sym_frac
+             CASE WHEN length(text) > 0
+                  THEN 1.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       / length(text)
+                  ELSE 1.0 END AS sym_frac
       FROM t
     ),
     rules AS (
@@ -385,9 +394,10 @@ def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_words"),
         (F.length("text") / F.size(toks)).alias("avg_wlen"),
         marker_score(toks, EN_STOPWORDS).alias("n_stop"),
-        (
-            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text")
-        ).alias("sym_frac"),
+        F.when(
+            F.length("text") > 0,
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text"),
+        ).otherwise(F.lit(1.0)).alias("sym_frac"),
     )
     rules = feat.select(
         F.col("n_words").between(20, 100000).alias("pass_len"),
@@ -1053,15 +1063,21 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = d.select(
         "doc_id", F.posexplode(t).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    # phrase is exactly one row (limit 1), so the semi-filtered posting
-    # lists pin tok=w1 / tok=w2 — tok itself need not travel through
-    # the adjacency join.
-    p1 = postings.join(
-        F.broadcast(phrase), postings.tok == phrase.w1, "left_semi"
-    ).select("doc_id", F.col("pos").alias("pos1"))
-    p2 = postings.join(
-        F.broadcast(phrase), postings.tok == phrase.w2, "left_semi"
-    ).select(F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2"))
+    # ONE broadcast filter pass for both query terms, checkpointed:
+    # two separate semi-joins each re-ran the corpus tokenize+posexplode
+    # (the docstring's one-corpus-pass claim was false by 2x at the most
+    # expensive stage). The checkpointed frame holds only the two terms'
+    # posting lists — per-term-frequency-sized, never the corpus.
+    qpost = postings.join(
+        F.broadcast(phrase),
+        (postings.tok == phrase.w1) | (postings.tok == phrase.w2),
+    ).localCheckpoint(eager=True)
+    p1 = qpost.where(F.col("tok") == F.col("w1")).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = qpost.where(F.col("tok") == F.col("w2")).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
     hits = (
         p1.join(
             p2,

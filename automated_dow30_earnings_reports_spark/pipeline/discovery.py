@@ -305,7 +305,11 @@ def ir_candidate_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IR_INDICATORS = ["investor", "relations", "overview", "default", "stock", "home"]
 MIN_INDICATORS = 2
-_SKIP_PATTERN = r"login\.|signin\.|auth\.|oauth|saml|404|not-found|error"
+# THE P7 skip gate — one pattern shared with url_skip_filter, so adding
+# a dead-URL marker there cannot leave the probe gating on a stale copy
+from automated_dow30_earnings_reports_spark.pipeline.queries import (  # noqa: E402
+    SKIP_URL_PATTERN as _SKIP_PATTERN,
+)
 
 
 def _probe_oracle() -> str:

@@ -67,7 +67,7 @@ def llm_extract_stage(
     extractor_factory: ExtractorFactory,
     company_col: str = "company",
     text_col: str = "links_text",
-    truncate_chars: int = 300_000,
+    truncate_chars: int | None = 300_000,
     model_threshold: int = 200_000,
     min_interval: float = 0.0,
     num_partitions: int | None = None,
@@ -79,7 +79,11 @@ def llm_extract_stage(
     """
     prepared = df.select(
         F.col(company_col).alias("company"),
-        smart_truncate(F.col(text_col), truncate_chars).alias("text"),
+        (
+            smart_truncate(F.col(text_col), truncate_chars)
+            if truncate_chars is not None
+            else F.col(text_col)
+        ).alias("text"),
         select_model(F.col(text_col), model_threshold).alias("model_used"),
     )
     if num_partitions:

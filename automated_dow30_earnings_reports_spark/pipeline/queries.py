@@ -129,9 +129,21 @@ def llm_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs = (
         _doc_lines(spark, sf_dir)
         .groupBy("company")
-        .agg(F.concat_ws("\n", F.collect_list("line")).alias("links_text"))
+        # sort_array: collect_list order is partitioning-dependent, so
+        # the concatenated prompt text must be canonicalized to be
+        # hash-stable across executors/runs
+        .agg(
+            F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias(
+                "links_text"
+            )
+        )
     )
-    out = llm_extract_stage(inputs, fake_llm_extractor)
+    # truncate_chars=None: the 300k prod default is a real-LLM context
+    # budget the oracle deliberately does not model — a company group
+    # crossing it would drop tail lines the oracle still parses. The
+    # attested query checks full-corpus extraction semantics at any SF;
+    # truncation itself is pinned separately (truncate_model_select).
+    out = llm_extract_stage(inputs, fake_llm_extractor, truncate_chars=None)
     return out.filter(F.col("extract_error").isNull()).select(
         "company", "title", "category", "url", "year", "quarter"
     )
@@ -198,6 +210,14 @@ def download_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
+    # DELIBERATE: '[^A-Za-z]' strips digits too, so NATION_0..NATION_24
+    # all derive the SAME host and every company crawls an identical
+    # fake site — that is what makes the 18/6 golden a per-company
+    # CONSTANT the oracle can state in closed form. Per-company-distinct
+    # crawl behavior (different hosts → different fake sites) is
+    # exercised by the pipeline tests with their own seed lists; if you
+    # change this regex to keep digits (discovery.py's cname rule), the
+    # golden constants below must be re-derived per company.
     seeds = nation.select(
         F.col("n_name").alias("company"),
         F.concat(

@@ -81,8 +81,12 @@ _MODULES = [
 # orc/compaction/evo/dpp: scratch-key relocation only) are NOT
 # routed ahead: each would displace an r2 slot, and all eight were
 # re-validated green on current code by driver_sim + their pytest
-# pins this session. They re-attest under plain LRU in r9 along
-# with the r3 cohort.
+# pins this session. Same rule for the later review waves' touched
+# queries (llm_extract_udtf's canonicalized prompt order,
+# phrase_search's single-pass postings, the quality-gate/quantize
+# ANSI guards — value-identical on current data; stratified_sample's
+# live rates are value-CHANGED but it sits in the r2 cohort already).
+# They re-attest under plain LRU in r9 along with the r3 cohort.
 _PRIORITY: list[str] = [
     "streaming_text_ingest",
     "streaming_dedup_ingest",

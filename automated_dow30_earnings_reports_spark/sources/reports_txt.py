@@ -114,7 +114,11 @@ def reports_http_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_dow30_earnings_reports_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    path = _os.path.join(_SCRATCH, _os.path.basename(sf_dir.rstrip("/")))
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    path = scratch_path(_SCRATCH, sf_dir)  # THE shared keying contract
     to_report_lines(_derived_reports(d)).write.mode("overwrite").text(path)
     back = read_reports(spark, path)
     ok, dead = split_http_only(back)
