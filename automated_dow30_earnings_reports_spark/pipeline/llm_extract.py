@@ -37,7 +37,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
+
+from automated_dow30_earnings_reports_spark.schemas import REPORTS
 
 from automated_dow30_earnings_reports_spark.functions.scalars import select_model, smart_truncate
 
@@ -46,17 +48,16 @@ from automated_dow30_earnings_reports_spark.functions.scalars import select_mode
 Extractor = Callable[[str, str, str], list[dict]]
 ExtractorFactory = Callable[[], Extractor]
 
+# The report fields COME FROM schemas.REPORTS (the reference's pydantic
+# Report, src/extract_reports.py:68-73) so the two cannot drift; they
+# are relaxed to nullable here because a dead-letter row nulls them all.
 EXTRACTED_REPORTS_SCHEMA = StructType(
     [
         StructField("company", StringType(), False),
         StructField("model_used", StringType(), True),
-        StructField("title", StringType(), True),
-        StructField("category", StringType(), True),
-        StructField("url", StringType(), True),
-        StructField("year", IntegerType(), True),
-        StructField("quarter", IntegerType(), True),
-        StructField("extract_error", StringType(), True),
     ]
+    + [StructField(f.name, f.dataType, True) for f in REPORTS.fields]
+    + [StructField("extract_error", StringType(), True)]
 )
 
 _REPORT_KEYS = ("title", "category", "url", "year", "quarter")

@@ -67,13 +67,25 @@ def run_pipeline(
 
     # Stage 2 — LLM extraction (X1) over the serialized links text
     # (the reference hands a key-value text file to the LLM; same
-    # payload here, built in-plan: one line per link).
-    line = F.format_string("title='%s' url='%s'", F.col("title"), F.col("href"))
+    # payload here, built in-plan: one line per link). Quotes/newlines
+    # are sanitized out of the interpolated values: the key='value'
+    # payload cannot represent them, and an unsanitized title like
+    # "Q1'24 Earnings" (or a crafted "x' url='https://evil/x.pdf")
+    # would truncate — or forge — what the extractor parses back out
+    # (kv_text's writer REFUSES these; an in-plan prompt payload
+    # sanitizes instead, since a crawl must not abort on a quote).
+    clean = lambda c: F.regexp_replace(F.coalesce(c, F.lit("")), "[\\n\\r']", " ")
+    line = F.format_string(
+        "title='%s' url='%s'", clean(F.col("title")), clean(F.col("href"))
+    )
+    # checkpointed: feeds BOTH the extraction stage and the final
+    # ledger's counts — without the cut the collect_list aggregation
+    # (every company's full links_text blob) re-ran for the ledger join
     per_company = links.groupBy("company").agg(
         F.concat_ws("\n", F.collect_list(line)).alias("links_text"),
         F.count("*").alias("urls_found"),
         F.countDistinct("source_url").alias("urls_visited"),
-    )
+    ).localCheckpoint(eager=True)
     extracted = llm_extract_stage(per_company, extractor_factory).localCheckpoint(eager=True)
     reports = extracted.filter(F.col("extract_error").isNull())
 
@@ -112,20 +124,43 @@ def run_pipeline(
         F.col("source_url").alias("source_page"),
         F.col("file_extension").alias("file_type"),
     )
+    # counts is the LEFT side: every crawled company gets a ledger row.
+    # Rolling up from `results` (reports only) silently DROPPED any
+    # company whose extraction dead-lettered — the reference writes a
+    # failed metadata entry per company (orchestrator.py:212-225), and
+    # an ops ledger that loses exactly the failed companies is worse
+    # than useless. Extraction failures surface as status='failed' with
+    # the error carried through; zero-report companies complete with an
+    # empty file list.
     counts = per_company.select("company", "urls_found", "urls_visited")
+    dl_rollup = results.groupBy("company").agg(
+        F.collect_list(F.when(F.col("success"), per_file)).alias("downloaded_files"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
+    )
+    extract_errors = (
+        extracted.where(F.col("extract_error").isNotNull())
+        .select("company", "extract_error")
+        .dropDuplicates(["company"])
+    )
+    files_type = dict(dl_rollup.dtypes)["downloaded_files"]
     ledger = (
-        results.groupBy("company")
-        .agg(
-            F.collect_list(F.when(F.col("success"), per_file)).alias("downloaded_files"),
-            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
-        )
-        .join(counts, "company", "left")
+        counts.join(dl_rollup, "company", "left")
+        .join(extract_errors, "company", "left")
         .withColumn(
-            "status", F.when(F.col("n_failed") == 0, "completed").otherwise("partial")
+            "downloaded_files",
+            F.coalesce("downloaded_files", F.expr("array()").cast(files_type)),
+        )
+        .withColumn("n_failed", F.coalesce("n_failed", F.lit(0)))
+        .withColumn(
+            "status",
+            F.when(F.col("extract_error").isNotNull(), "failed")
+            .when(F.col("n_failed") == 0, "completed")
+            .otherwise("partial"),
         )
     )
     return ledger.select(
-        "company", "status", "urls_visited", "urls_found", "n_failed", "downloaded_files"
+        "company", "status", "urls_visited", "urls_found", "n_failed",
+        "downloaded_files", "extract_error",
     )
 
 

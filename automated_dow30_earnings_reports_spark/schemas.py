@@ -114,6 +114,11 @@ COMPANY_RUN_METADATA = StructType(
 # file_metadata — per-download record (reference
 # src/simple_metadata_collector.py:147-166; failed-download variant
 # src/orchestrator.py:212-225). `success` partitions the dead-letter channel.
+# DOCUMENTATION SCHEMA: the running engine splits this record across two
+# live shapes — download.DOWNLOAD_RESULT_SCHEMA (the transport result:
+# path/size/checksum/content_type/success/error) and the per-file struct
+# inside COMPANY_RUN_METADATA's downloaded_files (the ledger view) —
+# kept here as the reference-shape reference the two were derived from.
 # ---------------------------------------------------------------------------
 FILE_METADATA = StructType(
     [

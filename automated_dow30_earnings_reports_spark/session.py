@@ -34,6 +34,13 @@ def get_spark(app_name: str = "dow30-spark-engine", shuffle_partitions: int | No
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        # an EXPLICIT shuffle_partitions request is honored on the
+        # fetched session (it is runtime-settable); silently returning
+        # the old value made the argument a no-op with no warning
+        # whenever any session already existed. app_name cannot change
+        # post-creation and stays as-is.
+        if shuffle_partitions is not None:
+            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         return active
 
     n_shuffle = shuffle_partitions if shuffle_partitions is not None else int(_CPUS)

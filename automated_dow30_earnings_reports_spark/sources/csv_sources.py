@@ -22,9 +22,7 @@ def read_companies(spark: SparkSession, path: str) -> DataFrame:
     df = (
         spark.read.option("header", True)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .schema(
-            "ticker string, company string, sector string, ir_url string, last_updated timestamp"
-        )
+        .schema(COMPANIES)  # THE schema, not a parallel DDL string
         .csv(path)
     )
     return df
@@ -35,7 +33,7 @@ def read_ir_pages(spark: SparkSession, path: str) -> DataFrame:
     (ref src/scrapers/dow30_ir_pages_*.csv, find_IR_pgs_v1.py:538-544)."""
     return (
         spark.read.option("header", True)
-        .schema("ticker string, company string, website string, ir_url string, status string")
+        .schema(IR_PAGES)
         .csv(path)
     )
 
@@ -118,7 +116,7 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _os.path.join(_SCRATCH, _os.path.basename(sf_dir.rstrip("/")))
     write_csv(
-        dim.toDF("Ticker", "Company", "Sector", "Investor_Relations_URL", "Last_Updated"),
+        dim.toDF(*_COMPANIES_CSV_HEADER),
         path,
     )
     back = read_companies(spark, path)

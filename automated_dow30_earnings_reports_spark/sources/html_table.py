@@ -38,8 +38,12 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-_ROW_PAT = r"(?s)<tr[^>]*>(.*?)</tr>"
-_CELL_PAT = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+# (?i): real pages use <TR>/<TD>/<SCRIPT> freely (HTML tag names are
+# case-insensitive; the reference's BeautifulSoup path is too) — a
+# case-sensitive scan silently returned zero rows for uppercase tables
+# and LEAKED script/style contents through the cleaner
+_ROW_PAT = r"(?si)<tr[^>]*>(.*?)</tr>"
+_CELL_PAT = r"(?si)<t[dh][^>]*>(.*?)</t[dh]>"
 
 
 def parse_html_tables(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -60,8 +64,8 @@ def clean_html(html: Column) -> Column:
     (no backreference) so the same regexes run under DuckDB's RE2."""
     c = html
     for tag in ("script", "style", "svg"):
-        c = F.regexp_replace(c, rf"(?s)<{tag}[^>]*>.*?</{tag}>", " ")
-    c = F.regexp_replace(c, r"<img[^>]*/?>", " ")
+        c = F.regexp_replace(c, rf"(?si)<{tag}[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"(?i)<img[^>]*/?>", " ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " ")).alias("clean_text")
 
@@ -126,10 +130,10 @@ def html_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      regexp_replace(
                        '<div class="doc"><script>var x=1;</script><style>.a{}</style>'
                          || '<svg><path d="M0"/></svg><img src="x.png"/><p>' || text || '</p></div>',
-                       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-                   '(?s)<svg[^>]*>.*?</svg>', ' ', 'g'),
-                 '<img[^>]*/?>', ' ', 'g'),
+                       '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?si)<svg[^>]*>.*?</svg>', ' ', 'g'),
+                 '(?i)<img[^>]*/?>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
              '\\s+', ' ', 'g')) AS clean_text
     FROM documents
