@@ -188,3 +188,82 @@ def test_manifest_payload_roundtrips_relative_paths(spark, table):
         assert not os.path.isabs(f)
     assert set(man["parts"]) == {"p0"}
     assert json.dumps(man)  # fully JSON-serializable
+
+
+def test_occ_protocol_randomized_model_check(tmp_path):
+    """Seeded randomized interleavings of stale-based appends/rewrites
+    against a dict model of the protocol: every successful commit must
+    leave the manifest's partition map equal to the model's, conflicts
+    must fire exactly when the model says the rewrite is unrebasable
+    (a winner after the writer's base touched a replaced partition),
+    versions must be gapless, and vacuum must reclaim exactly the
+    never-referenced files. Pure metadata — occ_commit never opens
+    data files — so hundreds of ops run in seconds."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"model-{seed}")
+        os.makedirs(os.path.join(t, "data"), exist_ok=True)
+        model: dict[str, list[str]] = {}
+        touched_by_version: dict[int, set] = {}
+        all_files: set[str] = set()
+        referenced_ever: set[str] = set()
+        file_seq = 0
+        parts_pool = [f"p{i}" for i in range(4)]
+
+        def new_files(n):
+            nonlocal file_seq
+            out = []
+            for _ in range(n):
+                rel = f"data/f{file_seq}.parquet"
+                file_seq += 1
+                with open(os.path.join(t, rel), "w"):
+                    pass
+                all_files.add(rel)
+                out.append(rel)
+            return out
+
+        for _ in range(60):
+            head = m.current_version(t)
+            base = rng.randint(max(0, head - 3), head)  # possibly stale
+            is_rewrite = rng.random() < 0.4 and model
+            if is_rewrite:
+                replaces = rng.sample(parts_pool, rng.randint(1, 2))
+            else:
+                replaces = []
+            adds = {rng.choice(parts_pool): new_files(rng.randint(1, 2))}
+            winners_touched = set()
+            for w in range(base + 1, head + 1):
+                winners_touched |= touched_by_version[w]
+            expect_conflict = bool(set(replaces) & winners_touched)
+            try:
+                v = m.occ_commit(t, adds, replaces, base_version=base)
+            except m.CommitConflictError:
+                assert expect_conflict, (seed, base, head, replaces)
+                continue
+            assert not expect_conflict, (seed, base, head, replaces)
+            assert v == head + 1  # gapless serialization
+            for p in replaces:
+                model.pop(p, None)
+            for p, fs in adds.items():
+                model[p] = model.get(p, []) + fs
+            touched_by_version[v] = set(replaces) | set(adds)
+            referenced_ever.update(f for fs in adds.values() for f in fs)
+            man = m._read_manifest(t, v)
+            assert {p: sorted(fs) for p, fs in man["parts"].items()} == {
+                p: sorted(fs) for p, fs in model.items() if fs
+            }
+            assert sorted(man["files"]) == sorted(
+                f for fs in model.values() for f in fs
+            )
+        # vacuum reclaims exactly the conflicted writers' files: a file
+        # named by ANY sealed version stays (time travel), the rest go
+        report = m.vacuum_unreferenced(t)
+        survivors = {
+            os.path.relpath(os.path.join(dp, f), t)
+            for dp, _d, fs in os.walk(os.path.join(t, "data"))
+            for f in fs
+        }
+        assert survivors == referenced_ever
+        assert report["data_files_removed"] == len(all_files - referenced_ever)
