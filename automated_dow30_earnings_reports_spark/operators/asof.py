@@ -58,11 +58,16 @@ def asof_join(
     tagged_l = left.select(*lcols, F.lit(1).alias("_side")).withColumns(
         {f"asof_{p}": F.lit(None).cast(right.schema[p].dataType) for p in payload}
     )
-    # NULL-ts right rows can never match: DuckDB ASOF's p.ts >= c.ts is
+    # NULL-ts right rows can never match (DuckDB ASOF's p.ts >= c.ts is
     # NULL for them, while Spark's ascending sort is NULLS FIRST — left
     # unfiltered they would sort before every left row and be attributed
-    # as a "prior" row that temporally never existed
-    tagged_r = right.where(F.col(ts).isNotNull()).select(
+    # as a "prior" row that temporally never existed), and neither can
+    # NULL-KEY right rows (the ON equality is NULL, but partitionBy
+    # groups NULL keys into one live partition); left rows with a NULL
+    # key keep their row with a NULL payload on both engines.
+    tagged_r = right.where(
+        F.col(ts).isNotNull() & F.col(on).isNotNull()
+    ).select(
         on,
         ts,
         F.lit(0).alias("_side"),

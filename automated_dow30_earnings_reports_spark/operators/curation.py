@@ -171,7 +171,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT lang, source, bucket,
-             CASE CAST(substr(source, 4) AS INTEGER) % 3
+             CASE TRY_CAST(substr(source, 4) AS INTEGER) % 3
                   WHEN 0 THEN 25
                   WHEN 1 THEN 50
                   ELSE 100 END AS rate
@@ -197,11 +197,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket<rate gating — the operator's entire point — was dead code a
     regression could not break."""
     d = load_table(spark, sf_dir, "documents")
-    rate = (
-        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 25)
-        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 50)
-        .otherwise(100)
-    )
+    # try_cast: a source value that is not 'src<digits>' must fall
+    # through to the 100% default, not throw CAST_INVALID_INPUT under
+    # the session's ANSI mode (NULL % 3 matches no branch -> otherwise)
+    suffix_mod = F.substring("source", 4, 10).try_cast("int") % 3
+    rate = F.when(suffix_mod == 0, 25).when(suffix_mod == 1, 50).otherwise(100)
     b = d.select(
         "lang",
         "source",

@@ -2393,13 +2393,20 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
     stage = _os.path.join(path, ".stats-compact-stage")
     # recovery from a crashed previous compaction swap: _SWAP_READY is
     # written only after the folded row AND every kept marker are in
-    # the stage, so a ready stage with the live dir already unlinked
-    # completes the swap; any other crash state discards the stage
-    # (the live stats dir is then still intact)
+    # the stage, so a READY STAGE ALWAYS WINS — same rule as
+    # enforce_ttl's boundary swap: a crash PARTWAY through the live
+    # dir's rmtree leaves a truncated stats_dir, and refolding from
+    # that remnant would silently corrupt n_docs/sum_dl (or drop a
+    # standing forget marker, re-opening the double-fold window). An
+    # un-ready stage is discarded (the live dir is then still intact,
+    # because the unlink is sequenced after the sentinel write).
+    # Quiesce contract (same as enforce_ttl): a crashed compaction is
+    # retried before any new append lands — a ready stage predating an
+    # append would be stale by exactly that append's partial.
     if _os.path.isdir(stage):
-        if _os.path.exists(
-            _os.path.join(stage, "_SWAP_READY")
-        ) and not _os.path.isdir(stats_dir):
+        if _os.path.exists(_os.path.join(stage, "_SWAP_READY")):
+            if _os.path.isdir(stats_dir):
+                _shutil.rmtree(stats_dir)  # possibly-truncated remnant
             _os.replace(stage, stats_dir)
         else:
             _shutil.rmtree(stage, ignore_errors=True)

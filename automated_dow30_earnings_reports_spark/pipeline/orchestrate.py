@@ -124,15 +124,28 @@ def run_pipeline(
         F.col("source_url").alias("source_page"),
         F.col("file_extension").alias("file_type"),
     )
-    # counts is the LEFT side: every crawled company gets a ledger row.
-    # Rolling up from `results` (reports only) silently DROPPED any
-    # company whose extraction dead-lettered — the reference writes a
-    # failed metadata entry per company (orchestrator.py:212-225), and
-    # an ops ledger that loses exactly the failed companies is worse
-    # than useless. Extraction failures surface as status='failed' with
-    # the error carried through; zero-report companies complete with an
-    # empty file list.
-    counts = per_company.select("company", "urls_found", "urls_visited")
+    # The SEED COMPANIES frame is the left side: every company that
+    # entered the run gets a ledger row, unconditionally. Rolling up
+    # from `results` (reports only) silently DROPPED any company whose
+    # extraction dead-lettered, and rolling up from the crawl output
+    # would still drop one whose crawl produced zero links (seed fetch
+    # failed, or a genuinely linkless site) — the reference writes a
+    # metadata entry per company regardless (orchestrator.py:212-225),
+    # and an ops ledger that loses exactly the failed companies is
+    # worse than useless. Extraction failures surface as
+    # status='failed' with the error carried; zero-link companies as
+    # status='empty' with zeroed counts.
+    counts = (
+        companies.select("company")
+        .dropDuplicates(["company"])
+        .join(
+            per_company.select("company", "urls_found", "urls_visited"),
+            "company",
+            "left",
+        )
+        .withColumn("urls_found", F.coalesce("urls_found", F.lit(0)))
+        .withColumn("urls_visited", F.coalesce("urls_visited", F.lit(0)))
+    )
     dl_rollup = results.groupBy("company").agg(
         F.collect_list(F.when(F.col("success"), per_file)).alias("downloaded_files"),
         F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
@@ -154,6 +167,7 @@ def run_pipeline(
         .withColumn(
             "status",
             F.when(F.col("extract_error").isNotNull(), "failed")
+            .when(F.col("urls_found") == 0, "empty")
             .when(F.col("n_failed") == 0, "completed")
             .otherwise("partial"),
         )

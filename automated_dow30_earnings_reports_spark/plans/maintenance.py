@@ -683,6 +683,11 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
         fh.flush()
         _os.fsync(fh.fileno())
     _os.replace(tmp, _os.path.join(mdir, f"v{version}.json"))
+    dfd = _os.open(mdir, _os.O_RDONLY)  # make the dir entry durable too
+    try:
+        _os.fsync(dfd)
+    finally:
+        _os.close(dfd)
 
 
 def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
@@ -888,6 +893,16 @@ def _cas_seal(table_path: str, version: int, payload: dict) -> bool:
         _os.fsync(fh.fileno())
     try:
         _os.link(tmp, final)
+        # fsync the DIRECTORY too: the link's dir entry must be durable
+        # before occ_commit reports success (a power loss could
+        # otherwise erase a version a concurrent writer already rebased
+        # on — a conditional PUT is durable on success, so the local
+        # spelling must be as well)
+        dfd = _os.open(mdir, _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
         return True
     except FileExistsError:
         return False
@@ -957,7 +972,9 @@ def occ_commit(
         for p in replaces:
             parts.pop(p, None)
         for p, fs in rel_adds.items():
-            parts[p] = parts.get(p, []) + [f for f in fs if f not in parts.get(p, [])]
+            cur = parts.get(p, [])
+            present = set(cur)  # set probe: the list scan was O(adds x files)
+            parts[p] = cur + [f for f in fs if f not in present]
         payload = {
             "files": sorted(f for fs in parts.values() for f in fs),
             "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},

@@ -432,6 +432,12 @@ class KVLinksStreamReader(SimpleDataSourceStreamReader):
             # newly-arrived file sorted lexicographically before a
             # committed one: the newcomer was marked seen (skipped
             # forever) and the committed tail file replayed as fresh.
+            # Residual assumption, stated honestly: mtimes must reflect
+            # arrival (coarse-granularity filesystems or an
+            # mtime-preserving copy into the landing dir can still fool
+            # the shim) — the migration is best-effort by nature; the
+            # CURRENT offset scheme (explicit name set) has no such
+            # ambiguity, which is why it replaced this one.
             n = offset["n_files"]
             by_arrival = sorted(
                 self._files(), key=lambda p: (os.path.getmtime(p), p)

@@ -226,3 +226,120 @@ def test_extract_links_captures_multiline_anchor_text(spark):
     )
     row = extract_links(pages).collect()[0]
     assert "Q1 2024 Earnings" in row.text and "Results" in row.text
+
+
+def test_stats_compaction_ready_stage_wins_over_truncated_live(spark, sf_smoke):
+    """Second-order review find: _compact_text_index's recovery used to
+    discard a READY stage whenever the live stats dir still existed —
+    but a crash partway through the live dir's rmtree leaves a
+    truncated remnant, and refolding from it silently corrupts
+    n_docs/sum_dl. A ready stage must always win the swap (the
+    enforce_ttl rule)."""
+    import shutil
+
+    from automated_dow30_earnings_reports_spark.operators import textstats as tx
+    from automated_dow30_earnings_reports_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = tx._text_index_path(sf_smoke) + "_stagecrash"
+    shutil.rmtree(path, ignore_errors=True)
+    tx._write_text_index(d, path, "overwrite")
+    tx._write_tombstone_set(
+        d.where(F.expr(tx.TEXT_DELETE_PRED)).select("doc_id"), path
+    )
+    want = [
+        tuple(r)
+        for r in tx._search_text_index(spark, path, merge_tombstones=True).collect()
+    ]
+    # construct the crashed swap: a READY stage holding the true stats
+    # content, the live dir truncated to nothing (worst case of a
+    # partial rmtree)
+    stats_dir = os.path.join(path, "stats")
+    stage = os.path.join(path, ".stats-compact-stage")
+    shutil.copytree(stats_dir, stage)
+    with open(os.path.join(stage, "_SWAP_READY"), "w"):
+        pass
+    for f in os.listdir(stats_dir):  # truncate the live dir
+        os.remove(os.path.join(stats_dir, f))
+    tx._compact_text_index(spark, path)
+    got = [
+        tuple(r)
+        for r in tx._search_text_index(spark, path, merge_tombstones=True).collect()
+    ]
+    assert got == want  # recovered from the stage, not the remnant
+
+
+def test_pipeline_ledger_keeps_zero_link_companies(spark, tmp_path):
+    """Second-order review find: seeding the ledger from the crawl
+    output still dropped a company whose fetch failed / site had no
+    links; the seed frame is now the left side and such companies
+    surface as status='empty' with zeroed counts."""
+    from automated_dow30_earnings_reports_spark.pipeline.orchestrate import (
+        run_pipeline,
+    )
+
+    def flaky_fetcher():
+        def fetch(url: str):
+            if "deadco" in url:
+                return (503, "", None, "ConnectionError: refused")
+            from automated_dow30_earnings_reports_spark.pipeline.fetch import (
+                fake_ir_site_fetcher,
+            )
+
+            return fake_ir_site_fetcher()(url)
+
+        return fetch
+
+    companies = spark.createDataFrame(
+        [
+            ("ACME", "https://ir.acme.example.com/investors"),
+            ("DEADCO", "https://ir.deadco.example.com/investors"),
+        ],
+        ["company", "url"],
+    )
+    ledger = run_pipeline(
+        spark, companies, str(tmp_path / "dl"), fetcher_factory=flaky_fetcher
+    )
+    rows = {r.company: r for r in ledger.collect()}
+    assert set(rows) == {"ACME", "DEADCO"}
+    assert rows["ACME"].status == "completed"
+    dead = rows["DEADCO"]
+    assert dead.status == "empty"
+    assert dead.urls_found == 0 and dead.urls_visited == 0
+    assert dead.downloaded_files == [] and dead.n_failed == 0
+
+
+def test_asof_join_null_key_rows_never_match(spark):
+    """NULL join keys: DuckDB ASOF's ON-equality never matches
+    NULL = NULL, but Spark's partitionBy grouped NULL-key left and
+    right rows into one live partition and attributed the right row as
+    a prior."""
+    from automated_dow30_earnings_reports_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2025, 1, 1, 12, 0, s)
+    left = spark.createDataFrame([(None, t(10)), (1, t(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(None, t(5), "null-key"), (1, t(5), "real")], "k long, ts timestamp, v string"
+    )
+    got = {
+        r.k: r.asof_v
+        for r in asof_join(left, right, on="k", ts="ts", payload=["v"]).collect()
+    }
+    assert got[1] == "real"
+    assert got[None] is None  # NULL-key left row kept, with NULL payload
+
+
+def test_stratified_sample_rate_falls_through_on_foreign_source(spark, monkeypatch):
+    """A source value that is not 'src<digits>' must sample at the
+    100% default, not crash the ANSI cast."""
+    from automated_dow30_earnings_reports_spark.operators import curation as cur
+
+    d = spark.createDataFrame(
+        [(0, "en", "web"), (1, "en", ""), (2, "en", "src3")],
+        "doc_id long, lang string, source string",
+    )
+    monkeypatch.setattr(cur, "load_table", lambda s, sf, t: d)
+    rows = {r.source: r for r in cur.QUERIES["stratified_sample"](spark, "x").collect()}
+    assert rows["web"].n_total == 1 and rows["web"].n_sampled == 1  # 100% branch
+    assert rows[""].n_sampled == 1
+    assert rows["src3"].n_total == 1  # src3 % 3 == 0 -> 25% rate branch runs
