@@ -199,8 +199,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # try_cast: a source value that is not 'src<digits>' must fall
     # through to the 100% default, not throw CAST_INVALID_INPUT under
-    # the session's ANSI mode (NULL % 3 matches no branch -> otherwise)
-    suffix_mod = F.substring("source", 4, 10).try_cast("int") % 3
+    # the session's ANSI mode (NULL % 3 matches no branch -> otherwise).
+    # 2-arg substring (to end of string), matching the oracle's
+    # substr(source, 4): a length cap would parse a different suffix
+    # than the oracle for sources with >cap digits
+    suffix_mod = F.expr("substring(source, 4)").try_cast("int") % 3
     rate = F.when(suffix_mod == 0, 25).when(suffix_mod == 1, 50).otherwise(100)
     b = d.select(
         "lang",

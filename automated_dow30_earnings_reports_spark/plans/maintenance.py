@@ -511,6 +511,22 @@ TTL_CUTOFF = "1998-04-01"  # rows with o_orderdate strictly before this expire
 TTL_CUTOFF_YEAR = 1998  # year(TTL_CUTOFF): the one boundary partition
 
 
+_TTL_STAMP = "_TTL_REQUEST"  # stage-dir marker naming the request that built it
+
+
+def _ttl_request_stamp(cutoff_year: int, survivor_pred) -> str:
+    """Content hash identifying one TTL request: a staged boundary
+    rewrite is only rolled FORWARD by a retry of the SAME request.
+    str(Column) is deterministic for the same expression tree, which
+    is all the comparison needs (same-process retry or a rebuilt
+    identical request)."""
+    import hashlib as _hashlib
+
+    return _hashlib.md5(
+        f"{cutoff_year}|{survivor_pred}".encode()
+    ).hexdigest()
+
+
 def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
                 cutoff_year: int, survivor_pred) -> None:
     """Age out every row older than the cutoff from a year-partitioned
@@ -525,35 +541,80 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
     cannot emit an empty partition (same rule as
     rewrite_affected_partitions).
 
-    CRASH-SAFE at every step, so a scheduled retry never loses data:
-    expired unlinks are idempotent; the boundary rewrite stages its
-    survivors to a sibling ``.ttl-stage-<value>`` directory FIRST and
-    only then swaps it in (unlink old, rename stage) — an in-place
-    overwrite would hold the only copy of the survivors in session
-    memory while the target is deleted, exactly the non-atomic window
-    the index verbs closed in r7/r8. On retry a COMPLETED stage
-    (_SUCCESS present) always wins the swap, even when the partition
-    directory still exists: a crash partway through the unlink leaves
-    a truncated live directory, and recomputing survivors from that
-    remnant would silently lose every already-unlinked survivor —
-    the stage, written from the still-complete partition before any
-    unlink began, is the one full copy in every crash state. An
-    incomplete stage (no _SUCCESS) is discarded and rebuilt, which is
-    safe precisely because the unlink is sequenced after the stage
-    write returns (live is still complete)."""
+    CRASH-SAFE at every step, so a scheduled retry never loses data —
+    and safe across a REQUEST CHANGE between runs (a bumped cutoff or
+    predicate), not just the same-request retry. The boundary rewrite
+    stages its survivors to a sibling ``.ttl-stage-<value>`` directory
+    (then stamps it with a hash of the request that built it), and
+    swaps via two atomic renames instead of an rmtree+rename:
+    live -> ``.ttl-old-<value>``, stage -> live, rmtree old. No crash
+    point ever leaves a truncated live directory, so recovery can
+    choose per stamp: a completed stage whose stamp MATCHES the
+    current request rolls forward (finish the swap); a MISMATCHED
+    stamp rolls back (restore ``.ttl-old`` if the swap had started,
+    else just discard the stage — live is intact) so survivors staged
+    under a superseded cutoff are never installed over a complete
+    partition. A stampless completed stage (written by the pre-stamp
+    protocol, whose rmtree-based swap COULD leave a truncated live)
+    keeps that protocol's contract: it is the one complete copy in
+    every old-protocol crash state, so it wins the swap
+    unconditionally. An incomplete stage (no _SUCCESS) is discarded
+    and rebuilt — the swap is sequenced after the stage write returns,
+    so live is still complete."""
+    stamp_now = _ttl_request_stamp(cutoff_year, survivor_pred)
     for entry in sorted(_os.listdir(lake_path)):
         if not entry.startswith(".ttl-stage-"):
             continue
-        # crashed previous attempt: complete or discard the swap
+        # crashed previous attempt: roll forward, roll back, or discard
         val = entry[len(".ttl-stage-"):]
         stage = _os.path.join(lake_path, entry)
         live = _os.path.join(lake_path, f"{part_col}={val}")
-        if _os.path.exists(_os.path.join(stage, "_SUCCESS")):
-            if _os.path.isdir(live):
-                _shutil.rmtree(live)  # possibly-truncated remnant
-            _os.replace(stage, live)
-        else:
+        old = _os.path.join(lake_path, f".ttl-old-{val}")
+        stamp_path = _os.path.join(stage, _TTL_STAMP)
+        if not _os.path.exists(_os.path.join(stage, "_SUCCESS")):
             _shutil.rmtree(stage, ignore_errors=True)
+            continue
+        if _os.path.exists(stamp_path):
+            with open(stamp_path) as fh:
+                staged_stamp = fh.read().strip()
+            if staged_stamp == stamp_now:
+                # same request: finish the crashed swap (the stamp
+                # stays in the dir — Spark ignores _-prefixed files)
+                if _os.path.isdir(live):
+                    _shutil.rmtree(old, ignore_errors=True)
+                    _os.rename(live, old)
+                _os.rename(stage, live)
+                _shutil.rmtree(old, ignore_errors=True)
+            else:
+                # superseded request: never install its survivors —
+                # restore the pre-swap live if the swap had started
+                if not _os.path.isdir(live) and _os.path.isdir(old):
+                    _os.rename(old, live)
+                if _os.path.isdir(live):
+                    _shutil.rmtree(stage)
+                else:
+                    # defensive (unreachable under the stamped
+                    # protocol): the stage is the only copy — keep it
+                    _os.rename(stage, live)
+        else:
+            # legacy stampless stage (pre-stamp rmtree-swap protocol):
+            # live may be a truncated remnant — the stage is the one
+            # complete copy, it wins unconditionally
+            if _os.path.isdir(live):
+                _shutil.rmtree(live)
+            _os.replace(stage, live)
+    for entry in sorted(_os.listdir(lake_path)):
+        if not entry.startswith(".ttl-old-"):
+            continue
+        # swap completed past rename2 (or rolled back above): the old
+        # copy is superseded if live exists, the pre-swap live if not
+        val = entry[len(".ttl-old-"):]
+        old = _os.path.join(lake_path, entry)
+        live = _os.path.join(lake_path, f"{part_col}={val}")
+        if _os.path.isdir(live):
+            _shutil.rmtree(old)
+        else:
+            _os.rename(old, live)
     for entry in sorted(_os.listdir(lake_path)):
         if not entry.startswith(f"{part_col}="):
             continue
@@ -576,8 +637,14 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
             continue
         stage = _os.path.join(lake_path, f".ttl-stage-{year}")
         survivors.write.mode("overwrite").parquet(stage)
-        _shutil.rmtree(d)
-        _os.replace(stage, d)
+        with open(_os.path.join(stage, _TTL_STAMP), "w") as fh:
+            fh.write(stamp_now)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        old = _os.path.join(lake_path, f".ttl-old-{year}")
+        _os.rename(d, old)
+        _os.rename(stage, d)
+        _shutil.rmtree(old)
 
 
 @_register(
@@ -691,14 +758,22 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
 
 
 def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
-    """Read a table AS OF a version: open that version's manifest,
-    scan exactly the files it names (table-root-relative). Driver-side
-    cost is one manifest read — O(files in the snapshot), no directory
-    walk."""
-    import json as _json
-
-    with open(_os.path.join(table_path, "manifests", f"v{version}.json")) as fh:
-        files = _json.load(fh)["files"]
+    """Read a table AS OF a version: resolve that version's file set
+    from the manifest log, scan exactly those files
+    (table-root-relative). A legacy/full manifest resolves in one
+    read; a segmented (delta) manifest replays from the nearest
+    checkpoint (`_snapshot_parts`) — O(metadata since checkpoint)
+    driver-side either way, never a directory walk. An EXPIRED
+    version's manifest is gone, so the read raises FileNotFoundError
+    — expiry makes old versions unreadable by construction, it never
+    leaves them half-readable."""
+    man = _read_manifest(table_path, version)
+    full = _manifest_full_parts(man)
+    if full is not None and "files" in man:
+        files = man["files"]
+    else:
+        parts = full if full is not None else _snapshot_parts(table_path, version)
+        files = sorted(f for fs in parts.values() for f in fs)
     return spark.read.parquet(*(_os.path.join(table_path, f) for f in files))
 
 
@@ -862,14 +937,102 @@ def _read_manifest(table_path: str, version: int) -> dict:
         return _json.load(fh)
 
 
-def _manifest_parts(man: dict) -> dict[str, list[str]]:
-    """Per-partition file map of a manifest. Legacy single-writer
-    manifests (seal_manifest: {"files": [...]} only) map to one
-    unnamed partition so occ_commit can adopt a bootstrap-built table
-    without rewriting its history."""
+def _manifest_full_parts(man: dict) -> dict[str, list[str]] | None:
+    """Full per-partition file map of a manifest, or None if the
+    manifest is a segmented DELTA (r9 occ_commit payload: adds +
+    replaces only, no snapshot embed). Legacy single-writer manifests
+    (seal_manifest: {"files": [...]} only) map to one unnamed
+    partition so occ_commit can adopt a bootstrap-built table without
+    rewriting its history; r8 occ manifests embedded the full map as
+    "parts" and act as their own checkpoint."""
     if "parts" in man:
         return {p: list(fs) for p, fs in man["parts"].items()}
-    return {"": list(man.get("files", []))}
+    if "files" in man:
+        return {"": list(man["files"])}
+    return None
+
+
+def _apply_delta(parts: dict[str, list[str]], man: dict) -> None:
+    """Fold one delta manifest into a partition map, in place: drop
+    replaced partitions, then append added files (idempotent per file
+    — a rebased retry re-adding the same path is a no-op)."""
+    for p in man.get("replaces", []):
+        parts.pop(p, None)
+    for p, fs in man.get("adds", {}).items():
+        cur = parts.get(p, [])
+        present = set(cur)
+        parts[p] = cur + [f for f in fs if f not in present]
+
+
+def _snapshot_parts(table_path: str, version: int) -> dict[str, list[str]]:
+    """Reconstruct a version's full partition map: walk back from
+    ``version`` to the nearest FULL state — an explicit checkpoint
+    (``ckpt-v<K>.json``, written by checkpoint_snapshot /
+    expire_snapshots) or a manifest that embeds its snapshot (legacy
+    seal_manifest, r8 occ payloads) — then replay the delta manifests
+    forward. Cost is O(metadata since the last checkpoint), never a
+    data scan; a scheduled checkpoint_snapshot bounds it, exactly
+    Delta's 10-commit checkpoint cadence."""
+    import json as _json
+
+    mdir = _os.path.join(table_path, "manifests")
+    deltas: list[dict] = []
+    k = version
+    parts: dict[str, list[str]] = {}
+    while k >= 1:
+        ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
+        if _os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                parts = {
+                    p: list(fs) for p, fs in _json.load(fh)["parts"].items()
+                }
+            break
+        man = _read_manifest(table_path, k)
+        full = _manifest_full_parts(man)
+        if full is not None:
+            parts = full
+            break
+        deltas.append(man)
+        k -= 1
+    for man in reversed(deltas):
+        _apply_delta(parts, man)
+    return parts
+
+
+def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
+    """Materialize a version's full partition map as
+    ``ckpt-v<N>.json`` so later reads/commits replay only the deltas
+    after it. A MAINTENANCE verb, deliberately not on the commit path:
+    occ_commit seals O(delta) metadata regardless of snapshot size
+    (the r8 design embedded the full file list per commit — 160 ms +
+    5.6 MB at 100k files, O(snapshot) forever); the checkpoint is
+    where the O(snapshot) write happens, on whatever cadence the
+    table's operator schedules — Delta's checkpoint-every-10-commits
+    run by a background job, not by writers. Idempotent and
+    crash-safe: temp write + fsync + os.replace, and a torn/absent
+    checkpoint only costs replay depth, never correctness."""
+    import json as _json
+
+    if version is None:
+        version = current_version(table_path)
+    if version < 1:
+        raise ValueError("cannot checkpoint an empty table")
+    parts = _snapshot_parts(table_path, version)
+    mdir = _os.path.join(table_path, "manifests")
+    tmp = _os.path.join(
+        mdir, f"ckpt-v{version}.json.tmp-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
+    )
+    with open(tmp, "w") as fh:
+        _json.dump({"parts": {p: sorted(fs) for p, fs in sorted(parts.items())}}, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, _os.path.join(mdir, f"ckpt-v{version}.json"))
+    dfd = _os.open(mdir, _os.O_RDONLY)
+    try:
+        _os.fsync(dfd)
+    finally:
+        _os.close(dfd)
+    return version
 
 
 def _cas_seal(table_path: str, version: int, payload: dict) -> bool:
@@ -921,14 +1084,15 @@ def occ_commit(
     against the snapshot the writer prepared it on (``base_version``),
     tolerating concurrent winners. Returns the sealed version number.
 
-    Protocol per attempt: (1) list manifests once; for every winner
-    sealed after base_version, check the conflict rule — a winner that
-    touched any partition in ``replaces`` makes this rewrite
-    unrebasable (CommitConflictError); (2) apply the delta to the
-    LATEST snapshot's partition map (drop replaced partitions, append
-    added files); (3) CAS-seal the next version. A lost CAS race (a
-    winner sealed between the listing and the link) loops back to (1)
-    — bounded by max_attempts so a livelocked table fails loudly.
+    Protocol per attempt: (1) list manifests once; for a rewrite, check
+    the conflict rule against every winner sealed after base_version —
+    a winner that touched any partition in ``replaces`` makes this
+    rewrite unrebasable (CommitConflictError); (2) CAS-seal the next
+    version's DELTA manifest (adds + replaces + base; the snapshot is
+    never embedded — readers replay, see `_snapshot_parts`). A lost
+    CAS race (a winner sealed between the listing and the link) loops
+    back to (1) — bounded by max_attempts so a livelocked table fails
+    loudly.
 
     Appends (empty ``replaces``) never conflict and always rebase; the
     data files were already written before this is called, so retries
@@ -936,13 +1100,32 @@ def occ_commit(
     writer's files are unreferenced by every manifest (invisible to
     read_snapshot) and reclaimed by `vacuum_unreferenced`.
 
-    Scale shape: each attempt is one KB-scale manifest-directory
-    listing + one manifest read + one conditional write, independent
-    of table size. Reference contrast: the reference's ledger writer
-    simply clobbers the previous full JSON dump per run
+    Scale shape (SEGMENTED manifests since r9): the sealed payload is
+    the DELTA ONLY — per-partition adds, replaced partitions, base —
+    never the snapshot's full file list, so commit metadata cost is
+    O(delta), flat in snapshot size (the r8 design embedded the full
+    list per version: 160 ms + 5.6 MB per commit at 100k files,
+    growing forever). Readers reconstruct a snapshot by replaying
+    deltas from the nearest checkpoint (`_snapshot_parts`);
+    `checkpoint_snapshot` bounds the replay on a maintenance cadence.
+    An APPEND never reads any snapshot state: one manifest-dir listing
+    + one conditional write per attempt. A REWRITE additionally scans
+    the winners' delta manifests for the conflict rule and replays the
+    partition KEY SET to guard against the legacy pseudo-partition
+    (below) — O(metadata since checkpoint), still never a data scan.
+    Reference contrast: the reference's ledger writer simply clobbers
+    the previous full JSON dump per run
     (src/simple_metadata_collector.py:121-130) — two concurrent runs
     interleave silently, which is the failure mode this verb exists
-    to make impossible."""
+    to make impossible.
+
+    Legacy-adoption guard: a table bootstrapped by `seal_manifest` has
+    its files under the unnamed '' pseudo-partition. A rewrite naming
+    a partition that does not exist while '' holds files would pop
+    nothing and leave the "replaced" files referenced alongside the
+    survivors — silent duplication. Such a rewrite raises
+    CommitConflictError: the caller must target '' explicitly (one
+    migration rewrite of '' moves the table to named partitions)."""
     rel_adds = {
         p: [
             f if not _os.path.isabs(f) else _os.path.relpath(f, table_path)
@@ -954,30 +1137,43 @@ def occ_commit(
     base = base_version
     for _ in range(max_attempts):
         head = current_version(table_path)
-        if head > base:
-            for w in range(base + 1, head + 1):
-                wm = _read_manifest(table_path, w)
-                w_touched = set(wm.get("adds", {})) | set(wm.get("replaces", []))
-                if not ("adds" in wm or "replaces" in wm):
-                    # legacy seal_manifest commit: touched-set unknown,
-                    # so a rewrite cannot prove disjointness
-                    w_touched = set(replaces)
-                if set(replaces) & w_touched:
-                    raise CommitConflictError(
-                        f"rewrite of partitions {sorted(set(replaces) & w_touched)} "
-                        f"conflicts with concurrent commit v{w}"
+        if replaces:
+            if head > base:
+                for w in range(base + 1, head + 1):
+                    try:
+                        wm = _read_manifest(table_path, w)
+                    except FileNotFoundError:
+                        raise CommitConflictError(
+                            f"base snapshot v{base} predates the retention "
+                            f"horizon (winner v{w} is expired); retry from a "
+                            "fresh snapshot read"
+                        ) from None
+                    w_touched = set(wm.get("adds", {})) | set(
+                        wm.get("replaces", [])
                     )
-            base = head
-        parts = _manifest_parts(_read_manifest(table_path, head)) if head else {}
-        for p in replaces:
-            parts.pop(p, None)
-        for p, fs in rel_adds.items():
-            cur = parts.get(p, [])
-            present = set(cur)  # set probe: the list scan was O(adds x files)
-            parts[p] = cur + [f for f in fs if f not in present]
+                    if not ("adds" in wm or "replaces" in wm):
+                        # legacy seal_manifest commit: touched-set
+                        # unknown, so a rewrite cannot prove
+                        # disjointness
+                        w_touched = set(replaces)
+                    if set(replaces) & w_touched:
+                        raise CommitConflictError(
+                            f"rewrite of partitions "
+                            f"{sorted(set(replaces) & w_touched)} conflicts "
+                            f"with concurrent commit v{w}"
+                        )
+            if head:
+                live_parts = _snapshot_parts(table_path, head)
+                missing = [p for p in replaces if p not in live_parts]
+                if missing and "" in live_parts:
+                    raise CommitConflictError(
+                        f"rewrite names partitions {sorted(missing)} absent "
+                        "from the snapshot while legacy partition-less "
+                        "commits hold files under ''; target '' explicitly "
+                        "to migrate them"
+                    )
+        base = head
         payload = {
-            "files": sorted(f for fs in parts.values() for f in fs),
-            "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
             "adds": {p: sorted(fs) for p, fs in sorted(rel_adds.items())},
             "replaces": sorted(replaces),
             "base": base,
@@ -1112,30 +1308,65 @@ def occ_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def vacuum_unreferenced(table_path: str) -> dict[str, int]:
-    """Reclaim a QUIESCED table's garbage: data files no manifest of
-    any version references (aborted/conflicted writers, crashed
-    commits that never sealed) and stale CAS staging files. Never call
-    concurrently with a writer — a writer's files are unreferenced
-    between its data write and its seal, exactly the window a racing
-    vacuum would destroy (same quiesce contract as
-    rollback_orphan_publishes). Manifests themselves are never
-    removed: every sealed version stays readable (time travel), so
-    vacuum reclaims only what no version can see. Returns counts for
-    the vacuum report."""
-    report = {"data_files_removed": 0, "tmp_files_removed": 0, "dirs_removed": 0}
+def vacuum_unreferenced(
+    table_path: str, min_age_seconds: float = 0.0
+) -> dict[str, int]:
+    """Reclaim the table's garbage: data files no surviving manifest
+    references (aborted/conflicted writers, crashed commits that never
+    sealed, files whose only referencing versions were expired by
+    `expire_snapshots`) and stale CAS staging files.
+
+    Referenced = the union of every surviving manifest's reachable
+    files: a legacy manifest's embedded list, a checkpoint's partition
+    map, a delta manifest's adds. Every file in any surviving
+    version's snapshot was either in the horizon checkpoint or added
+    by a surviving delta, so the union over those three covers exactly
+    the reachable set — post-expiry, files only the expired versions
+    could see drop out of it and become reclaimable.
+
+    ``min_age_seconds`` is the retention horizon that makes vacuum
+    safe under CONCURRENT writers (Delta's VACUUM RETAIN): a writer's
+    files are legitimately unreferenced between its data write and its
+    seal, so with min_age=0 vacuum may only run on a quiesced table;
+    with min_age greater than the longest write-to-seal latency, an
+    unreferenced-but-young file is spared as possibly-in-flight and
+    only durably-abandoned garbage (old mtime) is reclaimed. Manifests
+    themselves are never removed here — `expire_snapshots` owns
+    retiring versions. Returns counts for the vacuum report."""
+    import json as _json
+    import time as _time
+
+    report = {"data_files_removed": 0, "tmp_files_removed": 0, "dirs_removed": 0,
+              "young_files_spared": 0}
+    cutoff = _time.time() - min_age_seconds
+
+    def _old_enough(path: str) -> bool:
+        if min_age_seconds <= 0:
+            return True
+        try:
+            return _os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False  # vanished mid-walk: nothing to reclaim
+
     mdir = _os.path.join(table_path, "manifests")
     referenced: set[str] = set()
     if _os.path.isdir(mdir):
         for entry in sorted(_os.listdir(mdir)):
             if entry.endswith(".json"):
-                import json as _json
-
                 with open(_os.path.join(mdir, entry)) as fh:
-                    referenced.update(_json.load(fh).get("files", []))
+                    man = _json.load(fh)
+                referenced.update(man.get("files", []))
+                for fs in man.get("parts", {}).values():
+                    referenced.update(fs)
+                for fs in man.get("adds", {}).values():
+                    referenced.update(fs)
             elif ".json.tmp-" in entry:
-                _os.remove(_os.path.join(mdir, entry))
-                report["tmp_files_removed"] += 1
+                full = _os.path.join(mdir, entry)
+                if _old_enough(full):
+                    _os.remove(full)
+                    report["tmp_files_removed"] += 1
+                else:
+                    report["young_files_spared"] += 1
     data = _os.path.join(table_path, "data")
     if _os.path.isdir(data):
         for dirpath, _dirs, files in sorted(_os.walk(data), reverse=True):
@@ -1144,6 +1375,9 @@ def vacuum_unreferenced(table_path: str) -> dict[str, int]:
                 if f.endswith(".parquet"):
                     if _os.path.relpath(full, table_path) in referenced:
                         continue
+                    if not _old_enough(full):
+                        report["young_files_spared"] += 1
+                        continue
                     _os.remove(full)
                     report["data_files_removed"] += 1
                 else:
@@ -1151,4 +1385,51 @@ def vacuum_unreferenced(table_path: str) -> dict[str, int]:
             if not _os.listdir(dirpath):
                 _os.rmdir(dirpath)
                 report["dirs_removed"] += 1
+    return report
+
+
+def expire_snapshots(
+    table_path: str,
+    keep_last: int | None = None,
+    older_than: int | None = None,
+) -> dict[str, int]:
+    """Retire versions past the retention horizon so their
+    exclusively-held files become reclaimable — the half of the
+    time-travel lifecycle `vacuum_unreferenced` alone cannot provide
+    (it keeps every sealed version readable, so storage only grows).
+    Iceberg's expire_snapshots / Delta's log retention.
+
+    Horizon H = head - keep_last + 1 (keep the N newest) or
+    ``older_than`` (expire strictly-older versions); versions >= H
+    survive. Protocol, crash-safe at every step: (1) materialize a
+    checkpoint at H (idempotent temp+rename) so surviving versions
+    never need an expired manifest to replay; (2) delete manifests and
+    checkpoints below H. A crash after (1) leaves extra manifests —
+    harmless, a retry resumes; a crash mid-(2) leaves a partial
+    deletion — surviving versions still resolve via the H checkpoint,
+    and expired versions were already contractually unreadable.
+    Expired data files are NOT deleted here: the next
+    `vacuum_unreferenced` reclaims whatever only expired versions
+    referenced, under its own retention window. Returns the horizon
+    and counts."""
+    head = current_version(table_path)
+    if head == 0:
+        return {"horizon": 0, "manifests_expired": 0, "checkpoints_expired": 0}
+    if (keep_last is None) == (older_than is None):
+        raise ValueError("pass exactly one of keep_last / older_than")
+    horizon = head - keep_last + 1 if keep_last is not None else older_than
+    horizon = max(1, min(horizon, head))
+    report = {"horizon": horizon, "manifests_expired": 0, "checkpoints_expired": 0}
+    if horizon <= 1:
+        return report  # nothing below the horizon
+    checkpoint_snapshot(table_path, horizon)
+    mdir = _os.path.join(table_path, "manifests")
+    import re as _re
+
+    for entry in sorted(_os.listdir(mdir)):
+        m = _re.fullmatch(r"(ckpt-)?v(\d+)\.json", entry)
+        if not m or int(m.group(2)) >= horizon:
+            continue
+        _os.remove(_os.path.join(mdir, entry))
+        report["checkpoints_expired" if m.group(1) else "manifests_expired"] += 1
     return report

@@ -34,13 +34,25 @@ def get_spark(app_name: str = "dow30-spark-engine", shuffle_partitions: int | No
     """
     active = SparkSession.getActiveSession()
     if active is not None:
-        # an EXPLICIT shuffle_partitions request is honored on the
-        # fetched session (it is runtime-settable); silently returning
-        # the old value made the argument a no-op with no warning
-        # whenever any session already existed. app_name cannot change
+        # An EXPLICIT shuffle_partitions request against an existing
+        # session is either a no-op (it already matches) or a CONFLICT.
+        # Mutating the shared session here would silently change
+        # shuffle parallelism for every other consumer (concurrent
+        # tests, queries sharing the session), so a conflicting
+        # request fails loudly; callers that need a scoped override
+        # should set/restore spark.sql.shuffle.partitions themselves
+        # around the exact plan that needs it. app_name cannot change
         # post-creation and stays as-is.
         if shuffle_partitions is not None:
-            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            cur = active.conf.get("spark.sql.shuffle.partitions")
+            if cur != str(shuffle_partitions):
+                raise ValueError(
+                    f"get_spark(shuffle_partitions={shuffle_partitions}) "
+                    f"conflicts with the active session's setting ({cur}); "
+                    "refusing to mutate shared session state — scope the "
+                    "override with spark.conf.set/restore around the plan "
+                    "that needs it"
+                )
         return active
 
     n_shuffle = shuffle_partitions if shuffle_partitions is not None else int(_CPUS)

@@ -439,8 +439,19 @@ class KVLinksStreamReader(SimpleDataSourceStreamReader):
             # CURRENT offset scheme (explicit name set) has no such
             # ambiguity, which is why it replaced this one.
             n = offset["n_files"]
+
+            def _mtime_or_inf(p: str) -> float:
+                # a file deleted between the listing and the stat must
+                # not abort the one-time migration; sorting it newest
+                # keeps it out of the committed prefix (it cannot be
+                # replayed anyway — it is gone)
+                try:
+                    return os.path.getmtime(p)
+                except OSError:
+                    return float("inf")
+
             by_arrival = sorted(
-                self._files(), key=lambda p: (os.path.getmtime(p), p)
+                self._files(), key=lambda p: (_mtime_or_inf(p), p)
             )
             return {os.path.basename(p) for p in by_arrival[:n]}
         # a JSON list, NOT a joined string: file names may contain any

@@ -1,15 +1,26 @@
 """Metadata-scale probe for the OCC commit protocol
-(plans/maintenance.py: occ_commit / _cas_seal / current_version).
+(plans/maintenance.py: occ_commit / _cas_seal / _snapshot_parts /
+checkpoint_snapshot).
 
-The protocol's claim is that commit cost is O(manifest), independent of
-DATA size — but the manifest itself grows with the snapshot's file
-count (the full per-partition file list is embedded per version, like
-an Iceberg snapshot's manifest before manifest-list segmentation). This
-probe measures where that bends: commit latency against snapshots of
-1k/10k/100k files, and rebase latency against 10/100/500 concurrent
-winners (the conflict scan reads every winner manifest sealed after the
-writer's base). File entries are synthetic — occ_commit never opens
-data files — so the probe isolates pure metadata cost.
+r8 embedded the full per-partition file list in every version's
+manifest, so commit metadata cost was O(snapshot file count) — measured
+160 ms + 5.6 MB per commit at 100k files. r9 segments the log: a commit
+seals only its DELTA (adds/replaces/base) and readers replay deltas
+from the nearest checkpoint. This probe quantifies the new shape:
+
+  1. append-commit latency + manifest size vs snapshot file count
+     (claim: flat — an append never reads snapshot state);
+  2. rewrite-commit latency vs winners since base (the conflict scan
+     reads each winner's delta; the legacy-'' guard replays the
+     partition key set — O(metadata since checkpoint));
+  3. read-side snapshot reconstruction vs delta-chain depth, with and
+     without a checkpoint (claim: checkpoint bounds replay to the
+     deltas after it), plus the checkpoint write itself (the one
+     O(snapshot) cost, now on the maintenance cadence instead of every
+     commit).
+
+File entries are synthetic — occ_commit never opens data files — so
+the probe isolates pure metadata cost.
 
 Run: python scripts/occ_probe.py
 """
@@ -25,6 +36,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from automated_dow30_earnings_reports_spark.plans.maintenance import (  # noqa: E402
+    _snapshot_parts,
+    checkpoint_snapshot,
     current_version,
     occ_commit,
 )
@@ -40,7 +53,7 @@ def _fresh(tag: str) -> str:
 
 
 def probe_snapshot_size() -> None:
-    print("commit latency vs snapshot file count (100-file append):")
+    print("append-commit latency vs snapshot file count (100-file append):")
     for n_files in (1_000, 10_000, 100_000):
         t = _fresh(f"size-{n_files}")
         occ_commit(
@@ -54,12 +67,13 @@ def probe_snapshot_size() -> None:
         man = os.path.join(t, "manifests", f"v{current_version(t)}.json")
         print(
             f"  {n_files:>7}-file snapshot: {best*1e3:7.1f} ms/commit, "
-            f"manifest {os.path.getsize(man)/1e6:5.2f} MB"
+            f"manifest {os.path.getsize(man)/1e3:7.1f} KB"
         )
 
 
 def probe_winner_chain() -> None:
-    print("rebase latency vs concurrent winners since base (append, base=v1):")
+    print("rewrite-commit latency vs concurrent winners since base "
+          "(disjoint rewrite, base=v1):")
     for winners in (10, 100, 500):
         t = _fresh(f"chain-{winners}")
         occ_commit(t, {"base": ["data/base/f0.parquet"]})
@@ -68,9 +82,35 @@ def probe_winner_chain() -> None:
                 t, {f"w{i}": [f"data/w{i}/f.parquet"]},
                 base_version=current_version(t),
             )
-        delta = {"late": ["data/late/f.parquet"]}
-        dt = _timed(lambda: occ_commit(t, delta, base_version=1))
-        print(f"  {winners:>4} winners: {dt*1e3:7.1f} ms (conflict scan reads them all)")
+        delta = {"base": ["data/late/f.parquet"]}
+        dt = _timed(
+            lambda: occ_commit(t, delta, replaces=["base"], base_version=1)
+        )
+        print(
+            f"  {winners:>4} winners: {dt*1e3:7.1f} ms "
+            "(conflict scan + key-set replay read them all)"
+        )
+
+
+def probe_read_reconstruction() -> None:
+    print("snapshot reconstruction vs delta-chain depth (100 files/commit):")
+    for depth in (10, 100, 500):
+        t = _fresh(f"read-{depth}")
+        for i in range(depth):
+            occ_commit(
+                t,
+                {f"p{i % 8}": [f"data/c{i}/f{j}.parquet" for j in range(100)]},
+                base_version=current_version(t),
+            )
+        head = current_version(t)
+        cold = _timed(lambda: _snapshot_parts(t, head))
+        ck = _timed(lambda: checkpoint_snapshot(t, head - 1))
+        warm = _timed(lambda: _snapshot_parts(t, head))
+        print(
+            f"  {depth:>4}-delta chain: replay {cold*1e3:7.1f} ms cold, "
+            f"{warm*1e3:7.1f} ms after checkpoint "
+            f"(checkpoint write {ck*1e3:7.1f} ms)"
+        )
 
 
 def _timed(fn) -> float:
@@ -82,4 +122,5 @@ def _timed(fn) -> float:
 if __name__ == "__main__":
     probe_snapshot_size()
     probe_winner_chain()
+    probe_read_reconstruction()
     shutil.rmtree(SCRATCH, ignore_errors=True)

@@ -144,7 +144,9 @@ def test_crash_mid_seal_leaves_no_version_and_vacuum_reclaims(spark, table):
         fh.write('{"files": ["torn')  # torn tmp from the dead writer
     assert m.current_version(table) == 1
     assert _snapshot_keys(spark, table, 1) == [0, 1, 2, 3, 4]
-    live_before = set(m._read_manifest(table, 1)["files"])
+    live_before = {
+        f for fs in m._snapshot_parts(table, 1).values() for f in fs
+    }
     report = m.vacuum_unreferenced(table)
     assert report["data_files_removed"] == len(dead)
     assert report["tmp_files_removed"] == 1
@@ -181,12 +183,17 @@ def test_lost_race_retries_are_bounded(spark, table, monkeypatch):
 
 def test_manifest_payload_roundtrips_relative_paths(spark, table):
     # paths in manifests stay table-root-relative so the table can be
-    # relocated wholesale (same contract as seal_manifest)
+    # relocated wholesale (same contract as seal_manifest), and the
+    # payload is the SEGMENTED delta only — embedding the snapshot's
+    # full file list per version is the r8 O(snapshot)-per-commit
+    # design this format replaced
     man = m._read_manifest(table, 1)
     assert man["replaces"] == [] and man["base"] == 0
-    for f in man["files"]:
-        assert not os.path.isabs(f)
-    assert set(man["parts"]) == {"p0"}
+    assert set(man["adds"]) == {"p0"}
+    for fs in man["adds"].values():
+        for f in fs:
+            assert not os.path.isabs(f)
+    assert "files" not in man and "parts" not in man
     assert json.dumps(man)  # fully JSON-serializable
 
 
@@ -226,6 +233,10 @@ def test_occ_protocol_randomized_model_check(tmp_path):
 
         for _ in range(60):
             head = m.current_version(t)
+            if head and rng.random() < 0.15:
+                # a background maintenance checkpoint at a random point
+                # must never change any snapshot's reconstruction
+                m.checkpoint_snapshot(t, rng.randint(1, head))
             base = rng.randint(max(0, head - 3), head)  # possibly stale
             is_rewrite = rng.random() < 0.4 and model
             if is_rewrite:
@@ -250,13 +261,10 @@ def test_occ_protocol_randomized_model_check(tmp_path):
                 model[p] = model.get(p, []) + fs
             touched_by_version[v] = set(replaces) | set(adds)
             referenced_ever.update(f for fs in adds.values() for f in fs)
-            man = m._read_manifest(t, v)
-            assert {p: sorted(fs) for p, fs in man["parts"].items()} == {
+            snap = m._snapshot_parts(t, v)
+            assert {p: sorted(fs) for p, fs in snap.items()} == {
                 p: sorted(fs) for p, fs in model.items() if fs
             }
-            assert sorted(man["files"]) == sorted(
-                f for fs in model.values() for f in fs
-            )
         # vacuum reclaims exactly the conflicted writers' files: a file
         # named by ANY sealed version stays (time travel), the rest go
         report = m.vacuum_unreferenced(t)
@@ -267,3 +275,159 @@ def test_occ_protocol_randomized_model_check(tmp_path):
         }
         assert survivors == referenced_ever
         assert report["data_files_removed"] == len(all_files - referenced_ever)
+
+
+# ---------------------------------------------------------------------------
+# r9: segmented log — checkpoints, snapshot expiry, retention vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_bounds_replay_and_changes_no_answer(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(10, 13))
+    fb = _commit_files(spark, table, "c-b", range(20, 23))
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    before = {v: _snapshot_keys(spark, table, v) for v in (1, 2)}
+    assert m.checkpoint_snapshot(table) == 2
+    assert os.path.exists(os.path.join(table, "manifests", "ckpt-v2.json"))
+    # idempotent, and every version reads identically through it
+    assert m.checkpoint_snapshot(table, 2) == 2
+    for v, keys in before.items():
+        assert _snapshot_keys(spark, table, v) == keys
+    assert m.occ_commit(table, {"pB": fb}, base_version=2) == 3
+    assert _snapshot_keys(spark, table, 3) == [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 22]
+    # reconstruction at head replays only the post-checkpoint delta
+    assert m._snapshot_parts(table, 3) == {
+        **{p: fs for p, fs in m._snapshot_parts(table, 2).items()},
+        "pB": [os.path.relpath(f, table) for f in fb],
+    }
+
+
+def test_expire_snapshots_retires_versions_and_frees_storage(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(100, 103))
+    fb = _commit_files(spark, table, "c-b", range(20, 23))
+    # v2 rewrites p0 (v1's files become exclusive to v1), v3 appends
+    assert m.occ_commit(table, {"p0": fa}, replaces=["p0"], base_version=1) == 2
+    assert m.occ_commit(table, {"pB": fb}, base_version=2) == 3
+    v1_files = [
+        os.path.join(table, f)
+        for fs in m._snapshot_parts(table, 1).values()
+        for f in fs
+    ]
+    before_v2 = _snapshot_keys(spark, table, 2)
+    before_v3 = _snapshot_keys(spark, table, 3)
+    report = m.expire_snapshots(table, keep_last=2)
+    assert report["horizon"] == 2 and report["manifests_expired"] == 1
+    # expired version unreadable; surviving versions answer identically
+    with pytest.raises(FileNotFoundError):
+        m.read_snapshot(spark, table, 1)
+    assert _snapshot_keys(spark, table, 2) == before_v2
+    assert _snapshot_keys(spark, table, 3) == before_v3
+    # vacuum now reclaims exactly v1's exclusively-held files
+    report = m.vacuum_unreferenced(table)
+    assert report["data_files_removed"] == len(v1_files)
+    for f in v1_files:
+        assert not os.path.exists(f)
+    assert _snapshot_keys(spark, table, 2) == before_v2
+    assert _snapshot_keys(spark, table, 3) == before_v3
+    # further commits continue the version sequence past the horizon
+    fc = _commit_files(spark, table, "c-c", range(30, 32))
+    assert m.occ_commit(table, {"pC": fc}, base_version=3) == 4
+    assert _snapshot_keys(spark, table, 4) == sorted(before_v3 + [30, 31])
+
+
+def test_expire_snapshots_crash_mid_expire_is_resumable(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(10, 12))
+    fb = _commit_files(spark, table, "c-b", range(20, 22))
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    assert m.occ_commit(table, {"pB": fb}, base_version=2) == 3
+    want_v3 = _snapshot_keys(spark, table, 3)
+    # crash state A: checkpoint at the horizon written, no manifest
+    # deleted yet (crash between step 1 and step 2)
+    m.checkpoint_snapshot(table, 2)
+    assert _snapshot_keys(spark, table, 3) == want_v3
+    # crash state B: one expired manifest deleted, the other still
+    # present (crash mid-step-2) — surviving reads resolve via the
+    # checkpoint, and a retry completes the expiry
+    os.remove(os.path.join(table, "manifests", "v1.json"))
+    assert _snapshot_keys(spark, table, 3) == want_v3
+    assert _snapshot_keys(spark, table, 2) == sorted([0, 1, 2, 3, 4, 10, 11])
+    report = m.expire_snapshots(table, keep_last=2)
+    assert report["horizon"] == 2
+    assert sorted(os.listdir(os.path.join(table, "manifests"))) == [
+        "ckpt-v2.json",
+        "v2.json",
+        "v3.json",
+    ]
+    assert _snapshot_keys(spark, table, 3) == want_v3
+
+
+def test_expire_keep_all_is_a_noop(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(10, 12))
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    report = m.expire_snapshots(table, keep_last=5)
+    assert report == {
+        "horizon": 1,
+        "manifests_expired": 0,
+        "checkpoints_expired": 0,
+    }
+    assert _snapshot_keys(spark, table, 1) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        m.expire_snapshots(table)  # exactly one selector required
+    with pytest.raises(ValueError):
+        m.expire_snapshots(table, keep_last=1, older_than=1)
+
+
+def test_rewrite_based_below_expired_horizon_conflicts(spark, table):
+    fa = _commit_files(spark, table, "c-a", range(10, 12))
+    fb = _commit_files(spark, table, "c-b", range(20, 22))
+    fx = _commit_files(spark, table, "c-x", range(90, 92))
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    assert m.occ_commit(table, {"pB": fb}, base_version=2) == 3
+    m.expire_snapshots(table, keep_last=1)
+    # a rewrite whose base predates the horizon cannot prove its
+    # conflict rule (the winner manifests are gone) — refused, while a
+    # blind append (needs no winner scan) still lands
+    with pytest.raises(m.CommitConflictError, match="retention horizon"):
+        m.occ_commit(table, {"p0": fx}, replaces=["p0"], base_version=1)
+    assert m.occ_commit(table, {"pX": fx}, base_version=1) == 4
+
+
+def test_vacuum_retention_window_spares_inflight_writers(spark, table):
+    # an unreferenced file with a FRESH mtime is possibly a concurrent
+    # writer mid-commit: a retention-windowed vacuum spares it, while
+    # durably-abandoned garbage (old mtime) is reclaimed
+    dead = _commit_files(spark, table, "c-dead", range(900, 903))
+    inflight = _commit_files(spark, table, "c-inflight", range(950, 953))
+    old = __import__("time").time() - 7200
+    for f in dead:
+        os.utime(f, (old, old))
+    report = m.vacuum_unreferenced(table, min_age_seconds=3600)
+    assert report["data_files_removed"] == len(dead)
+    assert report["young_files_spared"] >= len(inflight)
+    for f in inflight:
+        assert os.path.exists(f)
+    # the spared writer seals later: its commit reads normally
+    assert m.occ_commit(table, {"pI": inflight}, base_version=1) == 2
+    assert _snapshot_keys(spark, table, 2) == [0, 1, 2, 3, 4, 950, 951, 952]
+
+
+def test_rewrite_of_legacy_pseudo_partition_requires_explicit_target(
+    spark, tmp_path
+):
+    # ADVICE r8 (medium): a rewrite naming a partition absent from the
+    # snapshot while legacy partition-less commits hold files under ''
+    # would pop nothing and keep the "replaced" files referenced
+    # alongside the survivors — silent duplication. Must refuse.
+    t = str(tmp_path / "legacy_guard")
+    f1 = _commit_files(spark, t, "c1", range(3))
+    m.seal_manifest(t, 1, f1)
+    f2 = _commit_files(spark, t, "c2", range(50, 52))
+    with pytest.raises(m.CommitConflictError, match="target ''"):
+        m.occ_commit(t, {"hist": f2}, replaces=["hist"], base_version=1)
+    # the explicit migration rewrite of '' works and deduplicates
+    assert m.occ_commit(t, {"hist": f2}, replaces=[""], base_version=1) == 2
+    assert _snapshot_keys(spark, t, 2) == [50, 51]
+    # once migrated, named-partition rewrites proceed normally
+    f3 = _commit_files(spark, t, "c3", range(60, 62))
+    assert m.occ_commit(t, {"hist": f3}, replaces=["hist"], base_version=2) == 3
+    assert _snapshot_keys(spark, t, 3) == [60, 61]
