@@ -65,68 +65,21 @@ _MODULES = [
 # manual _PRIORITY override below is applied ahead of the LRU order for
 # explicit same-round routing of queries whose rows the artifact scan
 # can't know about yet (e.g. a rename).
-# r8: queries whose ENGINE changed this round — the shared
-# exactly-once _ingest_batch helper + manifest-bounded publish scrub
-# (the three streaming ingests), the retry-safe text-index forget
-# (text_index_delete + the crud composition that calls it), and the
-# recluster_if_skewed split (ivf_index_recluster) — routed ahead so
-# their attestation rows reflect the current code. New queries
-# auto-lead the tail via the never-attested rule. Slot math at the
-# driver's ~50-query budget: 28 engine-changed + 8 new (5 index
-# verbs, 2 lake-lifecycle, occ_concurrent_commits) + the full
-# 14-query r2 cohort = exactly 50 — the r7 verdict's hard criterion
-# (all of r2 re-attested, nothing older than r3 left) is met with
-# zero slack, which is why the review-fix wave's OTHER touched
-# queries (text_index_delete_mor/compact: marker + sidecar;
-# orc/compaction/evo/dpp: scratch-key relocation only) are NOT
-# routed ahead: each would displace an r2 slot, and all eight were
-# re-validated green on current code by driver_sim + their pytest
-# pins this session. Same rule for the later review waves' touched
-# queries (llm_extract_udtf's canonicalized prompt order,
-# phrase_search's single-pass postings, the quality-gate/quantize
-# ANSI guards — value-identical on current data; stratified_sample's
-# live rates are value-CHANGED but it sits in the r2 cohort already).
-# They re-attest under plain LRU in r9 along with the r3 cohort.
-_PRIORITY: list[str] = [
-    "streaming_text_ingest",
-    "streaming_dedup_ingest",
-    "streaming_ivf_ingest",
-    "text_index_delete",
-    "text_index_crud_lifecycle",
-    "ivf_index_recluster",
-    # r8 plan fixes: aggregate-then-join-the-bin-spine (psi was a corpus
-    # shuffle onto 12 bin keys) + bounded-frame checkpoints that stop
-    # per-consumer re-derivation of corpus aggregates; values unchanged,
-    # re-attest anyway
-    "psi_feature_drift",
-    "temperature_resample",
-    "quantile_sketch_events",
-    "skyline_price_date",
-    "mv_join_delta_refresh",
-    "pmi_bigrams",
-    "corpus_curation_funnel",
-    "bloom_join_prune",
-    # second plan-fix sweep: single-pass mark joins + checkpointed
-    # frontiers/assignments (values unchanged, engines changed)
-    "gdpr_purge_report",
-    "funnel_conversion",
-    "dq_constraint_report",
-    "hard_negative_mining",
-    "similarity_pq_adc",
-    # third sweep (full-registry duplicate-scan audit): checkpointed
-    # assignments/key-sets, df derived from tf
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_probe2",
-    "ann_ndcg_at_k",
-    "embedding_matryoshka_recall",
-    "tfidf_top_terms",
-    "q18_large_orders",
-    # broadcast-hint audit: hard hints dropped from scale-unbounded
-    # sides (values unchanged; AQE picks the same join at bench scale)
-    "q3_shipping_priority",
-    "interval_overlap_join",
-    "prf_query_expansion",
-]
+# r9: _PRIORITY is EMPTY by design. Slot math at the driver's
+# ~50-query budget: 3 new queries (snapshot_expiry_lifecycle,
+# ivf_index_vacuum, streaming_ledger_compact — capped at 3 per the r8
+# verdict) auto-lead via the never-attested rule, then plain LRU
+# drains the ENTIRE 47-query r3 cohort: 3 + 47 = exactly 50, the r8
+# verdict's hard criterion (all of r3 re-attested, nothing older than
+# r4 left) with zero slack. Queries whose ENGINE changed this round —
+# occ_concurrent_commits + time_travel_read + retention_ttl_enforce
+# (segmented manifests, stamped TTL swap), stratified_sample (oracle-
+# matched suffix parse), mv_join_delta_refresh / kv_datasource_roundtrip
+# (shim hardening) — are NOT routed ahead: each would displace an r3
+# slot, and all were re-verified green on current code by driver_sim
+# this session (occ/ttl/time-travel sit in the r8 cohort and re-attest
+# under LRU in r10-r11 anyway).
+_PRIORITY: list[str] = []
 
 
 def _last_attested() -> dict[str, int]:

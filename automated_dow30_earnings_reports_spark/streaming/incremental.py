@@ -328,6 +328,118 @@ QUERIES["streaming_ivf_ingest"] = streaming_ivf_ingest
 ORACLES["streaming_ivf_ingest"] = _sivf_oracle()
 
 
+LEDGER_COMPACT_MID = 400  # wave 1 ingests [IVF_APPEND_SPLIT, MID); wave 2 the rest
+
+
+def streaming_ledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact_committed_ledger in its OPERATING position — mid-stream,
+    between two ingest waves — so the crash-atomicity and
+    key-preservation claims get a driver oracle (r8 verdict task: the
+    verb was pytest-pinned only). Lifecycle: (1) build the base IVF
+    index; (2) land wave 1 arrivals and drain the checkpointed ingest
+    stream; (3) QUIESCED, compact the replay ledger (O(batches) delta
+    files -> one); (4) land wave 2 — the remaining vectors PLUS
+    duplicate re-arrivals of wave-1 ids — and drain again; (5) search
+    the final index. The oracle is the from-scratch IVF over the full
+    corpus: if compaction dropped a committed key, its duplicate
+    re-arrival re-ingests and the duplicated posting occupies two
+    ranks (hash break); if compaction invented or corrupted keys, a
+    genuine wave-2 vector is skipped and its absence breaks the hash.
+    Final state is therefore bit-identical with and without the
+    mid-stream compaction — streaming_ivf_ingest (no compaction) holds
+    the same oracle.
+
+    Scale shape: the ledger grows one small file per committed batch
+    (the commit must be a single atomic append), so a long-running
+    ingest pays an O(batches) listing per replay anti-join; the
+    compaction folds it to one file on the quiesced maintenance
+    schedule — same cadence as index compaction. Cost is one distinct
+    over key ids, never a posting read."""
+    import shutil
+
+    from automated_dow30_earnings_reports_spark.operators.similarity import (
+        IVF_APPEND_SPLIT,
+        IVF_CELLS,
+        _assign_cells,
+        _emb,
+        _query_vectors,
+        _search_index,
+    )
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import register
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+        write_partitioned,
+    )
+
+    register(spark)
+    base = scratch_path(os.path.join(_SCRATCH_SIVF, "ledger_compact"), sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # fresh lifecycle per invocation
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    index_path = os.path.join(base, "index")
+
+    e = _emb(spark, sf_dir)
+    old = e.where(F.col("vec_id") < IVF_APPEND_SPLIT)
+    cents = old.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    write_partitioned(
+        _assign_cells(old, cents),
+        os.path.join(index_path, "postings"),
+        ["cell"],
+        dynamic=False,
+    )
+
+    def drain(wave: DataFrame) -> None:
+        wave.select("vec_id").write.format("kvlinks").option(
+            "path", landing
+        ).mode("append").save()
+        q = start_ivf_ingest_stream(spark, landing, index_path, ckpt, e)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("ingest stream did not drain within 300s")
+
+    drain(
+        e.where(
+            (F.col("vec_id") >= IVF_APPEND_SPLIT)
+            & (F.col("vec_id") < LEDGER_COMPACT_MID)
+        )
+    )
+
+    # --- quiesced mid-stream maintenance: fold the ledger to one file ---
+    ledger = os.path.join(index_path, "committed")
+    n_before = sum(
+        1 for _dp, _d, fs in os.walk(ledger) for f in fs if f.endswith(".parquet")
+    )
+    reclaimed = compact_committed_ledger(spark, index_path)
+    if n_before > 1 and reclaimed != n_before - 1:
+        raise RuntimeError(
+            f"compaction reclaimed {reclaimed} of {n_before} ledger files"
+        )
+
+    # wave 2: the remaining vectors + duplicate re-arrivals of wave-1
+    # ids — the compacted ledger must still drop the duplicates
+    drain(
+        e.where(F.col("vec_id") >= LEDGER_COMPACT_MID).unionByName(
+            e.where(
+                (F.col("vec_id") >= IVF_APPEND_SPLIT)
+                & (F.col("vec_id") < IVF_APPEND_SPLIT + 20)
+            )
+        )
+    )
+
+    idx_cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    postings = spark.read.parquet(os.path.join(index_path, "postings"))
+    return _search_index(postings, idx_cents, _query_vectors(e))
+
+
+QUERIES["streaming_ledger_compact"] = streaming_ledger_compact
+ORACLES["streaming_ledger_compact"] = _sivf_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The dedup twin: streaming ingest into the persisted SIGNATURE index
 # (operators/dedup.py dedup_incremental_index). Arrival records carry

@@ -58,6 +58,9 @@ _EXECUTES_ON_BUILD = {
     "retention_ttl_enforce",
     "time_travel_read",
     "occ_concurrent_commits",
+    "snapshot_expiry_lifecycle",
+    "ivf_index_vacuum",
+    "streaming_ledger_compact",
 }
 
 
