@@ -514,6 +514,15 @@ TTL_CUTOFF_YEAR = 1998  # year(TTL_CUTOFF): the one boundary partition
 _TTL_STAMP = "_TTL_REQUEST"  # stage-dir marker naming the request that built it
 
 
+def _fsync_dir(path: str) -> None:
+    """Make a directory's entries durable (rename/link commit points)."""
+    dfd = _os.open(path, _os.O_RDONLY)
+    try:
+        _os.fsync(dfd)
+    finally:
+        _os.close(dfd)
+
+
 def _ttl_request_stamp(cutoff_year: int, survivor_pred) -> str:
     """Content hash identifying one TTL request: a staged boundary
     rewrite is only rolled FORWARD by a retry of the SAME request.
@@ -554,14 +563,25 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
     stamp rolls back (restore ``.ttl-old`` if the swap had started,
     else just discard the stage — live is intact) so survivors staged
     under a superseded cutoff are never installed over a complete
-    partition. A stampless completed stage (written by the pre-stamp
-    protocol, whose rmtree-based swap COULD leave a truncated live)
-    keeps that protocol's contract: it is the one complete copy in
+    partition. The stage is built under ``.ttl-write-<value>`` and
+    renamed to the canonical stage name only after its stamp is
+    durable, so a stage THIS protocol leaves behind is
+    complete+stamped by construction (no crash window produces a
+    stampless stage that recovery could misread). A stampless
+    completed stage can therefore only come from the pre-stamp
+    protocol (whose rmtree-based swap COULD leave a truncated live)
+    and keeps that protocol's contract: it is the one complete copy in
     every old-protocol crash state, so it wins the swap
-    unconditionally. An incomplete stage (no _SUCCESS) is discarded
-    and rebuilt — the swap is sequenced after the stage write returns,
-    so live is still complete."""
+    unconditionally. An incomplete stage (no _SUCCESS) or a leftover
+    ``.ttl-write-*`` is discarded and rebuilt — the swap is sequenced
+    after the stage write returns, so live is still complete."""
     stamp_now = _ttl_request_stamp(cutoff_year, survivor_pred)
+    for entry in sorted(_os.listdir(lake_path)):
+        if entry.startswith(".ttl-write-"):
+            # crashed before the stage rename: incomplete by
+            # construction (the canonical stage name is only taken
+            # AFTER the stamp is durable), always discard
+            _shutil.rmtree(_os.path.join(lake_path, entry), ignore_errors=True)
     for entry in sorted(_os.listdir(lake_path)):
         if not entry.startswith(".ttl-stage-"):
             continue
@@ -635,12 +655,22 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
         if survivors.isEmpty():
             _shutil.rmtree(d)
             continue
-        stage = _os.path.join(lake_path, f".ttl-stage-{year}")
-        survivors.write.mode("overwrite").parquet(stage)
-        with open(_os.path.join(stage, _TTL_STAMP), "w") as fh:
+        # build under .ttl-write-<year>, stamp, THEN rename to the
+        # canonical stage name: a .ttl-stage-* written by this protocol
+        # is complete+stamped BY CONSTRUCTION (no crash window between
+        # _SUCCESS and the stamp could leave a stampless stage that
+        # recovery would mistake for a legacy one and install under a
+        # changed request); a .ttl-write-* is always discardable
+        wip = _os.path.join(lake_path, f".ttl-write-{year}")
+        _shutil.rmtree(wip, ignore_errors=True)
+        survivors.write.mode("overwrite").parquet(wip)
+        with open(_os.path.join(wip, _TTL_STAMP), "w") as fh:
             fh.write(stamp_now)
             fh.flush()
             _os.fsync(fh.fileno())
+        stage = _os.path.join(lake_path, f".ttl-stage-{year}")
+        _os.rename(wip, stage)
+        _fsync_dir(lake_path)  # stage's dir entry durable before any rename
         old = _os.path.join(lake_path, f".ttl-old-{year}")
         _os.rename(d, old)
         _os.rename(stage, d)
@@ -768,12 +798,10 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFra
     — expiry makes old versions unreadable by construction, it never
     leaves them half-readable."""
     man = _read_manifest(table_path, version)
-    full = _manifest_full_parts(man)
-    if full is not None and "files" in man:
-        files = man["files"]
-    else:
-        parts = full if full is not None else _snapshot_parts(table_path, version)
-        files = sorted(f for fs in parts.values() for f in fs)
+    parts = _manifest_full_parts(man)
+    if parts is None:
+        parts = _snapshot_parts(table_path, version)
+    files = sorted(f for fs in parts.values() for f in fs)
     return spark.read.parquet(*(_os.path.join(table_path, f) for f in files))
 
 
@@ -1380,9 +1408,18 @@ def vacuum_unreferenced(
                         continue
                     _os.remove(full)
                     report["data_files_removed"] += 1
+                elif _old_enough(full):
+                    # _SUCCESS/.crc sidecars are never referenced, but a
+                    # YOUNG one belongs to a possibly-in-flight writer
+                    # whose completeness marker must survive the window
+                    _os.remove(full)
                 else:
-                    _os.remove(full)  # _SUCCESS/.crc sidecars never referenced
-            if not _os.listdir(dirpath):
+                    report["young_files_spared"] += 1
+            if not _os.listdir(dirpath) and _old_enough(dirpath):
+                # a fresh empty directory is a writer mid-create; under
+                # a retention window leave it (a later vacuum past the
+                # window reclaims it — removing young files above also
+                # bumps the dir mtime, deferring the rmdir one cycle)
                 _os.rmdir(dirpath)
                 report["dirs_removed"] += 1
     return report
@@ -1434,6 +1471,12 @@ def expire_snapshots(
         report["checkpoints_expired" if m.group(1) else "manifests_expired"] += 1
     return report
 
+
+def _expect_version(got: int, want: int) -> None:
+    """Loud (assert-free: survives python -O) commit-sequence check for
+    the registered lifecycle queries."""
+    if got != want:
+        raise RuntimeError(f"commit sealed v{got}, expected v{want}")
 
 EXP_V1_CUTOFF = "1996-01-01"  # v1: orders strictly before
 EXP_V2_CUTOFF = "1997-01-01"  # v2 appends [V1, V2)
@@ -1512,7 +1555,7 @@ def snapshot_expiry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = _os.path.join(path, "data")
 
     c1 = _tt_commit(o.where(F.col("o_orderdate") < F.lit(EXP_V1_CUTOFF)), data, "c1")
-    assert occ_commit(path, {"hist": c1}, base_version=0) == 1
+    _expect_version(occ_commit(path, {"hist": c1}, base_version=0), 1)
     c2 = _tt_commit(
         o.where(
             (F.col("o_orderdate") >= F.lit(EXP_V1_CUTOFF))
@@ -1521,12 +1564,12 @@ def snapshot_expiry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         data,
         "c2",
     )
-    assert occ_commit(path, {"y96": c2}, base_version=1) == 2
+    _expect_version(occ_commit(path, {"y96": c2}, base_version=1), 2)
     survivors = spark.read.parquet(*c1).where(
         F.col("o_orderkey") % EXP_DELETE_MOD != 0
     )
     c3 = _tt_commit(survivors, data, "c3")
-    assert occ_commit(path, {"hist": c3}, ("hist",), base_version=2) == 3
+    _expect_version(occ_commit(path, {"hist": c3}, ("hist",), base_version=2), 3)
     c4 = _tt_commit(
         o.where(
             (F.col("o_orderdate") >= F.lit(EXP_V2_CUTOFF))
@@ -1535,7 +1578,7 @@ def snapshot_expiry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         data,
         "c4",
     )
-    assert occ_commit(path, {"y97": c4}, base_version=3) == 4
+    _expect_version(occ_commit(path, {"y97": c4}, base_version=3), 4)
 
     # a crashed writer's durably-abandoned orphan (old mtime) and an
     # in-flight writer's fresh staging file (unreferenced, young)
@@ -1577,7 +1620,7 @@ def snapshot_expiry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if any(_os.path.exists(f) for f in c1) or _os.path.exists(orphan):
         raise RuntimeError("vacuum left reclaimable files behind")
     # the table stays writable past the horizon
-    assert occ_commit(path, {"y98": []}, base_version=4) == 5
+    _expect_version(occ_commit(path, {"y98": []}, base_version=4), 5)
 
     reads = [
         read_snapshot(spark, path, v).withColumn("version", F.lit(v))

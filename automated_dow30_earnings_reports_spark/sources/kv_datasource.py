@@ -439,20 +439,25 @@ class KVLinksStreamReader(SimpleDataSourceStreamReader):
             # CURRENT offset scheme (explicit name set) has no such
             # ambiguity, which is why it replaced this one.
             n = offset["n_files"]
-
-            def _mtime_or_inf(p: str) -> float:
-                # a file deleted between the listing and the stat must
-                # not abort the one-time migration; sorting it newest
-                # keeps it out of the committed prefix (it cannot be
-                # replayed anyway — it is gone)
+            # A file deleted between the listing and the stat must not
+            # abort the migration on a TRANSIENT race: re-list once and
+            # retry (the vanished file drops out of the fresh listing).
+            # A placeholder mtime instead (±inf) would silently corrupt
+            # the reconstruction: +inf pulls an uncommitted file into
+            # the committed prefix when the vanished file WAS committed
+            # (its rows are then skipped forever), -inf replays a
+            # committed file when it was NOT. If the stat still fails
+            # on the fresh listing, fail loudly — same contract as
+            # readBetweenOffsets on a vanished committed file.
+            for attempt in (0, 1):
                 try:
-                    return os.path.getmtime(p)
+                    by_arrival = sorted(
+                        self._files(), key=lambda p: (os.path.getmtime(p), p)
+                    )
+                    break
                 except OSError:
-                    return float("inf")
-
-            by_arrival = sorted(
-                self._files(), key=lambda p: (_mtime_or_inf(p), p)
-            )
+                    if attempt:
+                        raise
             return {os.path.basename(p) for p in by_arrival[:n]}
         # a JSON list, NOT a joined string: file names may contain any
         # character including the would-be delimiter

@@ -121,3 +121,107 @@ def test_ttl_request_stamp_distinguishes_requests():
     assert a == m._ttl_request_stamp(1998, F.col("month") >= 4)
     assert a != m._ttl_request_stamp(1999, F.col("month") >= 4)
     assert a != m._ttl_request_stamp(1998, F.col("month") >= 5)
+
+
+def test_ttl_write_dir_is_always_discarded(spark):
+    # finding: a crash between the stage's parquet write and the stamp
+    # used to leave a stampless .ttl-stage that recovery mistook for a
+    # legacy stage and installed under a CHANGED request. The stage is
+    # now built under .ttl-write-<year> and renamed only after the
+    # stamp is durable — a leftover write dir (even one with _SUCCESS)
+    # is incomplete by construction and must be discarded, with the
+    # current request recomputed from the intact live partition.
+    path = os.path.join(SCRATCH, "write_dir")
+    _build(spark, path)
+    wip = os.path.join(path, ".ttl-write-1998")
+    # old request's survivors, fully written (with _SUCCESS), no stamp,
+    # crash before the rename to .ttl-stage-1998
+    spark.read.parquet(os.path.join(path, "y=1998")).where(
+        F.col("month") >= 10
+    ).write.parquet(wip)
+    assert os.path.exists(os.path.join(wip, "_SUCCESS"))
+    m.enforce_ttl(spark, path, "y", 1998, F.col("month") >= 4)
+    assert _tags(spark, path) == ["fresh", "keep"]  # NOT the old request's cut
+    assert not os.path.isdir(wip)
+    assert not os.path.isdir(os.path.join(path, ".ttl-stage-1998"))
+
+
+def test_vacuum_retention_spares_young_sidecars_and_dirs(spark, tmp_path):
+    # finding: the retention window must extend to _SUCCESS/.crc
+    # sidecars and fresh empty dirs — an in-flight writer's
+    # completeness marker vanishing mid-commit is a torn write.
+    import time as _time
+
+    t = str(tmp_path / "occ_sidecars")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    files = m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c1")
+    m.occ_commit(t, {"p0": files}, base_version=0)
+    # in-flight writer: fresh parquet + fresh _SUCCESS + fresh empty dir
+    inflight = os.path.join(t, "data", "c-inflight")
+    os.makedirs(os.path.join(t, "data", "c-empty"))
+    m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c-inflight")
+    # abandoned writer: everything backdated
+    dead = m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c-dead")
+    old = _time.time() - 7200
+    for dp, dirs, fs in os.walk(os.path.join(t, "data", "c-dead")):
+        for f in fs:
+            os.utime(os.path.join(dp, f), (old, old))
+    os.utime(os.path.join(t, "data", "c-dead"), (old, old))
+
+    report = m.vacuum_unreferenced(t, min_age_seconds=3600)
+    assert report["data_files_removed"] == len(dead)
+    # the in-flight writer's tree is fully intact, marker included
+    assert os.path.exists(os.path.join(inflight, "_SUCCESS"))
+    assert all(os.path.exists(f) for f in
+               (os.path.join(inflight, f) for f in os.listdir(inflight)))
+    assert os.path.isdir(os.path.join(t, "data", "c-empty"))
+    # a later vacuum past the window reclaims the empty dir
+    os.utime(os.path.join(t, "data", "c-empty"), (old, old))
+    report2 = m.vacuum_unreferenced(t, min_age_seconds=3600)
+    assert not os.path.isdir(os.path.join(t, "data", "c-empty"))
+    assert report2["dirs_removed"] >= 1
+
+
+def test_kvlinks_legacy_offset_relists_on_vanished_file(tmp_path):
+    # finding: a file deleted between the listing and the stat must be
+    # handled by RE-LISTING (transient race), never by a placeholder
+    # mtime that silently mis-partitions the committed prefix; a
+    # persistent stat failure still raises.
+    from automated_dow30_earnings_reports_spark.sources.kv_datasource import (
+        KVLinksStreamReader,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    now = 1_700_000_000
+    for i, name in enumerate(["b.txt", "c.txt", "d.txt", "e.txt"]):
+        p = d / name
+        p.write_text("url='https://x/1.pdf'\n")
+        os.utime(p, (now + i, now + i))
+
+    reader = KVLinksStreamReader.__new__(KVLinksStreamReader)
+    reader.path = str(d)
+
+    # transient vanish: first listing includes a ghost that the stat
+    # can't see; the retry's fresh listing is consistent
+    real_files = reader._files
+    calls = {"n": 0}
+
+    def files_with_ghost():
+        calls["n"] += 1
+        out = KVLinksStreamReader._files(reader)
+        if calls["n"] == 1:
+            out = out + [str(d / "ghost.txt")]
+        return out
+
+    reader._files = files_with_ghost
+    seen = reader._seen({"n_files": 3})
+    assert seen == {"b.txt", "c.txt", "d.txt"}
+    assert calls["n"] == 2
+
+    # persistent failure: both listings contain the unstattable file
+    reader._files = lambda: KVLinksStreamReader._files(reader) + [
+        str(d / "ghost.txt")
+    ]
+    with pytest.raises(OSError):
+        reader._seen({"n_files": 3})
