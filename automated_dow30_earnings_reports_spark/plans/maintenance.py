@@ -1449,6 +1449,8 @@ def expire_snapshots(
     `vacuum_unreferenced` reclaims whatever only expired versions
     referenced, under its own retention window. Returns the horizon
     and counts."""
+    import re as _re
+
     head = current_version(table_path)
     if head == 0:
         return {"horizon": 0, "manifests_expired": 0, "checkpoints_expired": 0}
@@ -1456,13 +1458,24 @@ def expire_snapshots(
         raise ValueError("pass exactly one of keep_last / older_than")
     horizon = head - keep_last + 1 if keep_last is not None else older_than
     horizon = max(1, min(horizon, head))
-    report = {"horizon": horizon, "manifests_expired": 0, "checkpoints_expired": 0}
-    if horizon <= 1:
-        return report  # nothing below the horizon
-    checkpoint_snapshot(table_path, horizon)
+    # a re-run asking to keep MORE than the surviving history (an
+    # earlier expiry already retired everything below the old horizon)
+    # must be a no-op below the oldest surviving version, not a failed
+    # checkpoint of an already-expired one
     mdir = _os.path.join(table_path, "manifests")
-    import re as _re
-
+    lowest = min(
+        (
+            int(mm.group(1))
+            for entry in _os.listdir(mdir)
+            if (mm := _re.fullmatch(r"v(\d+)\.json", entry))
+        ),
+        default=head,
+    )
+    horizon = max(horizon, lowest)
+    report = {"horizon": horizon, "manifests_expired": 0, "checkpoints_expired": 0}
+    if horizon <= lowest:
+        return report  # nothing below the horizon to retire
+    checkpoint_snapshot(table_path, horizon)
     for entry in sorted(_os.listdir(mdir)):
         m = _re.fullmatch(r"(ckpt-)?v(\d+)\.json", entry)
         if not m or int(m.group(2)) >= horizon:

@@ -200,6 +200,10 @@ HEADLINE = [
     "dedup_index_stats",
     "retention_ttl_enforce",
     "time_travel_read",
+    # r9 lifecycle verbs
+    "snapshot_expiry_lifecycle",
+    "ivf_index_vacuum",
+    "streaming_ledger_compact",
 ]
 
 

@@ -431,3 +431,111 @@ def test_rewrite_of_legacy_pseudo_partition_requires_explicit_target(
     f3 = _commit_files(spark, t, "c3", range(60, 62))
     assert m.occ_commit(t, {"hist": f3}, replaces=["hist"], base_version=2) == 3
     assert _snapshot_keys(spark, t, 3) == [60, 61]
+
+
+def test_occ_lifecycle_randomized_model_check(tmp_path):
+    """The r9 lifecycle under seeded random interleavings: commits
+    (stale-based appends/rewrites), background checkpoints, snapshot
+    EXPIRY, and vacuum, against a dict model that keeps every
+    version's frozen snapshot. Invariants at every step: surviving
+    versions reconstruct exactly their frozen snapshot; expired
+    versions are unreadable; a rewrite based below the horizon is
+    refused (its winner manifests are gone); expiry re-runs asking to
+    keep more than the surviving history are no-ops; and vacuum
+    reclaims exactly the files no surviving version references. Pure
+    metadata — runs in seconds."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        t = str(tmp_path / f"life-{seed}")
+        os.makedirs(os.path.join(t, "data"), exist_ok=True)
+        model: dict[str, list[str]] = {}
+        history: dict[int, dict[str, list[str]]] = {}
+        touched_by_version: dict[int, set] = {}
+        all_files: set[str] = set()
+        horizon = 1
+        file_seq = 0
+        parts_pool = [f"p{i}" for i in range(4)]
+
+        def new_files(n):
+            nonlocal file_seq
+            out = []
+            for _ in range(n):
+                rel = f"data/f{file_seq}.parquet"
+                file_seq += 1
+                with open(os.path.join(t, rel), "w"):
+                    pass
+                all_files.add(rel)
+                out.append(rel)
+            return out
+
+        def check_snapshots(head):
+            for v in range(horizon, head + 1):
+                snap = m._snapshot_parts(t, v)
+                assert {p: sorted(fs) for p, fs in snap.items() if fs} == {
+                    p: sorted(fs) for p, fs in history[v].items() if fs
+                }, (seed, v, horizon)
+            for v in range(1, horizon):
+                assert not os.path.exists(
+                    os.path.join(t, "manifests", f"v{v}.json")
+                ), (seed, v)
+
+        for step in range(80):
+            head = m.current_version(t)
+            roll = rng.random()
+            if head and roll < 0.12:
+                m.checkpoint_snapshot(t, rng.randint(horizon, head))
+                check_snapshots(head)
+                continue
+            if head and roll < 0.24:
+                keep = rng.randint(1, head + 2)  # sometimes > history: no-op
+                report = m.expire_snapshots(t, keep_last=keep)
+                horizon = max(horizon, report["horizon"])
+                assert report["horizon"] >= 1
+                check_snapshots(head)
+                continue
+            base = rng.randint(max(0, head - 4), head)  # can fall below horizon
+            is_rewrite = rng.random() < 0.4 and model
+            replaces = rng.sample(parts_pool, rng.randint(1, 2)) if is_rewrite else []
+            adds = {rng.choice(parts_pool): new_files(rng.randint(1, 2))}
+            winners_touched = set()
+            expired_winner = False
+            for w in range(base + 1, head + 1):
+                if w < horizon:
+                    expired_winner = True
+                else:
+                    winners_touched |= touched_by_version[w]
+            expect_conflict = bool(replaces) and (
+                expired_winner or bool(set(replaces) & winners_touched)
+            )
+            try:
+                v = m.occ_commit(t, adds, replaces, base_version=base)
+            except m.CommitConflictError:
+                assert expect_conflict, (seed, step, base, head, horizon, replaces)
+                continue
+            assert not expect_conflict, (seed, step, base, head, horizon, replaces)
+            assert v == head + 1
+            for p in replaces:
+                model.pop(p, None)
+            for p, fs in adds.items():
+                model[p] = model.get(p, []) + fs
+            touched_by_version[v] = set(replaces) | set(adds)
+            history[v] = {p: list(fs) for p, fs in model.items()}
+            check_snapshots(v)
+
+        head = m.current_version(t)
+        m.vacuum_unreferenced(t)
+        expected = {
+            f
+            for v in range(horizon, head + 1)
+            for fs in history[v].values()
+            for f in fs
+        }
+        survivors = {
+            os.path.relpath(os.path.join(dp, f), t)
+            for dp, _d, fs in os.walk(os.path.join(t, "data"))
+            for f in fs
+        }
+        assert survivors == expected, (seed, len(survivors), len(expected))
+        check_snapshots(head)
