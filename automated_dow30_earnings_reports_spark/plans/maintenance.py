@@ -523,6 +523,23 @@ def _fsync_dir(path: str) -> None:
         _os.close(dfd)
 
 
+def _fsync_tree(path: str) -> None:
+    """fsync every file under ``path`` (and each directory): Spark's
+    local parquet writer does not fsync, so a staged directory about to
+    become the ONLY copy of its data (the TTL boundary swap unlinks the
+    pre-swap original) must be made durable before the destructive
+    step — otherwise a power loss after the unlink can leave truncated
+    parquet blocks as the surviving copy."""
+    for dirpath, _dirs, files in _os.walk(path):
+        for f in files:
+            fd = _os.open(_os.path.join(dirpath, f), _os.O_RDONLY)
+            try:
+                _os.fsync(fd)
+            finally:
+                _os.close(fd)
+        _fsync_dir(dirpath)
+
+
 def _ttl_request_stamp(cutoff_year: int, survivor_pred) -> str:
     """Content hash identifying one TTL request: a staged boundary
     rewrite is only rolled FORWARD by a retry of the SAME request.
@@ -668,6 +685,10 @@ def enforce_ttl(spark: SparkSession, lake_path: str, part_col: str,
             fh.write(stamp_now)
             fh.flush()
             _os.fsync(fh.fileno())
+        # the stage is about to become the ONLY copy (the swap unlinks
+        # the original): its parquet blocks must be durable, not just
+        # its stamp — Spark's local writer never fsyncs
+        _fsync_tree(wip)
         stage = _os.path.join(lake_path, f".ttl-stage-{year}")
         _os.rename(wip, stage)
         _fsync_dir(lake_path)  # stage's dir entry durable before any rename
@@ -780,11 +801,7 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
         fh.flush()
         _os.fsync(fh.fileno())
     _os.replace(tmp, _os.path.join(mdir, f"v{version}.json"))
-    dfd = _os.open(mdir, _os.O_RDONLY)  # make the dir entry durable too
-    try:
-        _os.fsync(dfd)
-    finally:
-        _os.close(dfd)
+    _fsync_dir(mdir)  # make the dir entry durable too
 
 
 def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
@@ -1055,11 +1072,7 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         fh.flush()
         _os.fsync(fh.fileno())
     _os.replace(tmp, _os.path.join(mdir, f"ckpt-v{version}.json"))
-    dfd = _os.open(mdir, _os.O_RDONLY)
-    try:
-        _os.fsync(dfd)
-    finally:
-        _os.close(dfd)
+    _fsync_dir(mdir)
     return version
 
 
@@ -1089,11 +1102,7 @@ def _cas_seal(table_path: str, version: int, payload: dict) -> bool:
         # otherwise erase a version a concurrent writer already rebased
         # on — a conditional PUT is durable on success, so the local
         # spelling must be as well)
-        dfd = _os.open(mdir, _os.O_RDONLY)
-        try:
-            _os.fsync(dfd)
-        finally:
-            _os.close(dfd)
+        _fsync_dir(mdir)
         return True
     except FileExistsError:
         return False
@@ -1418,11 +1427,43 @@ def vacuum_unreferenced(
             if not _os.listdir(dirpath) and _old_enough(dirpath):
                 # a fresh empty directory is a writer mid-create; under
                 # a retention window leave it (a later vacuum past the
-                # window reclaims it — removing young files above also
-                # bumps the dir mtime, deferring the rmdir one cycle)
+                # window reclaims it — note that removing the OLD files
+                # above just bumped the dir mtime, so the emptied dir
+                # itself reads young and defers one cycle)
                 _os.rmdir(dirpath)
                 report["dirs_removed"] += 1
     return report
+
+
+def _oldest_reconstructible(table_path: str) -> int:
+    """Smallest version whose snapshot can still be resolved from the
+    surviving manifest log. Ascending over surviving manifests, a
+    version is reconstructible iff it has a checkpoint, embeds its full
+    state (legacy/r8 manifest), or extends a reconstructible
+    predecessor. Survivors below a crashed expiry's committed horizon
+    whose ancestors are gone are NOT reconstructible — they are
+    garbage a resumed expiry deletes, never versions to re-adopt.
+    Returns current head (0 for an empty table) when nothing survives."""
+    import re as _re
+
+    mdir = _os.path.join(table_path, "manifests")
+    if not _os.path.isdir(mdir):
+        return 0
+    versions: list[int] = []
+    ckpts: set[int] = set()
+    for entry in _os.listdir(mdir):
+        mm = _re.fullmatch(r"(ckpt-)?v(\d+)\.json", entry)
+        if mm:
+            (ckpts.add if mm.group(1) else versions.append)(int(mm.group(2)))
+    recon: set[int] = {0}  # v1-as-delta replays from the empty table
+    for v in sorted(versions):
+        if v in ckpts or (v - 1) in recon:
+            recon.add(v)
+            continue
+        if _manifest_full_parts(_read_manifest(table_path, v)) is not None:
+            recon.add(v)
+    live = recon - {0}
+    return min(live) if live else max(versions, default=0)
 
 
 def expire_snapshots(
@@ -1458,22 +1499,22 @@ def expire_snapshots(
         raise ValueError("pass exactly one of keep_last / older_than")
     horizon = head - keep_last + 1 if keep_last is not None else older_than
     horizon = max(1, min(horizon, head))
-    # a re-run asking to keep MORE than the surviving history (an
-    # earlier expiry already retired everything below the old horizon)
-    # must be a no-op below the oldest surviving version, not a failed
-    # checkpoint of an already-expired one
+    # The effective floor is the oldest RECONSTRUCTIBLE version, not
+    # the lowest surviving manifest number: a crash mid-deletion (the
+    # listing order is lexicographic) can leave gapped survivors below
+    # the previously committed horizon whose history is gone — those
+    # are garbage to resume deleting, never versions to re-adopt, and
+    # a re-run asking to keep MORE than the surviving history must be
+    # a no-op, not a failed checkpoint of an unreconstructible version.
     mdir = _os.path.join(table_path, "manifests")
-    lowest = min(
-        (
-            int(mm.group(1))
-            for entry in _os.listdir(mdir)
-            if (mm := _re.fullmatch(r"v(\d+)\.json", entry))
-        ),
-        default=head,
-    )
-    horizon = max(horizon, lowest)
+    floor = _oldest_reconstructible(table_path)
+    horizon = max(horizon, floor)
     report = {"horizon": horizon, "manifests_expired": 0, "checkpoints_expired": 0}
-    if horizon <= lowest:
+    if horizon <= floor and not any(
+        (mm := _re.fullmatch(r"(ckpt-)?v(\d+)\.json", e))
+        and int(mm.group(2)) < horizon
+        for e in _os.listdir(mdir)
+    ):
         return report  # nothing below the horizon to retire
     checkpoint_snapshot(table_path, horizon)
     for entry in sorted(_os.listdir(mdir)):

@@ -539,3 +539,35 @@ def test_occ_lifecycle_randomized_model_check(tmp_path):
         }
         assert survivors == expected, (seed, len(survivors), len(expected))
         check_snapshots(head)
+
+
+def test_expire_resumes_over_gapped_survivors(tmp_path):
+    """A crash mid-deletion leaves a NON-CONTIGUOUS subset of manifests
+    below the committed horizon (deletion order is lexicographic, not
+    numeric). The effective floor must be the oldest RECONSTRUCTIBLE
+    version: a keep-more re-run is a no-op at the committed horizon
+    (never a failed checkpoint of a version whose history is gone), and
+    it deletes the gapped garbage as the resumed expiry."""
+    t = str(tmp_path / "gapped")
+    os.makedirs(os.path.join(t, "data"), exist_ok=True)
+    for i in range(8):
+        rel = f"data/g{i}.parquet"
+        with open(os.path.join(t, rel), "w"):
+            pass
+        m.occ_commit(t, {f"p{i}": [rel]}, base_version=m.current_version(t))
+    want_v6 = m._snapshot_parts(t, 6)
+    want_v8 = m._snapshot_parts(t, 8)
+    # crashed expire(keep_last=3): checkpoint at horizon 6 written,
+    # deletion died after removing v1, v3, v5 (v2, v4 remain, gapped)
+    m.checkpoint_snapshot(t, 6)
+    for v in (1, 3, 5):
+        os.remove(os.path.join(t, "manifests", f"v{v}.json"))
+    assert m._oldest_reconstructible(t) == 6
+    # keep-more re-run: horizon clamps to the committed 6, garbage goes
+    report = m.expire_snapshots(t, keep_last=8)
+    assert report["horizon"] == 6
+    assert sorted(os.listdir(os.path.join(t, "manifests"))) == [
+        "ckpt-v6.json", "v6.json", "v7.json", "v8.json",
+    ]
+    assert m._snapshot_parts(t, 6) == want_v6
+    assert m._snapshot_parts(t, 8) == want_v8

@@ -204,7 +204,6 @@ def test_kvlinks_legacy_offset_relists_on_vanished_file(tmp_path):
 
     # transient vanish: first listing includes a ghost that the stat
     # can't see; the retry's fresh listing is consistent
-    real_files = reader._files
     calls = {"n": 0}
 
     def files_with_ghost():
