@@ -1521,7 +1521,10 @@ def expire_snapshots(
         m = _re.fullmatch(r"(ckpt-)?v(\d+)\.json", entry)
         if not m or int(m.group(2)) >= horizon:
             continue
-        _os.remove(_os.path.join(mdir, entry))
+        try:
+            _os.remove(_os.path.join(mdir, entry))
+        except FileNotFoundError:
+            continue  # a racing/resumed expiry already removed it
         report["checkpoints_expired" if m.group(1) else "manifests_expired"] += 1
     return report
 
