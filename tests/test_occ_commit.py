@@ -571,3 +571,127 @@ def test_expire_resumes_over_gapped_survivors(tmp_path):
     ]
     assert m._snapshot_parts(t, 6) == want_v6
     assert m._snapshot_parts(t, 8) == want_v8
+
+
+# ---------------------------------------------------------------------------
+# r9: copy-on-write MERGE (upsert) through the OCC commit path
+# ---------------------------------------------------------------------------
+
+
+def _rows(spark, table, version):
+    return sorted(
+        (r.k, r.v, r.p)
+        for r in m.read_snapshot(spark, str(table), version)
+        .select("k", "v", "p")
+        .collect()
+    )
+
+
+def _updf(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, p int")
+
+
+@pytest.fixture()
+def merge_table(spark, tmp_path):
+    """v1 = merge-as-bootstrap: inserts across partitions p=0,1."""
+    t = str(tmp_path / "merge_table")
+    base = [(k, f"base-{k}", k % 2) for k in range(6)]
+    assert m.occ_merge_upsert(spark, t, _updf(spark, base), ["k"], "p") == 1
+    return t, base
+
+
+def test_merge_updates_and_inserts_atomically(spark, merge_table):
+    t, base = merge_table
+    ups = [(0, "UPD-0", 0), (5, "UPD-5", 1), (10, "NEW-10", 0), (11, "NEW-11", 3)]
+    assert m.occ_merge_upsert(spark, t, _updf(spark, ups), ["k"], "p") == 2
+    want = {k: (k, v, p) for (k, v, p) in base}
+    for k, v, p in ups:
+        want[k] = (k, v, p)
+    assert _rows(spark, t, 2) == sorted(want.values())
+    # time travel: v1 still answers the pre-merge state
+    assert _rows(spark, t, 1) == sorted(base)
+
+
+def test_merge_rewrites_only_affected_partitions(spark, merge_table):
+    t, base = merge_table
+    before = m._snapshot_parts(t, 1)
+    # touch only p=1 (update k=1) — p=0's file set must be untouched
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(1, "UPD-1", 1)]), ["k"], "p"
+    ) == 2
+    after = m._snapshot_parts(t, 2)
+    assert after["p=0"] == before["p=0"]
+    assert after["p=1"] != before["p=1"]
+
+
+def test_merge_rejects_duplicate_key_batches(spark, merge_table):
+    t, _ = merge_table
+    with pytest.raises(ValueError, match="duplicate keys"):
+        m.occ_merge_upsert(
+            spark, t, _updf(spark, [(1, "a", 1), (1, "b", 1)]), ["k"], "p"
+        )
+
+
+def test_concurrent_disjoint_merges_both_land(spark, merge_table):
+    t, base = merge_table
+    import threading
+
+    errs, barrier = [], threading.Barrier(2)
+
+    def merge(rows):
+        try:
+            barrier.wait()
+            m.occ_merge_upsert(spark, t, _updf(spark, rows), ["k"], "p")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ta = threading.Thread(target=merge, args=([(20, "A", 7)],))
+    tb = threading.Thread(target=merge, args=([(30, "B", 8)],))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+    assert not errs
+    assert m.current_version(t) == 3
+    got = _rows(spark, t, 3)
+    assert (20, "A", 7) in got and (30, "B", 8) in got
+
+
+def test_stale_overlapping_merge_is_refused_and_vacuumable(spark, merge_table):
+    t, base = merge_table
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(0, "WIN", 0)]), ["k"], "p"
+    ) == 2
+    # a second merge into p=0 built on the same base would un-see WIN:
+    # simulate by sealing a competing rewrite before the merge commits
+    # — easiest deterministic construction: race via monkeypatched
+    # occ_commit is overkill; instead replay the merge against a stale
+    # head by committing a competing rewrite of p=0 first, then
+    # attempting a merge whose occ_commit base is the old head.
+    # occ_merge_upsert always reads the CURRENT head, so drive
+    # occ_commit directly with the stale base to pin the refusal path:
+    files = m._snapshot_parts(t, 2)["p=0"]
+    with pytest.raises(m.CommitConflictError):
+        m.occ_commit(t, {"p=0": files}, replaces=["p=0"], base_version=1)
+    # merge-staged garbage from a refused commit is reclaimable
+    report = m.vacuum_unreferenced(t)
+    assert report["data_files_removed"] == 0  # nothing was staged here
+    assert _rows(spark, t, 2)[0] == (0, "WIN", 0)
+
+
+def test_merge_partition_moving_key_contract(spark, merge_table):
+    # documented restriction: a key that MOVES partitions inserts at
+    # its new home; its old row is removed only if the old partition is
+    # in the batch footprint. Pin the contract both ways.
+    t, base = merge_table
+    # k=0 lived in p=0; move it to p=5 WITHOUT touching p=0
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(0, "MOVED", 5)]), ["k"], "p"
+    ) == 2
+    got = _rows(spark, t, 2)
+    assert (0, "MOVED", 5) in got and (0, "base-0", 0) in got  # old row stays
+    # moving WITH the old partition in the footprint removes the old row
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(0, "MOVED2", 6), (2, "UPD-2", 0)]), ["k"], "p"
+    ) == 3
+    got = _rows(spark, t, 3)
+    assert (0, "MOVED2", 6) in got
+    assert not any(k == 0 and p == 0 for k, _v, p in got)
