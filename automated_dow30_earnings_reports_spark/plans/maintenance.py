@@ -804,7 +804,12 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
     _fsync_dir(mdir)  # make the dir entry durable too
 
 
-def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read a table AS OF a version: resolve that version's file set
     from the manifest log, scan exactly those files
     (table-root-relative). A legacy/full manifest resolves in one
@@ -813,13 +818,79 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFra
     driver-side either way, never a directory walk. An EXPIRED
     version's manifest is gone, so the read raises FileNotFoundError
     — expiry makes old versions unreadable by construction, it never
-    leaves them half-readable."""
+    leaves them half-readable. ``merge_schema`` unions file schemas
+    across commits (schema EVOLUTION: a commit that added a column
+    reads with nulls for pre-evolution files) at the cost of a footer
+    read per file at plan time — leave it off for schema-stable
+    tables."""
     man = _read_manifest(table_path, version)
     parts = _manifest_full_parts(man)
     if parts is None:
         parts = _snapshot_parts(table_path, version)
     files = sorted(f for fs in parts.values() for f in fs)
-    return spark.read.parquet(*(_os.path.join(table_path, f) for f in files))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*(_os.path.join(table_path, f) for f in files))
+
+
+def pruned_snapshot_files(
+    table_path: str, version: int, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """File-skipping planner for a snapshot read with a range predicate
+    ``lo <= col <= hi`` (pass ``None`` for an open bound): partitions
+    whose manifest-carried bounds prove no row can match are skipped
+    WITHOUT opening a file — the Iceberg-manifest scan-planning step.
+    Partitions with no (or invalidated) bounds are conservatively kept,
+    so the result always over-approximates: the caller still applies
+    the predicate. Returns (table-root-relative files to read,
+    partitions pruned).
+
+    Scale shape: planning is O(snapshot metadata) on the driver and the
+    read is O(matching partitions' data) — at 100 TB with bounds
+    maintained by the writers (occ_merge_upsert's stats_cols, or any
+    occ_commit caller passing ``stats``) a narrow range query opens a
+    handful of partitions instead of the table."""
+    parts, stats = _snapshot_state(table_path, version)
+    keep: list[str] = []
+    pruned = 0
+    for p, fs in sorted(parts.items()):
+        b = stats.get(p, {}).get(col)
+        if b is not None and (
+            (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
+        ):
+            pruned += 1
+            continue
+        keep.extend(fs)
+    return sorted(keep), pruned
+
+
+def read_snapshot_where(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range-predicate snapshot read through `pruned_snapshot_files`,
+    with the residual predicate applied (pruning over-approximates by
+    design). An empty plan (every partition pruned) raises — callers
+    needing an empty frame should plan through pruned_snapshot_files
+    directly, because this helper cannot conjure the schema without a
+    file to read."""
+    files, _pruned = pruned_snapshot_files(table_path, version, col, lo, hi)
+    if not files:
+        raise ValueError(
+            f"every partition of v{version} was pruned for {col} in "
+            f"[{lo}, {hi}]; no file remains to derive a schema from"
+        )
+    df = spark.read.parquet(*(_os.path.join(table_path, f) for f in files))
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.where(F.col(col) <= F.lit(hi))
+    return df
 
 
 @_register(
@@ -997,40 +1068,81 @@ def _manifest_full_parts(man: dict) -> dict[str, list[str]] | None:
     return None
 
 
-def _apply_delta(parts: dict[str, list[str]], man: dict) -> None:
-    """Fold one delta manifest into a partition map, in place: drop
-    replaced partitions, then append added files (idempotent per file
-    — a rebased retry re-adding the same path is a no-op)."""
+def _apply_delta(
+    parts: dict[str, list[str]],
+    man: dict,
+    stats: dict[str, dict[str, list]] | None = None,
+) -> None:
+    """Fold one delta manifest into a partition map (and optionally its
+    per-partition column-bounds map), in place: drop replaced
+    partitions, then append added files (idempotent per file — a
+    rebased retry re-adding the same path is a no-op). Bounds fold by
+    WIDENING: appended files can only widen a partition's [min, max];
+    an add that carries no stats for a partition it adds real files to
+    invalidates that partition's bounds (unknown content), and a column
+    absent from either side is dropped — pruning must only ever see
+    bounds that cover every file in the partition."""
+    man_stats = man.get("stats", {})
     for p in man.get("replaces", []):
         parts.pop(p, None)
+        if stats is not None:
+            stats.pop(p, None)
     for p, fs in man.get("adds", {}).items():
         cur = parts.get(p, [])
         present = set(cur)
-        parts[p] = cur + [f for f in fs if f not in present]
+        fresh = [f for f in fs if f not in present]
+        existed = p in parts
+        parts[p] = cur + fresh
+        if stats is None:
+            continue
+        if p in man_stats:
+            new_b = man_stats[p]
+            if not existed:
+                stats[p] = {c: list(b) for c, b in new_b.items()}
+            elif p in stats:
+                merged = {
+                    c: [min(stats[p][c][0], b[0]), max(stats[p][c][1], b[1])]
+                    for c, b in new_b.items()
+                    if c in stats[p]
+                }
+                if merged:
+                    stats[p] = merged
+                else:
+                    stats.pop(p, None)
+            # p existed with unknown bounds: stays unknown
+        elif fresh:
+            stats.pop(p, None)
 
 
-def _snapshot_parts(table_path: str, version: int) -> dict[str, list[str]]:
-    """Reconstruct a version's full partition map: walk back from
-    ``version`` to the nearest FULL state — an explicit checkpoint
-    (``ckpt-v<K>.json``, written by checkpoint_snapshot /
-    expire_snapshots) or a manifest that embeds its snapshot (legacy
-    seal_manifest, r8 occ payloads) — then replay the delta manifests
-    forward. Cost is O(metadata since the last checkpoint), never a
-    data scan; a scheduled checkpoint_snapshot bounds it, exactly
-    Delta's 10-commit checkpoint cadence."""
+def _snapshot_state(
+    table_path: str, version: int
+) -> tuple[dict[str, list[str]], dict[str, dict[str, list]]]:
+    """Reconstruct a version's full partition map AND its per-partition
+    column-bounds map: walk back from ``version`` to the nearest FULL
+    state — an explicit checkpoint (``ckpt-v<K>.json``, written by
+    checkpoint_snapshot / expire_snapshots) or a manifest that embeds
+    its snapshot (legacy seal_manifest, r8 occ payloads; bounds
+    unknown there) — then replay the delta manifests forward. Cost is
+    O(metadata since the last checkpoint), never a data scan; a
+    scheduled checkpoint_snapshot bounds it, exactly Delta's 10-commit
+    checkpoint cadence."""
     import json as _json
 
     mdir = _os.path.join(table_path, "manifests")
     deltas: list[dict] = []
     k = version
     parts: dict[str, list[str]] = {}
+    stats: dict[str, dict[str, list]] = {}
     while k >= 1:
         ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
         if _os.path.exists(ckpt):
             with open(ckpt) as fh:
-                parts = {
-                    p: list(fs) for p, fs in _json.load(fh)["parts"].items()
-                }
+                state = _json.load(fh)
+            parts = {p: list(fs) for p, fs in state["parts"].items()}
+            stats = {
+                p: {c: list(b) for c, b in cols.items()}
+                for p, cols in state.get("stats", {}).items()
+            }
             break
         man = _read_manifest(table_path, k)
         full = _manifest_full_parts(man)
@@ -1040,8 +1152,13 @@ def _snapshot_parts(table_path: str, version: int) -> dict[str, list[str]]:
         deltas.append(man)
         k -= 1
     for man in reversed(deltas):
-        _apply_delta(parts, man)
-    return parts
+        _apply_delta(parts, man, stats)
+    return parts, stats
+
+
+def _snapshot_parts(table_path: str, version: int) -> dict[str, list[str]]:
+    """Partition map only — see _snapshot_state."""
+    return _snapshot_state(table_path, version)[0]
 
 
 def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
@@ -1062,13 +1179,22 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         version = current_version(table_path)
     if version < 1:
         raise ValueError("cannot checkpoint an empty table")
-    parts = _snapshot_parts(table_path, version)
+    parts, stats = _snapshot_state(table_path, version)
     mdir = _os.path.join(table_path, "manifests")
     tmp = _os.path.join(
         mdir, f"ckpt-v{version}.json.tmp-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
     )
     with open(tmp, "w") as fh:
-        _json.dump({"parts": {p: sorted(fs) for p, fs in sorted(parts.items())}}, fh)
+        _json.dump(
+            {
+                "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
+                "stats": {
+                    p: {c: list(b) for c, b in sorted(cols.items())}
+                    for p, cols in sorted(stats.items())
+                },
+            },
+            fh,
+        )
         fh.flush()
         _os.fsync(fh.fileno())
     _os.replace(tmp, _os.path.join(mdir, f"ckpt-v{version}.json"))
@@ -1116,6 +1242,7 @@ def occ_commit(
     replaces: list[str] | tuple[str, ...] = (),
     base_version: int = 0,
     max_attempts: int = 10,
+    stats: dict[str, dict[str, list]] | None = None,
 ) -> int:
     """Commit a delta (per-partition file adds + replaced partitions)
     against the snapshot the writer prepared it on (``base_version``),
@@ -1215,6 +1342,18 @@ def occ_commit(
             "replaces": sorted(replaces),
             "base": base,
         }
+        if stats:
+            # per-partition column bounds for this commit's adds —
+            # Iceberg-manifest-style file skipping metadata; readers
+            # fold them alongside the partition map (_snapshot_stats)
+            # and prune partitions whose bounds exclude a predicate.
+            # Optional and additive: partitions without stats are
+            # simply never prunable.
+            payload["stats"] = {
+                p: {c: list(b) for c, b in sorted(cols.items())}
+                for p, cols in sorted(stats.items())
+                if p in rel_adds
+            }
         if _cas_seal(table_path, head + 1, payload):
             return head + 1
         # lost the CAS race: a winner sealed head+1 after our listing;
@@ -1351,6 +1490,7 @@ def occ_merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     part_col: str,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert) into the manifest-pinned table —
     the Delta `MERGE INTO` verb the lake lifecycle was missing after
@@ -1457,11 +1597,38 @@ def occ_merge_upsert(
             f"{sorted(staged_existing)}): value needs hive-escaping the "
             "merge does not model — rewrite the partition explicitly"
         )
+    stats = None
+    if stats_cols:
+        # column bounds per staged partition (the rewritten content's
+        # full extent, so pruning stays an over-approximation) — one
+        # small agg over the staged files, feeding read_snapshot_where
+        def _bound(v):
+            return v if isinstance(v, (int, float, str)) else None
+
+        rows = (
+            spark.read.parquet(stage_root)
+            .groupBy("_pv")
+            .agg(
+                *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+            )
+            .collect()
+        )
+        stats = {}
+        for r in rows:
+            cols = {}
+            for c in stats_cols:
+                lo, hi = _bound(r[f"lo_{c}"]), _bound(r[f"hi_{c}"])
+                if lo is not None and hi is not None:
+                    cols[c] = [lo, hi]  # non-JSON-primitive types: no bounds
+            if cols:
+                stats[f"{part_col}={r['_pv']}"] = cols
     return occ_commit(
         table_path,
         adds,
         replaces=sorted(staged_existing),
         base_version=head,
+        stats=stats,
     )
 
 

@@ -695,3 +695,92 @@ def test_merge_partition_moving_key_contract(spark, merge_table):
     got = _rows(spark, t, 3)
     assert (0, "MOVED2", 6) in got
     assert not any(k == 0 and p == 0 for k, _v, p in got)
+
+
+# ---------------------------------------------------------------------------
+# r9: manifest-carried column bounds + stats-pruned snapshot reads
+# ---------------------------------------------------------------------------
+
+
+def test_merge_stats_prune_skips_partitions_without_opening_files(
+    spark, tmp_path
+):
+    t = str(tmp_path / "stats_table")
+    rows = [(k, f"v-{k}", k // 10) for k in range(40)]  # p=0..3, k-ranges disjoint
+    assert (
+        m.occ_merge_upsert(
+            spark, t, _updf(spark, rows), ["k"], "p", stats_cols=["k"]
+        )
+        == 1
+    )
+    parts, stats = m._snapshot_state(t, 1)
+    assert set(stats) == {"p=0", "p=1", "p=2", "p=3"}
+    assert stats["p=1"]["k"] == [10, 19]
+    # a range inside p=2 prunes the other three partitions
+    files, pruned = m.pruned_snapshot_files(t, 1, "k", 23, 27)
+    assert pruned == 3
+    assert set(files) == set(parts["p=2"])
+    got = sorted(
+        r.k for r in m.read_snapshot_where(spark, t, 1, "k", 23, 27).collect()
+    )
+    assert got == list(range(23, 28))
+    # open bounds: lo-only and hi-only prune correctly
+    _files, pruned_lo = m.pruned_snapshot_files(t, 1, "k", 30, None)
+    assert pruned_lo == 3
+    _files, pruned_hi = m.pruned_snapshot_files(t, 1, "k", None, 5)
+    assert pruned_hi == 3
+    # a fully-pruned plan fails loudly rather than fabricating a schema
+    with pytest.raises(ValueError, match="pruned"):
+        m.read_snapshot_where(spark, t, 1, "k", 1000, 2000)
+
+
+def test_stats_fold_widen_invalidate_and_checkpoint_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "stats_fold")
+    assert (
+        m.occ_merge_upsert(
+            spark, t, _updf(spark, [(1, "a", 0), (2, "b", 0)]), ["k"], "p",
+            stats_cols=["k"],
+        )
+        == 1
+    )
+    # merge widening the same partition's bounds
+    assert (
+        m.occ_merge_upsert(
+            spark, t, _updf(spark, [(9, "c", 0)]), ["k"], "p", stats_cols=["k"]
+        )
+        == 2
+    )
+    assert m._snapshot_state(t, 2)[1]["p=0"]["k"] == [1, 9]
+    # an UNSTATTED append into the same partition invalidates its bounds
+    df = _updf(spark, [(50, "x", 0)])
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(t, "data", "u"))
+    files = [
+        os.path.join("data", "u", f)
+        for f in os.listdir(os.path.join(t, "data", "u"))
+        if f.endswith(".parquet")
+    ]
+    assert m.occ_commit(t, {"p=0": files}, base_version=2) == 3
+    assert "p=0" not in m._snapshot_state(t, 3)[1]
+    # pruning now conservatively keeps the partition
+    _files, pruned = m.pruned_snapshot_files(t, 3, "k", 1000, 2000)
+    assert pruned == 0
+    # checkpoint persists the folded stats and replay resumes from it
+    assert m._snapshot_state(t, 2)[1]["p=0"]["k"] == [1, 9]
+    m.checkpoint_snapshot(t, 2)
+    assert m._snapshot_state(t, 2)[1]["p=0"]["k"] == [1, 9]
+    assert "p=0" not in m._snapshot_state(t, 3)[1]
+
+
+def test_schema_evolution_read_through_merge_schema(spark, tmp_path):
+    t = str(tmp_path / "evo")
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    f1 = m._tt_commit(df1.coalesce(1), os.path.join(t, "data"), "c1")
+    assert m.occ_commit(t, {"p0": f1}, base_version=0) == 1
+    df2 = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, w double")
+    f2 = m._tt_commit(df2.coalesce(1), os.path.join(t, "data"), "c2")
+    assert m.occ_commit(t, {"p1": f2}, base_version=1) == 2
+    got = {
+        r.k: (r.v, r.w)
+        for r in m.read_snapshot(spark, t, 2, merge_schema=True).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
