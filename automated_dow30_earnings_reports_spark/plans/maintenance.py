@@ -872,20 +872,26 @@ def read_snapshot_where(
     col: str,
     lo,
     hi,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Range-predicate snapshot read through `pruned_snapshot_files`,
     with the residual predicate applied (pruning over-approximates by
     design). An empty plan (every partition pruned) raises — callers
     needing an empty frame should plan through pruned_snapshot_files
     directly, because this helper cannot conjure the schema without a
-    file to read."""
+    file to read. ``merge_schema`` as in `read_snapshot`: required when
+    the surviving files span schema generations (without it, whichever
+    footer wins schema inference decides whether ``col`` even exists)."""
     files, _pruned = pruned_snapshot_files(table_path, version, col, lo, hi)
     if not files:
         raise ValueError(
             f"every partition of v{version} was pruned for {col} in "
             f"[{lo}, {hi}]; no file remains to derive a schema from"
         )
-    df = spark.read.parquet(*(_os.path.join(table_path, f) for f in files))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*(_os.path.join(table_path, f) for f in files))
     if lo is not None:
         df = df.where(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -1491,6 +1497,7 @@ def occ_merge_upsert(
     key_cols: list[str],
     part_col: str,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Copy-on-write MERGE (upsert) into the manifest-pinned table —
     the Delta `MERGE INTO` verb the lake lifecycle was missing after
@@ -1514,40 +1521,77 @@ def occ_merge_upsert(
     a table scan — a K-row merge against a 100 TB table rewrites only
     the partitions K rows land in.
 
-    Contracts: ``updates`` must be key-unique (raises ValueError — two
-    updates for one key have no deterministic winner), and ``part_col``
-    must be key-stable: a key that MOVES partitions is inserted at its
-    new home but its old row is only removed if its old partition is in
-    this batch's footprint (Delta's MERGE pays a full-table join to
-    close exactly this; a hive-grain upsert keys the partition by
-    design). The partition column is stored IN the data files (not
-    hive-path-only) so snapshot reads through explicit file lists keep
-    it. Reference contrast: the reference's per-run JSON dump has no
-    update-in-place at all — each run clobbers the whole ledger
+    Contracts: ``updates`` must be key-unique and null-key-free (raises
+    ValueError — two updates for one key have no deterministic winner,
+    and a null key can never be replaced by the anti-join), with
+    non-null partition values; ``part_col`` must be key-stable: a key
+    that MOVES partitions is inserted at its new home but its old row
+    is only removed if its old partition is in this batch's footprint
+    (Delta's MERGE pays a full-table join to close exactly this; a
+    hive-grain upsert keys the partition by design). A table still
+    holding legacy partition-less commits ('' in the partition map) is
+    refused — its rows are invisible to the per-partition survivor
+    scan, so a merge would silently duplicate keys; migrate '' first
+    (one occ_commit rewrite targeting ''). The partition column is
+    stored IN the data files (not hive-path-only) so snapshot reads
+    through explicit file lists keep it; pass ``merge_schema`` when the
+    affected partitions span schema generations. Reference contrast:
+    the reference's per-run JSON dump has no update-in-place at all —
+    each run clobbers the whole ledger
     (src/simple_metadata_collector.py:121-130)."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
-    n_all, n_keys = updates.select(
-        F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in key_cols])
+    # one materialization (the batch is consumed three more times:
+    # broadcast key set, staged write, bounds agg) + ONE combined agg
+    # for every batch-level guard and the partition footprint
+    updates = updates.localCheckpoint(eager=True)
+    null_key = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    guard = updates.select(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("n_keys"),
+        F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null_keys"),
+        F.sum(F.when(F.col(part_col).isNull(), 1).otherwise(0)).alias(
+            "n_null_parts"
+        ),
+        F.collect_set(F.col(part_col)).alias("vals"),
     ).first()
-    if n_all != n_keys:
+    if guard["n_null_keys"]:
         raise ValueError(
-            f"updates batch has {n_all - n_keys} duplicate keys over "
-            f"{key_cols}; a key-unique batch is required"
+            f"updates batch has {guard['n_null_keys']} null-key rows over "
+            f"{key_cols}; a null key can never be replaced"
+        )
+    if guard["n_null_parts"]:
+        raise ValueError(
+            f"updates batch has {guard['n_null_parts']} null "
+            f"{part_col} rows; the merge cannot target the null partition"
+        )
+    if guard["n_all"] != guard["n_keys"]:
+        raise ValueError(
+            f"updates batch has {guard['n_all'] - guard['n_keys']} duplicate "
+            f"keys over {key_cols}; a key-unique batch is required"
         )
     head = current_version(table_path)
     parts = _snapshot_parts(table_path, head) if head else {}
-    vals = [
-        r[0] for r in updates.select(part_col).distinct().collect()
-    ]
-    affected = {f"{part_col}={v}" for v in vals}
+    if "" in parts:
+        raise CommitConflictError(
+            "table holds legacy partition-less commits ('' in the "
+            "partition map) whose rows the merge's survivor scan cannot "
+            "see; migrate them first (occ_commit rewrite targeting '')"
+        )
+    affected = {f"{part_col}={v}" for v in guard["vals"]}
     existing = {n: fs for n, fs in parts.items() if n in affected}
 
     new_content = updates
     if existing:
-        live = spark.read.parquet(
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        live = reader.parquet(
             *(
                 _os.path.join(table_path, f)
                 for fs in existing.values()
@@ -1559,7 +1603,9 @@ def occ_merge_upsert(
             on=key_cols,
             how="left_anti",
         )
-        new_content = keep.unionByName(updates)
+        new_content = keep.unionByName(
+            updates, allowMissingColumns=merge_schema
+        )
 
     stage_name = f"merge-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
     stage_root = _os.path.join(table_path, "data", stage_name)
@@ -1573,6 +1619,7 @@ def occ_merge_upsert(
         dynamic=False,
     )
     adds: dict[str, list[str]] = {}
+    leaf_files: list[str] = []
     for entry in sorted(_os.listdir(stage_root)):
         if not entry.startswith("_pv="):
             continue
@@ -1583,31 +1630,37 @@ def occ_merge_upsert(
             if f.endswith(".parquet")
         )
         adds[f"{part_col}={entry[len('_pv='):]}"] = files
-    # Loud-guard the two naming paths: `existing` (python str(value))
+        leaf_files.extend(files)
+    # Loud-guard the two naming paths: `affected` (python str(value))
     # decided which live partitions were SCANNED for survivors; the
     # staged dir names (Spark's hive escaping) decide which are
-    # REPLACED. If an exotic value makes them disagree, committing
-    # would replace a partition whose live rows were never read —
-    # silent row loss. Refuse instead.
-    staged_existing = {n for n in adds if n in parts}
-    if staged_existing != set(existing):
+    # REPLACED and which carry stats. If an exotic value makes them
+    # disagree, committing would replace a partition whose live rows
+    # were never read (silent row loss) or silently drop its bounds.
+    # Refuse instead — EVERY staged name must match its python form.
+    if set(adds) != affected:
         raise RuntimeError(
             "partition-name mismatch between update values and staged "
-            f"directories (scanned {sorted(existing)} vs staged-over "
-            f"{sorted(staged_existing)}): value needs hive-escaping the "
-            "merge does not model — rewrite the partition explicitly"
+            f"directories (footprint {sorted(affected)} vs staged "
+            f"{sorted(adds)}): value needs hive-escaping the merge does "
+            "not model — rewrite the partition explicitly"
         )
     stats = None
     if stats_cols:
         # column bounds per staged partition (the rewritten content's
         # full extent, so pruning stays an over-approximation) — one
-        # small agg over the staged files, feeding read_snapshot_where
+        # small agg over the staged LEAF FILES, grouped on the data
+        # column itself: partition-discovery readback could reinterpret
+        # the value's type ('007' -> 7) and mis-key the bounds, which
+        # the guard above has already certified for the str() form
         def _bound(v):
             return v if isinstance(v, (int, float, str)) else None
 
         rows = (
-            spark.read.parquet(stage_root)
-            .groupBy("_pv")
+            spark.read.parquet(
+                *(_os.path.join(table_path, f) for f in leaf_files)
+            )
+            .groupBy(part_col)
             .agg(
                 *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
                 *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
@@ -1622,11 +1675,16 @@ def occ_merge_upsert(
                 if lo is not None and hi is not None:
                     cols[c] = [lo, hi]  # non-JSON-primitive types: no bounds
             if cols:
-                stats[f"{part_col}={r['_pv']}"] = cols
+                stats[f"{part_col}={r[part_col]}"] = cols
+    # replaces = EVERY staged partition, present at base or not: two
+    # concurrent merges inserting the same key into a partition neither
+    # had at its base must serialize as a conflict, not both land as
+    # blind appends (occ_commit treats replacing an absent partition as
+    # an append for the apply step, but its winner scan still fires)
     return occ_commit(
         table_path,
         adds,
-        replaces=sorted(staged_existing),
+        replaces=sorted(adds),
         base_version=head,
         stats=stats,
     )

@@ -15,6 +15,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from automated_dow30_earnings_reports_spark.plans import maintenance as m
 
@@ -784,3 +785,71 @@ def test_schema_evolution_read_through_merge_schema(spark, tmp_path):
         for r in m.read_snapshot(spark, t, 2, merge_schema=True).collect()
     }
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_concurrent_same_new_partition_merges_conflict(spark, merge_table):
+    # two merges inserting the SAME key into a partition neither had at
+    # its base must serialize: one lands, the other is refused — if
+    # both landed as blind appends the key would silently duplicate.
+    t, _ = merge_table
+    import threading
+
+    conflicts, errs, barrier = [], [], threading.Barrier(2)
+
+    def merge(val):
+        try:
+            barrier.wait()
+            m.occ_merge_upsert(spark, t, _updf(spark, [(20, val, 7)]), ["k"], "p")
+        except m.CommitConflictError as e:
+            conflicts.append(e)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ta = threading.Thread(target=merge, args=("A",))
+    tb = threading.Thread(target=merge, args=("B",))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+    assert not errs
+    assert len(conflicts) == 1  # exactly one loser, refused loudly
+    rows = [r for r in _rows(spark, t, m.current_version(t)) if r[0] == 20]
+    assert len(rows) == 1 and rows[0][1] in ("A", "B")
+
+
+def test_merge_refuses_legacy_pseudo_partition_tables(spark, tmp_path):
+    # rows under '' are invisible to the per-partition survivor scan:
+    # merging over them would silently duplicate keys — refuse loudly
+    # until the table is migrated.
+    t = str(tmp_path / "merge_legacy")
+    df = spark.createDataFrame([(1, "old", 0)], "k int, v string, p int")
+    m.seal_manifest(t, 1, m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c1"))
+    with pytest.raises(m.CommitConflictError, match="legacy"):
+        m.occ_merge_upsert(spark, t, _updf(spark, [(1, "new", 0)]), ["k"], "p")
+
+
+def test_merge_rejects_null_keys_and_null_partitions(spark, merge_table):
+    t, _ = merge_table
+    with pytest.raises(ValueError, match="null-key"):
+        m.occ_merge_upsert(spark, t, _updf(spark, [(None, "a", 1)]), ["k"], "p")
+    with pytest.raises(ValueError, match="null p rows"):
+        m.occ_merge_upsert(spark, t, _updf(spark, [(99, "a", None)]), ["k"], "p")
+
+
+def test_merge_across_schema_generations(spark, merge_table):
+    # updates carrying a NEW column upsert into a pre-evolution
+    # partition: survivors get null for the new column, and the
+    # snapshot reads whole with merge_schema
+    t, base = merge_table
+    ups = spark.createDataFrame(
+        [(0, "UPD-0", 0, 9.5)], "k int, v string, p int, w double"
+    )
+    assert (
+        m.occ_merge_upsert(spark, t, ups, ["k"], "p", merge_schema=True) == 2
+    )
+    got = {
+        r.k: (r.v, r.w)
+        for r in m.read_snapshot(spark, t, 2, merge_schema=True)
+        .where(F.col("p") == 0)
+        .collect()
+    }
+    assert got[0] == ("UPD-0", 9.5)
+    assert got[2] == ("base-2", None) and got[4] == ("base-4", None)
