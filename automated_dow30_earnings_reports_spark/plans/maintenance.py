@@ -804,6 +804,16 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
     _fsync_dir(mdir)  # make the dir entry durable too
 
 
+def _snapshot_reader(spark: SparkSession, merge_schema: bool):
+    """The one place the snapshot readers' options live: mergeSchema
+    unions file schemas across commits (schema evolution) at the cost
+    of a footer read per file at plan time."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -828,10 +838,9 @@ def read_snapshot(
     if parts is None:
         parts = _snapshot_parts(table_path, version)
     files = sorted(f for fs in parts.values() for f in fs)
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*(_os.path.join(table_path, f) for f in files))
+    return _snapshot_reader(spark, merge_schema).parquet(
+        *(_os.path.join(table_path, f) for f in files)
+    )
 
 
 def pruned_snapshot_files(
@@ -888,10 +897,9 @@ def read_snapshot_where(
             f"every partition of v{version} was pruned for {col} in "
             f"[{lo}, {hi}]; no file remains to derive a schema from"
         )
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*(_os.path.join(table_path, f) for f in files))
+    df = _snapshot_reader(spark, merge_schema).parquet(
+        *(_os.path.join(table_path, f) for f in files)
+    )
     if lo is not None:
         df = df.where(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -1249,6 +1257,7 @@ def occ_commit(
     base_version: int = 0,
     max_attempts: int = 10,
     stats: dict[str, dict[str, list]] | None = None,
+    _parts_cache: tuple[int, dict[str, list[str]]] | None = None,
 ) -> int:
     """Commit a delta (per-partition file adds + replaced partitions)
     against the snapshot the writer prepared it on (``base_version``),
@@ -1333,7 +1342,13 @@ def occ_commit(
                             f"with concurrent commit v{w}"
                         )
             if head:
-                live_parts = _snapshot_parts(table_path, head)
+                # callers that just resolved this head's snapshot (the
+                # merge) pass it through; a retry after a lost race has
+                # a new head and replays fresh
+                if _parts_cache is not None and _parts_cache[0] == head:
+                    live_parts = _parts_cache[1]
+                else:
+                    live_parts = _snapshot_parts(table_path, head)
                 missing = [p for p in replaces if p not in live_parts]
                 if missing and "" in live_parts:
                     raise CommitConflictError(
@@ -1516,8 +1531,10 @@ def occ_merge_upsert(
     ONLY the affected partitions' files, anti-join the (broadcast)
     update keys to keep survivors, union the updates, and stage the
     result as fresh immutable files per partition; (4) seal the delta:
-    adds for every staged partition, replaces for the affected ones
-    that existed. Cost is O(affected partitions' data + batch), never
+    adds AND replaces for every staged partition, present at the base
+    or not — two merges inserting the same key into a partition
+    neither had at its base must serialize as a conflict, never land
+    as two blind appends. Cost is O(affected partitions' data + batch), never
     a table scan — a K-row merge against a 100 TB table rewrites only
     the partitions K rows land in.
 
@@ -1543,10 +1560,46 @@ def occ_merge_upsert(
         write_partitioned,
     )
 
+    # job-free guards first: a refused table must not pay a batch
+    # materialization
+    head = current_version(table_path)
+    parts = _snapshot_parts(table_path, head) if head else {}
+    if "" in parts:
+        raise CommitConflictError(
+            "table holds legacy partition-less commits ('' in the "
+            "partition map) whose rows the merge's survivor scan cannot "
+            "see; migrate them first (occ_commit rewrite targeting '')"
+        )
     # one materialization (the batch is consumed three more times:
     # broadcast key set, staged write, bounds agg) + ONE combined agg
-    # for every batch-level guard and the partition footprint
-    updates = updates.localCheckpoint(eager=True)
+    # for every batch-level guard and the partition footprint; the
+    # persist is released in the finally — localCheckpoint blocks
+    # would linger until a nondeterministic GC across many merges
+    updates = updates.persist()
+    try:
+        return _merge_body(
+            spark, table_path, updates, key_cols, part_col, stats_cols,
+            merge_schema, head, parts,
+        )
+    finally:
+        updates.unpersist(blocking=False)
+
+
+def _merge_body(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+    stats_cols: list[str] | None,
+    merge_schema: bool,
+    head: int,
+    parts: dict[str, list[str]],
+) -> int:
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_partitioned,
+    )
+
     null_key = None
     for k in key_cols:
         cond = F.col(k).isNull()
@@ -1575,29 +1628,34 @@ def occ_merge_upsert(
             f"updates batch has {guard['n_all'] - guard['n_keys']} duplicate "
             f"keys over {key_cols}; a key-unique batch is required"
         )
-    head = current_version(table_path)
-    parts = _snapshot_parts(table_path, head) if head else {}
-    if "" in parts:
-        raise CommitConflictError(
-            "table holds legacy partition-less commits ('' in the "
-            "partition map) whose rows the merge's survivor scan cannot "
-            "see; migrate them first (occ_commit rewrite targeting '')"
+    if not guard["n_all"]:
+        raise ValueError(
+            "updates batch is empty; an empty merge would seal a no-op "
+            "version and dilute retention/replay"
         )
     affected = {f"{part_col}={v}" for v in guard["vals"]}
     existing = {n: fs for n, fs in parts.items() if n in affected}
 
     new_content = updates
     if existing:
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        live = reader.parquet(
+        live = _snapshot_reader(spark, merge_schema).parquet(
             *(
                 _os.path.join(table_path, f)
                 for fs in existing.values()
                 for f in fs
             )
         )
+        # allowMissingColumns is for the SURVIVORS' side only (schema
+        # evolution: pre-evolution files lack the batch's new columns);
+        # an updates batch missing an EXISTING table column would
+        # silently null it on every upserted row — refuse loudly
+        dropped = set(live.columns) - set(updates.columns)
+        if dropped:
+            raise ValueError(
+                f"updates batch lacks existing table columns "
+                f"{sorted(dropped)}; a merge must carry every live "
+                "column (nulling them implicitly would lose data)"
+            )
         keep = live.join(
             F.broadcast(updates.select(*key_cols).distinct()),
             on=key_cols,
@@ -1687,6 +1745,7 @@ def occ_merge_upsert(
         replaces=sorted(adds),
         base_version=head,
         stats=stats,
+        _parts_cache=(head, parts),
     )
 
 

@@ -787,10 +787,12 @@ def test_schema_evolution_read_through_merge_schema(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b", 9.5)}
 
 
-def test_concurrent_same_new_partition_merges_conflict(spark, merge_table):
+def test_concurrent_same_new_partition_merges_never_duplicate(spark, merge_table):
     # two merges inserting the SAME key into a partition neither had at
-    # its base must serialize: one lands, the other is refused — if
-    # both landed as blind appends the key would silently duplicate.
+    # its base must serialize: either the slower one re-read the head
+    # AFTER the winner landed (a legitimate update — version advances
+    # twice), or it raced from the same base and is refused. Both
+    # interleavings are legal; two rows for the key never are.
     t, _ = merge_table
     import threading
 
@@ -810,9 +812,28 @@ def test_concurrent_same_new_partition_merges_conflict(spark, merge_table):
     ta.start(), tb.start()
     ta.join(), tb.join()
     assert not errs
-    assert len(conflicts) == 1  # exactly one loser, refused loudly
-    rows = [r for r in _rows(spark, t, m.current_version(t)) if r[0] == 20]
+    head = m.current_version(t)
+    assert (len(conflicts), head) in {(1, 2), (0, 3)}
+    rows = [r for r in _rows(spark, t, head) if r[0] == 20]
     assert len(rows) == 1 and rows[0][1] in ("A", "B")
+    # the same-base race pinned DETERMINISTICALLY: a second insert into
+    # the partition the winner just created, committed from the stale
+    # base, must refuse (this is the exact commit the merge issues)
+    files = m._snapshot_parts(t, head)["p=7"]
+    with pytest.raises(m.CommitConflictError):
+        m.occ_commit(t, {"p=7": files}, replaces=["p=7"], base_version=1)
+
+
+def test_merge_rejects_empty_and_column_dropping_batches(spark, merge_table):
+    t, _ = merge_table
+    empty = spark.createDataFrame([], "k int, v string, p int")
+    with pytest.raises(ValueError, match="empty"):
+        m.occ_merge_upsert(spark, t, empty, ["k"], "p")
+    # a batch missing an EXISTING table column would silently null it
+    # on every upserted row under allowMissingColumns — refused
+    narrow = spark.createDataFrame([(0, 0)], "k int, p int")
+    with pytest.raises(ValueError, match="lacks existing table columns"):
+        m.occ_merge_upsert(spark, t, narrow, ["k"], "p", merge_schema=True)
 
 
 def test_merge_refuses_legacy_pseudo_partition_tables(spark, tmp_path):
