@@ -1556,10 +1556,6 @@ def occ_merge_upsert(
     the reference's per-run JSON dump has no update-in-place at all —
     each run clobbers the whole ledger
     (src/simple_metadata_collector.py:121-130)."""
-    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        write_partitioned,
-    )
-
     # job-free guards first: a refused table must not pay a batch
     # materialization
     head = current_version(table_path)
@@ -1570,19 +1566,21 @@ def occ_merge_upsert(
             "partition map) whose rows the merge's survivor scan cannot "
             "see; migrate them first (occ_commit rewrite targeting '')"
         )
-    # one materialization (the batch is consumed three more times:
-    # broadcast key set, staged write, bounds agg) + ONE combined agg
-    # for every batch-level guard and the partition footprint; the
-    # persist is released in the finally — localCheckpoint blocks
-    # would linger until a nondeterministic GC across many merges
-    updates = updates.persist()
-    try:
-        return _merge_body(
-            spark, table_path, updates, key_cols, part_col, stats_cols,
-            merge_schema, head, parts,
-        )
-    finally:
-        updates.unpersist(blocking=False)
+    # Eager local checkpoint: pins the EXACT rows the guards certify
+    # and severs lineage, so no cache eviction / executor loss can
+    # recompute a (possibly non-deterministic) batch between the guard
+    # agg and the staged write — a best-effort persist() would let a
+    # recomputed duplicate or null key slip past the already-passed
+    # guards. It also composes with a caller-persisted input (persist()
+    # would raise on a conflicting storage level or silently drop the
+    # caller's cache on release). The checkpoint blocks are freed by
+    # the ContextCleaner when the frame is GC'd — bounded by one batch,
+    # and merges run on a maintenance cadence, not a hot loop.
+    updates = updates.localCheckpoint(eager=True)
+    return _merge_body(
+        spark, table_path, updates, key_cols, part_col, stats_cols,
+        merge_schema, head, parts,
+    )
 
 
 def _merge_body(
@@ -1636,6 +1634,30 @@ def _merge_body(
     affected = {f"{part_col}={v}" for v in guard["vals"]}
     existing = {n: fs for n, fs in parts.items() if n in affected}
 
+    if parts:
+        # an updates batch missing an EXISTING table column would
+        # either silently null it on every upserted row (under
+        # allowMissingColumns) or seal narrow files whose footer can
+        # hide the column from whole-snapshot reads — refuse loudly,
+        # for new-partition-only batches too. Schema union from ONE
+        # footer per partition (plan-time, O(partitions), no data
+        # read), which sees every schema generation.
+        samples = [
+            _os.path.join(table_path, sorted(fs)[0])
+            for fs in parts.values()
+            if fs
+        ]
+        live_cols = set(
+            _snapshot_reader(spark, True).parquet(*samples).schema.names
+        )
+        dropped = live_cols - set(updates.columns)
+        if dropped:
+            raise ValueError(
+                f"updates batch lacks existing table columns "
+                f"{sorted(dropped)}; a merge must carry every live "
+                "column (nulling them implicitly would lose data)"
+            )
+
     new_content = updates
     if existing:
         live = _snapshot_reader(spark, merge_schema).parquet(
@@ -1645,17 +1667,6 @@ def _merge_body(
                 for f in fs
             )
         )
-        # allowMissingColumns is for the SURVIVORS' side only (schema
-        # evolution: pre-evolution files lack the batch's new columns);
-        # an updates batch missing an EXISTING table column would
-        # silently null it on every upserted row — refuse loudly
-        dropped = set(live.columns) - set(updates.columns)
-        if dropped:
-            raise ValueError(
-                f"updates batch lacks existing table columns "
-                f"{sorted(dropped)}; a merge must carry every live "
-                "column (nulling them implicitly would lose data)"
-            )
         keep = live.join(
             F.broadcast(updates.select(*key_cols).distinct()),
             on=key_cols,

@@ -834,6 +834,12 @@ def test_merge_rejects_empty_and_column_dropping_batches(spark, merge_table):
     narrow = spark.createDataFrame([(0, 0)], "k int, p int")
     with pytest.raises(ValueError, match="lacks existing table columns"):
         m.occ_merge_upsert(spark, t, narrow, ["k"], "p", merge_schema=True)
+    # ...including a batch targeting ONLY NEW partitions: sealing
+    # narrow files would let one footer hide the column from
+    # whole-snapshot reads
+    narrow_new = spark.createDataFrame([(99, 42)], "k int, p int")
+    with pytest.raises(ValueError, match="lacks existing table columns"):
+        m.occ_merge_upsert(spark, t, narrow_new, ["k"], "p")
 
 
 def test_merge_refuses_legacy_pseudo_partition_tables(spark, tmp_path):
