@@ -1635,28 +1635,41 @@ def _merge_body(
     existing = {n: fs for n, fs in parts.items() if n in affected}
 
     if parts:
-        # an updates batch missing an EXISTING table column would
+        # An updates batch missing an EXISTING table column would
         # either silently null it on every upserted row (under
         # allowMissingColumns) or seal narrow files whose footer can
         # hide the column from whole-snapshot reads — refuse loudly,
-        # for new-partition-only batches too. Schema union from ONE
-        # footer per partition (plan-time, O(partitions), no data
-        # read), which sees every schema generation.
+        # for new-partition-only batches too. Schema union (plan-time
+        # footer reads, no data): EVERY file of the affected
+        # partitions (files within one partition can span schema
+        # generations — a sampled footer would miss a column an append
+        # evolved in), plus ONE footer per unaffected partition.
+        # Known residual gaps, closed properly by carrying the column
+        # set in commit metadata (the Delta/Iceberg design, r10):
+        # per-generation sampling of UNAFFECTED partitions, the rebase
+        # window (a concurrent append evolving the schema after this
+        # guard), and the O(affected files + partitions) footer cost.
         samples = [
-            _os.path.join(table_path, sorted(fs)[0])
-            for fs in parts.values()
-            if fs
+            _os.path.join(table_path, f)
+            for fs in existing.values()
+            for f in fs
         ]
-        live_cols = set(
-            _snapshot_reader(spark, True).parquet(*samples).schema.names
-        )
-        dropped = live_cols - set(updates.columns)
-        if dropped:
-            raise ValueError(
-                f"updates batch lacks existing table columns "
-                f"{sorted(dropped)}; a merge must carry every live "
-                "column (nulling them implicitly would lose data)"
+        samples += [
+            _os.path.join(table_path, sorted(fs)[0])
+            for n, fs in parts.items()
+            if fs and n not in existing
+        ]
+        if samples:
+            live_cols = set(
+                _snapshot_reader(spark, True).parquet(*samples).schema.names
             )
+            dropped = live_cols - set(updates.columns)
+            if dropped:
+                raise ValueError(
+                    f"updates batch lacks existing table columns "
+                    f"{sorted(dropped)}; a merge must carry every live "
+                    "column (nulling them implicitly would lose data)"
+                )
 
     new_content = updates
     if existing:

@@ -880,3 +880,42 @@ def test_merge_across_schema_generations(spark, merge_table):
     }
     assert got[0] == ("UPD-0", 9.5)
     assert got[2] == ("base-2", None) and got[4] == ("base-4", None)
+
+
+def test_merge_guard_sees_every_generation_in_affected_partitions(
+    spark, merge_table
+):
+    # files WITHIN one partition can span schema generations (an
+    # append evolved column w into p=0): the guard must read every
+    # affected file's footer, not a sample — a narrow batch into p=0
+    # would otherwise null w on every upserted row.
+    t, _ = merge_table
+    df = spark.createDataFrame([(50, "x", 0, 7.5)], "k int, v string, p int, w double")
+    f = m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c-evo")
+    assert m.occ_commit(t, {"p=0": f}, base_version=1) == 2
+    narrow = spark.createDataFrame([(0, "UPD", 0)], "k int, v string, p int")
+    with pytest.raises(ValueError, match="lacks existing table columns"):
+        m.occ_merge_upsert(spark, t, narrow, ["k"], "p", merge_schema=True)
+    # carrying w, the merge lands and survivors keep their values
+    wide = spark.createDataFrame(
+        [(0, "UPD", 0, None)], "k int, v string, p int, w double"
+    )
+    assert m.occ_merge_upsert(spark, t, wide, ["k"], "p", merge_schema=True) == 3
+    got = {
+        r.k: r.w
+        for r in m.read_snapshot(spark, t, 3, merge_schema=True)
+        .where(F.col("p") == 0)
+        .collect()
+    }
+    assert got[50] == 7.5 and got[0] is None
+
+
+def test_merge_tolerates_empty_file_list_partitions(spark, merge_table):
+    # occ_commit accepts empty add-lists (a metadata-only partition):
+    # the schema guard must skip them, not crash reading zero footers
+    t, _ = merge_table
+    assert m.occ_commit(t, {"p=empty": []}, base_version=1) == 2
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(70, "E", 9)]), ["k"], "p"
+    ) == 3
+    assert (70, "E", 9) in _rows(spark, t, 3)
