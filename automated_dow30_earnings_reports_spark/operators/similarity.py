@@ -1811,8 +1811,11 @@ def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the scrub lists only the manifest's cell directories
     (batch footprint), never the posting tree; reclaiming scratch is
-    an rmtree of staging roots. Same quiesce contract as the text
-    twin."""
+    an rmtree of staging roots. Run quiesced as here (min_age=0), or
+    under live ingest with ``min_age_seconds`` — the r10 retention
+    window that spares a fresh in-flight batch's manifest + staging
+    (pinned in tests/test_round10_ops.py and driver-attested by
+    ivf_vacuum_retention). Same contract as the text twin."""
     import json as _json
     import shutil as _shutil
 

@@ -2675,7 +2675,11 @@ def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms), vacuums, and answers the standing BM25 query. The shared
     survivors-rebuild oracle breaks if the vacuum misses the partial
     file (df inflation shifts every score), scrubs too much, or leaves
-    the manifest directing a future scrub at nothing."""
+    the manifest directing a future scrub at nothing. Quiesced here
+    (min_age=0); for a vacuum racing LIVE ingest, the r10
+    ``min_age_seconds`` retention window spares a fresh in-flight
+    batch (tests/test_round10_ops.py; driver-attested by
+    ivf_vacuum_retention on the vector twin)."""
     import json as _json
     import shutil as _shutil
 

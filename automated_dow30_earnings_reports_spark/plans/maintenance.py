@@ -838,6 +838,17 @@ def read_snapshot(
     if parts is None:
         parts = _snapshot_parts(table_path, version)
     files = sorted(f for fs in parts.values() for f in fs)
+    if not files:
+        # a version can legally hold zero files (a bootstrap commit of
+        # metadata-only partitions, or a rewrite that dropped every
+        # partition): passing zero paths to the reader would surface an
+        # opaque UNABLE_TO_INFER_SCHEMA — fail descriptively instead.
+        # Callers needing an empty frame know their own schema and can
+        # build it; this reader cannot conjure one without a footer.
+        raise ValueError(
+            f"snapshot v{version} of {table_path} references zero data "
+            "files; no footer exists to derive a schema from"
+        )
     return _snapshot_reader(spark, merge_schema).parquet(
         *(_os.path.join(table_path, f) for f in files)
     )
@@ -860,7 +871,7 @@ def pruned_snapshot_files(
     maintained by the writers (occ_merge_upsert's stats_cols, or any
     occ_commit caller passing ``stats``) a narrow range query opens a
     handful of partitions instead of the table."""
-    parts, stats = _snapshot_state(table_path, version)
+    parts, stats, _cols = _snapshot_state(table_path, version)
     keep: list[str] = []
     pruned = 0
     for p, fs in sorted(parts.items()):
@@ -1128,18 +1139,42 @@ def _apply_delta(
             stats.pop(p, None)
 
 
+def _fold_columns(columns: set[str] | None, man: dict) -> set[str] | None:
+    """Fold one delta manifest into the table's known COLUMN SET (the
+    union of every live file's columns — the metadata that lets the
+    merge's schema guard run without footer reads). The set only ever
+    WIDENS (a rewrite that drops a column keeps it in the set — the
+    guard over-requires at worst, never under-requires), and knowledge
+    degrades honestly: a commit that adds real files without declaring
+    its columns makes the set UNKNOWN (None) from that version on —
+    pruning back to footer reads, never guessing. A metadata-only
+    commit (empty adds) leaves knowledge untouched."""
+    mcols = man.get("columns")
+    if mcols is not None:
+        return None if columns is None else columns | set(mcols)
+    if any(fs for fs in man.get("adds", {}).values()):
+        return None  # undeclared real files: column set unknowable
+    return columns
+
+
 def _snapshot_state(
     table_path: str, version: int
-) -> tuple[dict[str, list[str]], dict[str, dict[str, list]]]:
-    """Reconstruct a version's full partition map AND its per-partition
-    column-bounds map: walk back from ``version`` to the nearest FULL
-    state — an explicit checkpoint (``ckpt-v<K>.json``, written by
-    checkpoint_snapshot / expire_snapshots) or a manifest that embeds
-    its snapshot (legacy seal_manifest, r8 occ payloads; bounds
-    unknown there) — then replay the delta manifests forward. Cost is
-    O(metadata since the last checkpoint), never a data scan; a
+) -> tuple[
+    dict[str, list[str]], dict[str, dict[str, list]], set[str] | None
+]:
+    """Reconstruct a version's full partition map, its per-partition
+    column-bounds map, AND its table column set: walk back from
+    ``version`` to the nearest FULL state — an explicit checkpoint
+    (``ckpt-v<K>.json``, written by checkpoint_snapshot /
+    expire_snapshots) or a manifest that embeds its snapshot (legacy
+    seal_manifest, r8 occ payloads; bounds and columns unknown there
+    unless declared) — then replay the delta manifests forward. Cost
+    is O(metadata since the last checkpoint), never a data scan; a
     scheduled checkpoint_snapshot bounds it, exactly Delta's 10-commit
-    checkpoint cadence."""
+    checkpoint cadence. The returned column set is None when any link
+    in the chain added files without declaring columns (see
+    _fold_columns) — callers needing the schema then fall back to
+    footer reads."""
     import json as _json
 
     mdir = _os.path.join(table_path, "manifests")
@@ -1147,6 +1182,7 @@ def _snapshot_state(
     k = version
     parts: dict[str, list[str]] = {}
     stats: dict[str, dict[str, list]] = {}
+    columns: set[str] | None = set()  # empty table: known-empty
     while k >= 1:
         ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
         if _os.path.exists(ckpt):
@@ -1157,17 +1193,22 @@ def _snapshot_state(
                 p: {c: list(b) for c, b in cols.items()}
                 for p, cols in state.get("stats", {}).items()
             }
+            columns = (
+                set(state["columns"]) if "columns" in state else None
+            )
             break
         man = _read_manifest(table_path, k)
         full = _manifest_full_parts(man)
         if full is not None:
             parts = full
+            columns = set(man["columns"]) if "columns" in man else None
             break
         deltas.append(man)
         k -= 1
     for man in reversed(deltas):
         _apply_delta(parts, man, stats)
-    return parts, stats
+        columns = _fold_columns(columns, man)
+    return parts, stats, columns
 
 
 def _snapshot_parts(table_path: str, version: int) -> dict[str, list[str]]:
@@ -1193,22 +1234,25 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         version = current_version(table_path)
     if version < 1:
         raise ValueError("cannot checkpoint an empty table")
-    parts, stats = _snapshot_state(table_path, version)
+    parts, stats, columns = _snapshot_state(table_path, version)
     mdir = _os.path.join(table_path, "manifests")
     tmp = _os.path.join(
         mdir, f"ckpt-v{version}.json.tmp-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
     )
+    state = {
+        "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
+        "stats": {
+            p: {c: list(b) for c, b in sorted(cols.items())}
+            for p, cols in sorted(stats.items())
+        },
+    }
+    if columns is not None:
+        # persist the folded column set so post-checkpoint replays keep
+        # the metadata-only schema guard (absent = unknown, same as the
+        # pre-r10 checkpoints this code still reads)
+        state["columns"] = sorted(columns)
     with open(tmp, "w") as fh:
-        _json.dump(
-            {
-                "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
-                "stats": {
-                    p: {c: list(b) for c, b in sorted(cols.items())}
-                    for p, cols in sorted(stats.items())
-                },
-            },
-            fh,
-        )
+        _json.dump(state, fh)
         fh.flush()
         _os.fsync(fh.fileno())
     _os.replace(tmp, _os.path.join(mdir, f"ckpt-v{version}.json"))
@@ -1257,6 +1301,8 @@ def occ_commit(
     base_version: int = 0,
     max_attempts: int = 10,
     stats: dict[str, dict[str, list]] | None = None,
+    columns: list[str] | tuple[str, ...] | None = None,
+    guard_columns: set[str] | frozenset[str] | None = None,
     _parts_cache: tuple[int, dict[str, list[str]]] | None = None,
 ) -> int:
     """Commit a delta (per-partition file adds + replaced partitions)
@@ -1278,6 +1324,26 @@ def occ_commit(
     re-seal metadata only — no data is rewritten on rebase. An aborted
     writer's files are unreferenced by every manifest (invisible to
     read_snapshot) and reclaimed by `vacuum_unreferenced`.
+
+    ``columns`` declares the column set of this commit's data files —
+    KB-scale metadata folded by readers into the table's known column
+    set (`_snapshot_state`), which is what lets the merge's schema
+    guard run without a single footer read (the Delta/Iceberg design:
+    schema lives in the log, not in the files). Optional and additive:
+    commits that add files without declaring columns simply make the
+    set unknown from that version on (`_fold_columns`).
+
+    ``guard_columns`` closes the merge's REBASE WINDOW: it is the
+    column set the caller's content guard certified against (head as
+    of the guard). During the winner scan, a winner that declared
+    columns OUTSIDE this set evolved the schema after the guard ran —
+    committing would seal content missing a now-live column, exactly
+    what the guard exists to refuse — so the commit conflicts instead.
+    A winner that declared no columns cannot be proven either way and
+    is (documented) not caught here; tables written through
+    columns-declaring commits get the closed window. Checked for
+    rewrites only: a blind append reads no schema and composes with
+    any evolution.
 
     Scale shape (SEGMENTED manifests since r9): the sealed payload is
     the DELTA ONLY — per-partition adds, replaced partitions, base —
@@ -1341,6 +1407,19 @@ def occ_commit(
                             f"{sorted(set(replaces) & w_touched)} conflicts "
                             f"with concurrent commit v{w}"
                         )
+                    if guard_columns is not None:
+                        evolved = set(wm.get("columns") or ()) - set(
+                            guard_columns
+                        )
+                        if evolved:
+                            raise CommitConflictError(
+                                f"concurrent commit v{w} evolved the "
+                                f"schema (added columns {sorted(evolved)}) "
+                                "after this writer's content guard ran; "
+                                "sealing would commit content missing a "
+                                "live column — retry from a fresh "
+                                "snapshot read"
+                            )
             if head:
                 # callers that just resolved this head's snapshot (the
                 # merge) pass it through; a retry after a lost race has
@@ -1363,11 +1442,14 @@ def occ_commit(
             "replaces": sorted(replaces),
             "base": base,
         }
+        if columns is not None:
+            payload["columns"] = sorted(set(columns))
         if stats:
             # per-partition column bounds for this commit's adds —
             # Iceberg-manifest-style file skipping metadata; readers
-            # fold them alongside the partition map (_snapshot_stats)
-            # and prune partitions whose bounds exclude a predicate.
+            # fold them alongside the partition map (_snapshot_state /
+            # pruned_snapshot_files) and prune partitions whose bounds
+            # exclude a predicate.
             # Optional and additive: partitions without stats are
             # simply never prunable.
             payload["stats"] = {
@@ -1513,6 +1595,7 @@ def occ_merge_upsert(
     part_col: str,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    close_moved_keys: bool = False,
 ) -> int:
     """Copy-on-write MERGE (upsert) into the manifest-pinned table —
     the Delta `MERGE INTO` verb the lake lifecycle was missing after
@@ -1541,11 +1624,19 @@ def occ_merge_upsert(
     Contracts: ``updates`` must be key-unique and null-key-free (raises
     ValueError — two updates for one key have no deterministic winner,
     and a null key can never be replaced by the anti-join), with
-    non-null partition values; ``part_col`` must be key-stable: a key
-    that MOVES partitions is inserted at its new home but its old row
-    is only removed if its old partition is in this batch's footprint
-    (Delta's MERGE pays a full-table join to close exactly this; a
-    hive-grain upsert keys the partition by design). A table still
+    non-null partition values; under the DEFAULT mode ``part_col``
+    must be key-stable: a key that MOVES partitions is inserted at its
+    new home but its old row is only removed if its old partition is
+    in this batch's footprint (the honest hive-grain contract).
+    ``close_moved_keys=True`` buys Delta's full-merge semantics at
+    Delta's price: one extra full-snapshot scan (column-pruned to the
+    key + partition columns, broadcast-semi-joined against the batch
+    keys) finds every partition still holding a batch key, widens the
+    rewrite footprint to include those old homes, and drops an old
+    home entirely when the moves emptied it — a K-row batch then costs
+    O(table keys scanned + widened footprint's data) instead of
+    O(batch footprint's data); keep it off unless keys really move.
+    A table still
     holding legacy partition-less commits ('' in the partition map) is
     refused — its rows are invisible to the per-partition survivor
     scan, so a merge would silently duplicate keys; migrate '' first
@@ -1557,9 +1648,14 @@ def occ_merge_upsert(
     each run clobbers the whole ledger
     (src/simple_metadata_collector.py:121-130)."""
     # job-free guards first: a refused table must not pay a batch
-    # materialization
+    # materialization. The snapshot state carries the table's column
+    # set when every live commit declared one (_snapshot_state) — the
+    # schema guard below then runs on pure metadata, no footer reads.
     head = current_version(table_path)
-    parts = _snapshot_parts(table_path, head) if head else {}
+    if head:
+        parts, _stats, meta_columns = _snapshot_state(table_path, head)
+    else:
+        parts, meta_columns = {}, set()
     if "" in parts:
         raise CommitConflictError(
             "table holds legacy partition-less commits ('' in the "
@@ -1579,7 +1675,7 @@ def occ_merge_upsert(
     updates = updates.localCheckpoint(eager=True)
     return _merge_body(
         spark, table_path, updates, key_cols, part_col, stats_cols,
-        merge_schema, head, parts,
+        merge_schema, head, parts, meta_columns, close_moved_keys,
     )
 
 
@@ -1593,6 +1689,8 @@ def _merge_body(
     merge_schema: bool,
     head: int,
     parts: dict[str, list[str]],
+    meta_columns: set[str] | None = None,
+    close_moved_keys: bool = False,
 ) -> int:
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
@@ -1632,44 +1730,102 @@ def _merge_body(
             "version and dilute retention/replay"
         )
     affected = {f"{part_col}={v}" for v in guard["vals"]}
-    existing = {n: fs for n, fs in parts.items() if n in affected}
+    moved: set[str] = set()
+    if close_moved_keys and parts:
+        # Delta-priced full-merge semantics: find every partition that
+        # still holds one of the batch's keys (a key whose update row
+        # carries a DIFFERENT part value has "moved" — its old row must
+        # die too). One full-snapshot scan, column-pruned to the key +
+        # partition columns, broadcast-semi-joined on the batch keys;
+        # partition names derive from the data values through the same
+        # str() form `affected` uses, and a value whose live partition
+        # name diverges from that form is refused loudly below rather
+        # than silently left unscanned.
+        all_files = [
+            _os.path.join(table_path, f) for fs in parts.values() for f in fs
+        ]
+        if all_files:
+            holders = (
+                _snapshot_reader(spark, merge_schema)
+                .parquet(*all_files)
+                .select(part_col, *key_cols)
+                .join(
+                    F.broadcast(updates.select(*key_cols).distinct()),
+                    on=key_cols,
+                    how="left_semi",
+                )
+                .select(part_col)
+                .distinct()
+                .collect()
+            )
+            moved = {
+                f"{part_col}={r[part_col]}" for r in holders
+            } - affected
+            divergent = [n for n in moved if n not in parts]
+            if divergent:
+                raise RuntimeError(
+                    "close_moved_keys found batch keys in partitions "
+                    f"whose str() names {sorted(divergent)} match no "
+                    "snapshot partition: value needs hive-escaping the "
+                    "merge does not model — rewrite those partitions "
+                    "explicitly"
+                )
+    # partitions sealed with an EMPTY file list (metadata-only adds)
+    # hold no rows: nothing to scan for survivors, the merge into them
+    # is a pure insert — and passing their zero paths to the reader
+    # would fail with UNABLE_TO_INFER_SCHEMA
+    existing = {
+        n: fs for n, fs in parts.items() if n in (affected | moved) and fs
+    }
 
     if parts:
         # An updates batch missing an EXISTING table column would
         # either silently null it on every upserted row (under
         # allowMissingColumns) or seal narrow files whose footer can
         # hide the column from whole-snapshot reads — refuse loudly,
-        # for new-partition-only batches too. Schema union (plan-time
-        # footer reads, no data): EVERY file of the affected
-        # partitions (files within one partition can span schema
-        # generations — a sampled footer would miss a column an append
-        # evolved in), plus ONE footer per unaffected partition.
-        # Known residual gaps, closed properly by carrying the column
-        # set in commit metadata (the Delta/Iceberg design, r10):
-        # per-generation sampling of UNAFFECTED partitions, the rebase
-        # window (a concurrent append evolving the schema after this
-        # guard), and the O(affected files + partitions) footer cost.
-        samples = [
-            _os.path.join(table_path, f)
-            for fs in existing.values()
-            for f in fs
-        ]
-        samples += [
-            _os.path.join(table_path, sorted(fs)[0])
-            for n, fs in parts.items()
-            if fs and n not in existing
-        ]
-        if samples:
-            live_cols = set(
-                _snapshot_reader(spark, True).parquet(*samples).schema.names
+        # for new-partition-only batches too.
+        if meta_columns is not None:
+            # every live commit declared its columns: the guard is a
+            # pure metadata check (the Delta/Iceberg design — schema
+            # lives in the log). The set is a union over history, so
+            # a column a rewrite dropped is still demanded: the guard
+            # over-requires at worst, never under-requires. The rebase
+            # window (a concurrent append evolving the schema after
+            # this check) is closed by guard_columns at commit time.
+            live_cols = set(meta_columns)
+        else:
+            # legacy fallback — some live commit predates column
+            # declarations. Schema union via plan-time footer reads
+            # (no data): EVERY file of the affected partitions (files
+            # within one partition can span schema generations — a
+            # sampled footer would miss a column an append evolved
+            # in), plus ONE footer per unaffected partition. Residual
+            # gaps of this path (unaffected-partition sampling, the
+            # rebase window for undeclared winners, O(affected files
+            # + partitions) cost) go away once the table's commits
+            # declare columns.
+            samples = [
+                _os.path.join(table_path, f)
+                for fs in existing.values()
+                for f in fs
+            ]
+            samples += [
+                _os.path.join(table_path, sorted(fs)[0])
+                for n, fs in parts.items()
+                if fs and n not in existing
+            ]
+            live_cols = (
+                set(_snapshot_reader(spark, True).parquet(*samples).schema.names)
+                if samples
+                else set()
             )
-            dropped = live_cols - set(updates.columns)
-            if dropped:
-                raise ValueError(
-                    f"updates batch lacks existing table columns "
-                    f"{sorted(dropped)}; a merge must carry every live "
-                    "column (nulling them implicitly would lose data)"
-                )
+        dropped = live_cols - set(updates.columns)
+        if dropped:
+            raise ValueError(
+                f"updates batch lacks existing table columns "
+                f"{sorted(dropped)}; a merge must carry every live "
+                "column (nulling them implicitly would lose data)"
+            )
 
     new_content = updates
     if existing:
@@ -1719,11 +1875,17 @@ def _merge_body(
     # REPLACED and which carry stats. If an exotic value makes them
     # disagree, committing would replace a partition whose live rows
     # were never read (silent row loss) or silently drop its bounds.
-    # Refuse instead — EVERY staged name must match its python form.
-    if set(adds) != affected:
+    # Refuse instead. Default mode: EVERY staged name must match its
+    # python form exactly (each batch partition stages at least its
+    # own update rows, so adds == affected). With close_moved_keys the
+    # footprint widens by `moved` (names taken FROM the snapshot map,
+    # already escape-exact), and a moved old home may legally stage
+    # nothing — its every row migrated — in which case the replaces
+    # below drop it; a staged name outside the footprint still refuses.
+    if not (affected <= set(adds) and set(adds) <= affected | moved):
         raise RuntimeError(
             "partition-name mismatch between update values and staged "
-            f"directories (footprint {sorted(affected)} vs staged "
+            f"directories (footprint {sorted(affected | moved)} vs staged "
             f"{sorted(adds)}): value needs hive-escaping the merge does "
             "not model — rewrite the partition explicitly"
         )
@@ -1762,13 +1924,22 @@ def _merge_body(
     # concurrent merges inserting the same key into a partition neither
     # had at its base must serialize as a conflict, not both land as
     # blind appends (occ_commit treats replacing an absent partition as
-    # an append for the apply step, but its winner scan still fires)
+    # an append for the apply step, but its winner scan still fires).
+    # With close_moved_keys it additionally covers the widened moved
+    # footprint, so an old home emptied by the moves (staged nothing)
+    # is dropped from the snapshot rather than left holding stale rows.
+    # columns: the staged files all carry exactly updates' columns
+    # (keep ⊆ live ⊆ updates by the guard; unionByName widens to the
+    # batch), declared so later merges guard on metadata alone;
+    # guard_columns closes the rebase window against declared winners.
     return occ_commit(
         table_path,
         adds,
-        replaces=sorted(adds),
+        replaces=sorted(set(adds) | moved),
         base_version=head,
         stats=stats,
+        columns=list(updates.columns),
+        guard_columns=frozenset(updates.columns),
         _parts_cache=(head, parts),
     )
 

@@ -169,13 +169,27 @@ def publish_staged_batch(
     _shutil.rmtree(staging_root, ignore_errors=True)
 
 
-def rollback_orphan_publishes(live_root: str) -> dict[str, int]:
-    """Vacuum a QUIESCED index: roll back every crashed publish and
-    reclaim its scratch space. Only call this when no stream is running
-    against the index and none will replay its checkpoint — a live
-    stream's replay NEEDS the manifest + staged tree this removes (it
-    would re-publish the batch correctly anyway, but the vacuum races
-    the publish).
+def rollback_orphan_publishes(
+    live_root: str, min_age_seconds: float = 0.0
+) -> dict[str, int]:
+    """Vacuum an index: roll back every crashed publish and reclaim
+    its scratch space. With the default ``min_age_seconds=0`` the
+    index must be QUIESCED — no stream running against it and none
+    that will replay its checkpoint — because a live stream's replay
+    NEEDS the manifest + staged tree this removes (it would re-publish
+    the batch correctly anyway, but the vacuum races the publish).
+
+    ``min_age_seconds`` is the retention window that lifts the quiesce
+    requirement (the same Delta VACUUM RETAIN shape as the lake's
+    `vacuum_unreferenced`): a publish manifest or scratch tree younger
+    than the window is possibly an IN-FLIGHT ingest between its stage
+    write and its publish completion, so it is spared (counted in
+    ``young_spared``) and only durably-abandoned state — every mtime
+    in it past the window — is rolled back. With the window wider than
+    the longest stage-to-publish latency, a racing ingest's staged
+    batch survives the vacuum and publishes cleanly afterwards. The
+    manifest's age governs its whole batch: an old manifest's partial
+    ``ingest-*`` files are scrubbed regardless of their own mtimes.
 
     A leftover ``.publish-manifest-<id>.json`` means publish_staged_batch
     crashed mid-move: the manifest (written before any move) names
@@ -197,16 +211,43 @@ def rollback_orphan_publishes(live_root: str) -> dict[str, int]:
     import json as _json
     import re as _re
     import shutil as _shutil
+    import time as _time
 
-    report = {"rolled_back_batches": 0, "scrubbed_files": 0, "scratch_dirs": 0}
+    report = {"rolled_back_batches": 0, "scrubbed_files": 0, "scratch_dirs": 0,
+              "young_spared": 0}
     if not _os.path.isdir(live_root):
         return report
+    cutoff = _time.time() - min_age_seconds
+
+    def _tree_old(path: str) -> bool:
+        """Every mtime under ``path`` (files and dirs) is past the
+        window — i.e. nothing in it can belong to an in-flight writer.
+        Bounded by the scratch tree being aged, never the live index."""
+        if min_age_seconds <= 0:
+            return True
+        try:
+            if _os.path.getmtime(path) > cutoff:
+                return False
+            for dirpath, dirs, files in _os.walk(path):
+                for name in dirs + files:
+                    if _os.path.getmtime(_os.path.join(dirpath, name)) > cutoff:
+                        return False
+        except OSError:
+            return False  # vanished mid-walk: a writer is active, spare
+        return True
+
     for entry in sorted(_os.listdir(live_root)):
         m = _re.fullmatch(r"\.publish-manifest-(\d+)\.json", entry)
         if not m:
             continue
         tag = f"{BATCH_FILE_PREFIX}{m.group(1)}-"
         manifest = _os.path.join(live_root, entry)
+        if not _tree_old(manifest):
+            # young manifest: possibly a publish between its manifest
+            # write and its file moves — the in-flight shape the
+            # retention window exists to spare
+            report["young_spared"] += 1
+            continue
         try:
             with open(manifest) as fh:
                 touched = _json.load(fh)
@@ -225,12 +266,31 @@ def rollback_orphan_publishes(live_root: str) -> dict[str, int]:
         _os.remove(manifest)
         report["rolled_back_batches"] += 1
     for entry in sorted(_os.listdir(live_root)):
-        if (
-            entry in (".staging", ".committed-seed-tmp", ".committed-compact-tmp")
+        if entry == ".staging":
+            # per-batch grain: one young staged batch must not shield
+            # its abandoned siblings (nor be eaten alongside them)
+            staging = _os.path.join(live_root, entry)
+            spared = 0
+            for child in sorted(_os.listdir(staging)):
+                full = _os.path.join(staging, child)
+                if _tree_old(full):
+                    _shutil.rmtree(full, ignore_errors=True)
+                    report["scratch_dirs"] += 1
+                else:
+                    spared += 1
+            report["young_spared"] += spared
+            if not spared and not _os.listdir(staging):
+                _os.rmdir(staging)
+        elif (
+            entry in (".committed-seed-tmp", ".committed-compact-tmp")
             or entry.startswith(".forget-stage-")
         ):
-            _shutil.rmtree(_os.path.join(live_root, entry), ignore_errors=True)
-            report["scratch_dirs"] += 1
+            full = _os.path.join(live_root, entry)
+            if _tree_old(full):
+                _shutil.rmtree(full, ignore_errors=True)
+                report["scratch_dirs"] += 1
+            else:
+                report["young_spared"] += 1
     # the parked pre-compaction ledger is a RECOVERY source while
     # `committed` is missing (see incremental._ensure_committed_ledger);
     # it is scratch only once the swapped-in ledger exists
@@ -238,8 +298,11 @@ def rollback_orphan_publishes(live_root: str) -> dict[str, int]:
     if _os.path.isdir(old_ledger) and _os.path.isdir(
         _os.path.join(live_root, "committed")
     ):
-        _shutil.rmtree(old_ledger, ignore_errors=True)
-        report["scratch_dirs"] += 1
+        if _tree_old(old_ledger):
+            _shutil.rmtree(old_ledger, ignore_errors=True)
+            report["scratch_dirs"] += 1
+        else:
+            report["young_spared"] += 1
     return report
 
 

@@ -714,7 +714,7 @@ def test_merge_stats_prune_skips_partitions_without_opening_files(
         )
         == 1
     )
-    parts, stats = m._snapshot_state(t, 1)
+    parts, stats, _cols = m._snapshot_state(t, 1)
     assert set(stats) == {"p=0", "p=1", "p=2", "p=3"}
     assert stats["p=1"]["k"] == [10, 19]
     # a range inside p=2 prunes the other three partitions
@@ -919,3 +919,141 @@ def test_merge_tolerates_empty_file_list_partitions(spark, merge_table):
         spark, t, _updf(spark, [(70, "E", 9)]), ["k"], "p"
     ) == 3
     assert (70, "E", 9) in _rows(spark, t, 3)
+
+
+# ---------------------------------------------------------------------------
+# r10: column set in commit metadata, metadata-only merge schema guard,
+# rebase-window schema conflicts, close_moved_keys, zero-file reads
+# ---------------------------------------------------------------------------
+
+
+def test_commit_columns_fold_checkpoint_and_unknown_degradation(spark, tmp_path):
+    # the column set folds as a UNION over declaring commits, survives
+    # a checkpoint, and degrades honestly to unknown (None) the moment
+    # an undeclared commit adds real files — never a guess
+    t = str(tmp_path / "cols")
+    f1 = _commit_files(spark, t, "c1", range(3))
+    assert m.occ_commit(t, {"p0": f1}, base_version=0, columns=["k", "v"]) == 1
+    assert m._snapshot_state(t, 1)[2] == {"k", "v"}
+    f2 = _commit_files(spark, t, "c2", range(10, 12))
+    assert m.occ_commit(t, {"p1": f2}, base_version=1, columns=["k", "v", "w"]) == 2
+    assert m._snapshot_state(t, 2)[2] == {"k", "v", "w"}
+    # checkpoint persists the set; replay resumes from it
+    m.checkpoint_snapshot(t, 2)
+    assert "columns" in json.load(
+        open(os.path.join(t, "manifests", "ckpt-v2.json"))
+    )
+    assert m._snapshot_state(t, 2)[2] == {"k", "v", "w"}
+    # a metadata-only commit (empty adds) without columns keeps knowledge
+    assert m.occ_commit(t, {"p2": []}, base_version=2) == 3
+    assert m._snapshot_state(t, 3)[2] == {"k", "v", "w"}
+    # an undeclared commit adding REAL files makes the set unknown
+    f3 = _commit_files(spark, t, "c3", range(20, 22))
+    assert m.occ_commit(t, {"p3": f3}, base_version=3) == 4
+    assert m._snapshot_state(t, 4)[2] is None
+    # ...and unknown never silently recovers from later declarations
+    f4 = _commit_files(spark, t, "c4", range(30, 32))
+    assert m.occ_commit(t, {"p4": f4}, base_version=4, columns=["k", "v"]) == 5
+    assert m._snapshot_state(t, 5)[2] is None
+    # earlier versions still resolve their own (known) sets
+    assert m._snapshot_state(t, 2)[2] == {"k", "v", "w"}
+
+
+def test_merge_schema_guard_is_metadata_only_on_declared_tables(
+    spark, merge_table
+):
+    # every commit of merge_table declared its columns (merges always
+    # do), so the guard must run on log metadata alone: corrupt a live
+    # data file and the narrow-batch refusal STILL fires cleanly —
+    # under the old footer guard this read would explode first
+    t, _ = merge_table
+    assert m._snapshot_state(t, 1)[2] == {"k", "v", "p"}
+    victim = os.path.join(t, m._snapshot_parts(t, 1)["p=0"][0])
+    with open(victim, "wb") as fh:
+        fh.write(b"NOT A PARQUET FILE")
+    narrow = spark.createDataFrame([(0, 0)], "k int, p int")
+    with pytest.raises(ValueError, match="lacks existing table columns"):
+        m.occ_merge_upsert(spark, t, narrow, ["k"], "p", merge_schema=True)
+
+
+def test_schema_evolving_winner_conflicts_at_rebase(spark, merge_table):
+    # the rebase window the footer guard could not close: a winner
+    # seals a schema-evolving commit AFTER the merge's guard ran; the
+    # merge's own commit must refuse rather than seal content missing
+    # the now-live column
+    t, _ = merge_table
+    head = m.current_version(t)
+    parts, _stats, meta_cols = m._snapshot_state(t, head)
+    assert meta_cols == {"k", "v", "p"}
+    # concurrent winner: declared append evolving column w
+    df = spark.createDataFrame([(50, "x", 9, 1.5)], "k int, v string, p int, w double")
+    fw = m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c-evo")
+    assert m.occ_commit(
+        t, {"p=9": fw}, base_version=head, columns=["k", "v", "p", "w"]
+    ) == head + 1
+    # the stale merge (guard ran against the pre-evolution state)
+    ups = _updf(spark, [(0, "STALE", 0)])
+    with pytest.raises(m.CommitConflictError, match="evolved the schema"):
+        m._merge_body(
+            spark, t, ups, ["k"], "p", None, False, head, parts, meta_cols,
+        )
+    # a fresh merge (guard re-run against the evolved head) is refused
+    # by the CONTENT guard instead — w is now a live column
+    with pytest.raises(ValueError, match="lacks existing table columns"):
+        m.occ_merge_upsert(spark, t, ups, ["k"], "p")
+
+
+def test_merge_close_moved_keys_closes_the_old_row(spark, merge_table):
+    t, base = merge_table
+    # k=0 lived in p=0; move it to p=5 WITHOUT p=0 in the batch
+    # footprint — close_moved_keys widens the rewrite to p=0 and the
+    # old row dies with the move
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(0, "MOVED", 5)]), ["k"], "p",
+        close_moved_keys=True,
+    ) == 2
+    got = _rows(spark, t, 2)
+    assert (0, "MOVED", 5) in got
+    assert not any(k == 0 and p == 0 for k, _v, p in got)
+    # p=0's survivors (2, 4) are intact, p=1 untouched
+    assert (2, "base-2", 0) in got and (4, "base-4", 0) in got
+    assert (1, "base-1", 1) in got
+    # time travel: v1 still answers the pre-move state
+    assert (0, "base-0", 0) in _rows(spark, t, 1)
+
+
+def test_merge_close_moved_keys_drops_emptied_old_home(spark, merge_table):
+    # moving EVERY row out of a partition must drop it from the
+    # snapshot (dynamic overwrite cannot emit an empty partition, and
+    # leaving the old file list referenced would resurrect the rows)
+    t, _ = merge_table
+    moves = [(1, "M-1", 6), (3, "M-3", 6), (5, "M-5", 6)]  # all of p=1
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, moves), ["k"], "p", close_moved_keys=True
+    ) == 2
+    parts = m._snapshot_parts(t, 2)
+    assert "p=1" not in parts
+    got = _rows(spark, t, 2)
+    assert {(1, "M-1", 6), (3, "M-3", 6), (5, "M-5", 6)} <= set(got)
+    assert not any(p == 1 for _k, _v, p in got)
+
+
+def test_merge_into_empty_file_list_partition_is_pure_insert(spark, merge_table):
+    # ADVICE r9: a partition sealed via an empty add IS in the batch
+    # footprint — `existing` must not hand the reader zero paths
+    # (UNABLE_TO_INFER_SCHEMA); the merge into it is a pure insert
+    t, _ = merge_table
+    assert m.occ_commit(t, {"p=9": []}, base_version=1) == 2
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(80, "INS", 9)]), ["k"], "p"
+    ) == 3
+    assert (80, "INS", 9) in _rows(spark, t, 3)
+
+
+def test_read_snapshot_of_zero_file_version_raises_descriptive(spark, tmp_path):
+    # ADVICE r9: a version referencing zero files must fail with a
+    # descriptive error, not an opaque reader AnalysisException
+    t = str(tmp_path / "zero_files")
+    assert m.occ_commit(t, {"p0": []}, base_version=0) == 1
+    with pytest.raises(ValueError, match="zero data files"):
+        m.read_snapshot(spark, t, 1)
