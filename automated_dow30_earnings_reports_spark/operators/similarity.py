@@ -1870,6 +1870,125 @@ def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_index(postings, idx_cents, qvec)
 
 
+IVF_GHOST_OFFSET = 1_000_000  # the abandoned batch's synthetic vec_ids
+
+
+@_register("ivf_vacuum_retention", _ivf_oracle())
+def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention-windowed index vacuum (r10): rollback_orphan_
+    publishes(min_age_seconds=...) lets the vacuum run DURING live
+    ingest — the quiesce contract ivf_index_vacuum/text_index_vacuum
+    documented was the r9 verdict's last index-family gap. Two batches
+    are constructed against a base index on the survivors of
+    IVF_DELETE_PRED:
+
+      - batch 77, durably ABANDONED: ghost postings (victims' vectors
+        under vec_id + IVF_GHOST_OFFSET) staged, manifest written,
+        exactly one cell file moved into the live tree — then every
+        mtime backdated past the window. The vacuum must roll it back
+        in full: a missed partial file surfaces ghost neighbor_ids in
+        that cell's top-k and breaks the hash.
+      - batch 78, FRESH in-flight: the victims' real postings staged +
+        manifest written, no moves — the state a racing ingest is in
+        between its stage write and publish. The vacuum must SPARE it
+        (young manifest + young staging), and the batch then completes
+        via publish_staged_batch.
+
+    The final index therefore holds the FULL corpus, and the oracle is
+    the from-scratch full-corpus IVF — an over-eager scrub (eating the
+    spared batch or a base cell file) empties real neighbor lists and
+    breaks the hash one way; a missed rollback breaks it the other.
+    Non-hashable invariants (report counts, spared files intact) raise.
+
+    Scale shape: the age check walks only scratch trees (batch-bounded,
+    never the posting tree); the rollback scrub lists only the old
+    manifest's cell directories; sparing is O(1) per young entry. With
+    the window wider than the longest stage-to-publish latency this is
+    exactly Delta's VACUUM RETAIN applied to the index family."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        publish_staged_batch,
+        rollback_orphan_publishes,
+        write_partitioned,
+    )
+
+    e = _emb(spark, sf_dir)
+    path = _index_path(sf_dir, "_vacret")
+
+    cents = _seed_cents(e)
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    write_partitioned(
+        _assign_cells(e.where(~F.expr(IVF_DELETE_PRED)), cents),
+        _os.path.join(path, "postings"), ["cell"], dynamic=False,
+    )
+
+    def _stage(batch_id: int, vecs: DataFrame) -> str:
+        staging = _os.path.join(path, ".staging", f"batch-{batch_id}")
+        _shutil.rmtree(staging, ignore_errors=True)
+        write_partitioned(
+            _assign_cells(vecs, cents),
+            _os.path.join(staging, "postings"), ["cell"], dynamic=False,
+        )
+        stage_t = _os.path.join(staging, "postings")
+        touched = {
+            "postings": [
+                _os.path.relpath(dp, stage_t)
+                for dp, _dirs, files in sorted(_os.walk(stage_t))
+                if any(f.endswith(".parquet") for f in files)
+            ]
+        }
+        with open(
+            _os.path.join(path, f".publish-manifest-{batch_id}.json"), "w"
+        ) as fh:
+            _json.dump(touched, fh)
+        return staging
+
+    # batch 77: ghost vectors, staged + manifest + ONE moved file, aged
+    ghosts = e.where(F.expr(IVF_DELETE_PRED)).withColumn(
+        "vec_id", (F.col("vec_id") + IVF_GHOST_OFFSET).cast("long")
+    )
+    stage77 = _stage(77, ghosts)
+    man77 = _os.path.join(path, ".publish-manifest-77.json")
+    with open(man77) as fh:
+        rel0 = sorted(_json.load(fh)["postings"])[0]
+    src_dir = _os.path.join(stage77, "postings", rel0)
+    src = sorted(f for f in _os.listdir(src_dir) if f.endswith(".parquet"))[0]
+    dest_dir = _os.path.join(path, "postings", rel0)
+    _os.makedirs(dest_dir, exist_ok=True)
+    moved = _os.path.join(dest_dir, "ingest-77-0.parquet")
+    _os.replace(_os.path.join(src_dir, src), moved)
+    old_t = _time.time() - 7200
+    for dp, dirs, files in _os.walk(stage77, topdown=False):
+        for name in files + dirs:
+            _os.utime(_os.path.join(dp, name), (old_t, old_t))
+    _os.utime(stage77, (old_t, old_t))
+    _os.utime(man77, (old_t, old_t))
+    _os.utime(moved, (old_t, old_t))
+
+    # batch 78: the racing ingest's real delta, fresh (in-flight)
+    stage78 = _stage(78, e.where(F.expr(IVF_DELETE_PRED)))
+
+    report = rollback_orphan_publishes(path, min_age_seconds=3600)
+    if report["rolled_back_batches"] != 1 or report["scrubbed_files"] != 1:
+        raise RuntimeError(f"vacuum did not roll back exactly batch 77: {report}")
+    if report["young_spared"] < 2:
+        raise RuntimeError(f"retention window failed to spare batch 78: {report}")
+    if _os.path.exists(moved) or _os.path.exists(man77):
+        raise RuntimeError("batch 77's partial state survived the vacuum")
+    if not _os.path.isdir(_os.path.join(stage78, "postings")):
+        raise RuntimeError("vacuum ate the in-flight batch's staging")
+
+    # the spared ingest completes: the index now holds the full corpus
+    publish_staged_batch(stage78, path, ("postings",), 78)
+
+    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    return _search_index(postings, idx_cents, _query_vectors(e))
+
+
 IVF_CRUD_DEAD = f"({IVF_DELETE_PRED}) AND vec_id % 3 < 2"
 
 

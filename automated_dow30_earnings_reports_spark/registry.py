@@ -65,20 +65,19 @@ _MODULES = [
 # manual _PRIORITY override below is applied ahead of the LRU order for
 # explicit same-round routing of queries whose rows the artifact scan
 # can't know about yet (e.g. a rename).
-# r9: _PRIORITY is EMPTY by design. Slot math at the driver's
-# ~50-query budget: 3 new queries (snapshot_expiry_lifecycle,
-# ivf_index_vacuum, streaming_ledger_compact — capped at 3 per the r8
-# verdict) auto-lead via the never-attested rule, then plain LRU
-# drains the ENTIRE 47-query r3 cohort: 3 + 47 = exactly 50, the r8
-# verdict's hard criterion (all of r3 re-attested, nothing older than
-# r4 left) with zero slack. Queries whose ENGINE changed this round —
-# occ_concurrent_commits + time_travel_read + retention_ttl_enforce
-# (segmented manifests, stamped TTL swap), stratified_sample (oracle-
-# matched suffix parse), mv_join_delta_refresh / kv_datasource_roundtrip
-# (shim hardening) — are NOT routed ahead: each would displace an r3
-# slot, and all were re-verified green on current code by driver_sim
-# this session (occ/ttl/time-travel sit in the r8 cohort and re-attest
-# under LRU in r10-r11 anyway).
+# r10: _PRIORITY stays EMPTY. Slot math at the driver's ~50-query
+# budget: 3 new queries (occ_merge_lifecycle, occ_merge_moved_keys,
+# ivf_vacuum_retention — the r9 verdict's top item: driver rows for
+# occ_merge_upsert / read_snapshot_where, plus the retention-windowed
+# index vacuum) auto-lead via the never-attested rule, then plain LRU
+# drains the ENTIRE 40-query r4 cohort with 7 slots of slack reaching
+# into r5: 3 + 40 = 43 <= 50, satisfying the r9 criterion (nothing
+# older than r5 remains) without zero-slack risk. Queries whose ENGINE
+# changed this round — the occ/merge/snapshot family (column-set
+# metadata), ivf_index_vacuum / text_index_vacuum (report key added) —
+# are NOT routed ahead: all were re-verified green on current code by
+# the full driver_sim pass this session, and the merge/snapshot
+# lifecycle rows sit in r9's cohort anyway.
 _PRIORITY: list[str] = []
 
 

@@ -61,6 +61,9 @@ _EXECUTES_ON_BUILD = {
     "snapshot_expiry_lifecycle",
     "ivf_index_vacuum",
     "streaming_ledger_compact",
+    "occ_merge_lifecycle",
+    "occ_merge_moved_keys",
+    "ivf_vacuum_retention",
 }
 
 
