@@ -204,6 +204,10 @@ HEADLINE = [
     "snapshot_expiry_lifecycle",
     "ivf_index_vacuum",
     "streaming_ledger_compact",
+    # r10 lifecycle verbs
+    "occ_merge_lifecycle",
+    "occ_merge_moved_keys",
+    "ivf_vacuum_retention",
 ]
 
 
