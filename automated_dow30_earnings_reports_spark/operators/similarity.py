@@ -1816,12 +1816,12 @@ def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     window that spares a fresh in-flight batch's manifest + staging
     (pinned in tests/test_round10_ops.py and driver-attested by
     ivf_vacuum_retention). Same contract as the text twin."""
-    import json as _json
     import shutil as _shutil
 
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         rollback_orphan_publishes,
         write_partitioned,
+        write_publish_manifest,
     )
 
     e = _emb(spark, sf_dir)
@@ -1842,15 +1842,7 @@ def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(staging, "postings"), ["cell"], dynamic=False,
     )
     stage_t = _os.path.join(staging, "postings")
-    touched = {
-        "postings": [
-            _os.path.relpath(dp, stage_t)
-            for dp, _dirs, files in sorted(_os.walk(stage_t))
-            if any(f.endswith(".parquet") for f in files)
-        ]
-    }
-    with open(_os.path.join(path, ".publish-manifest-99.json"), "w") as fh:
-        _json.dump(touched, fh)
+    touched = write_publish_manifest(path, staging, ("postings",), 99)
     rel0 = sorted(touched["postings"])[0]
     src_dir = _os.path.join(stage_t, rel0)
     src = sorted(f for f in _os.listdir(src_dir) if f.endswith(".parquet"))[0]
@@ -1913,6 +1905,7 @@ def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_staged_batch,
         rollback_orphan_publishes,
         write_partitioned,
+        write_publish_manifest,
     )
 
     e = _emb(spark, sf_dir)
@@ -1932,18 +1925,7 @@ def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             _assign_cells(vecs, cents),
             _os.path.join(staging, "postings"), ["cell"], dynamic=False,
         )
-        stage_t = _os.path.join(staging, "postings")
-        touched = {
-            "postings": [
-                _os.path.relpath(dp, stage_t)
-                for dp, _dirs, files in sorted(_os.walk(stage_t))
-                if any(f.endswith(".parquet") for f in files)
-            ]
-        }
-        with open(
-            _os.path.join(path, f".publish-manifest-{batch_id}.json"), "w"
-        ) as fh:
-            _json.dump(touched, fh)
+        write_publish_manifest(path, staging, ("postings",), batch_id)
         return staging
 
     # batch 77: ghost vectors, staged + manifest + ONE moved file, aged

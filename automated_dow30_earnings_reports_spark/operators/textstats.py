@@ -2680,11 +2680,11 @@ def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min_age_seconds`` retention window spares a fresh in-flight
     batch (tests/test_round10_ops.py; driver-attested by
     ivf_vacuum_retention on the vector twin)."""
-    import json as _json
     import shutil as _shutil
 
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         rollback_orphan_publishes,
+        write_publish_manifest,
     )
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -2695,16 +2695,9 @@ def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = _os.path.join(path, ".staging", "batch-99")
     _shutil.rmtree(staging, ignore_errors=True)
     _write_text_index(d.where(F.expr(TEXT_DELETE_PRED)), staging, "overwrite")
-    touched = {}
-    for t in ("postings", "docstats", "stats"):
-        stage_t = _os.path.join(staging, t)
-        touched[t] = [
-            _os.path.relpath(dp, stage_t)
-            for dp, _dirs, files in sorted(_os.walk(stage_t))
-            if any(f.endswith(".parquet") for f in files)
-        ]
-    with open(_os.path.join(path, ".publish-manifest-99.json"), "w") as fh:
-        _json.dump(touched, fh)
+    touched = write_publish_manifest(
+        path, staging, ("postings", "docstats", "stats"), 99
+    )
     rel0 = sorted(touched["postings"])[0]
     src_dir = _os.path.join(staging, "postings", rel0)
     src = sorted(f for f in _os.listdir(src_dir) if f.endswith(".parquet"))[0]

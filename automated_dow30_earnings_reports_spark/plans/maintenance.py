@@ -1097,27 +1097,49 @@ def _apply_delta(
     parts: dict[str, list[str]],
     man: dict,
     stats: dict[str, dict[str, list]] | None = None,
+    pcols: dict[str, set] | None = None,
 ) -> None:
     """Fold one delta manifest into a partition map (and optionally its
-    per-partition column-bounds map), in place: drop replaced
-    partitions, then append added files (idempotent per file — a
-    rebased retry re-adding the same path is a no-op). Bounds fold by
+    per-partition column-bounds and column-set maps), in place: drop
+    replaced partitions, then append added files (idempotent per file —
+    a rebased retry re-adding the same path is a no-op). Bounds fold by
     WIDENING: appended files can only widen a partition's [min, max];
     an add that carries no stats for a partition it adds real files to
     invalidates that partition's bounds (unknown content), and a column
     absent from either side is dropped — pruning must only ever see
-    bounds that cover every file in the partition."""
+    bounds that cover every file in the partition.
+
+    Column sets fold at the SAME per-partition grain (absent key =
+    unknown): a declared add unions into a known partition's set, a
+    rewrite resets the partition to exactly its declaration, and an
+    UNDECLARED add of real files drops the partition to unknown. The
+    per-partition grain is what keeps the table-level set exact under
+    rewrites — a commit-level union could never forget a column a
+    full-partition rewrite dropped, deadlocking merges against a
+    zombie column no live file holds."""
     man_stats = man.get("stats", {})
+    man_cols = man.get("columns")
     for p in man.get("replaces", []):
         parts.pop(p, None)
         if stats is not None:
             stats.pop(p, None)
+        if pcols is not None:
+            pcols.pop(p, None)
     for p, fs in man.get("adds", {}).items():
         cur = parts.get(p, [])
         present = set(cur)
         fresh = [f for f in fs if f not in present]
         existed = p in parts
         parts[p] = cur + fresh
+        if pcols is not None:
+            if man_cols is not None:
+                if not existed:
+                    pcols[p] = set(man_cols)
+                elif p in pcols:
+                    pcols[p] = pcols[p] | set(man_cols)
+                # existed with unknown columns: stays unknown
+            elif fresh:
+                pcols.pop(p, None)
         if stats is None:
             continue
         if p in man_stats:
@@ -1139,31 +1161,31 @@ def _apply_delta(
             stats.pop(p, None)
 
 
-def _fold_columns(columns: set[str] | None, man: dict) -> set[str] | None:
-    """Fold one delta manifest into the table's known COLUMN SET (the
-    union of every live file's columns — the metadata that lets the
-    merge's schema guard run without footer reads). The set only ever
-    WIDENS (a rewrite that drops a column keeps it in the set — the
-    guard over-requires at worst, never under-requires), and knowledge
-    degrades honestly: a commit that adds real files without declaring
-    its columns makes the set UNKNOWN (None) from that version on —
-    pruning back to footer reads, never guessing. A metadata-only
-    commit (empty adds) leaves knowledge untouched."""
-    mcols = man.get("columns")
-    if mcols is not None:
-        return None if columns is None else columns | set(mcols)
-    if any(fs for fs in man.get("adds", {}).values()):
-        return None  # undeclared real files: column set unknowable
-    return columns
+def _table_columns(
+    parts: dict[str, list[str]], pcols: dict[str, set]
+) -> set[str] | None:
+    """Table-level column set derived from the per-partition map: the
+    union over every live FILE-HOLDING partition's set, or None
+    (unknown) if any such partition lacks one. Empty partitions hold
+    no files, hence no live columns — a metadata-only add never blocks
+    the merge's schema guard."""
+    live = [p for p, fs in parts.items() if fs]
+    if any(p not in pcols for p in live):
+        return None
+    out: set[str] = set()
+    for p in live:
+        out |= pcols[p]
+    return out
 
 
-def _snapshot_state(
+def _snapshot_maps(
     table_path: str, version: int
 ) -> tuple[
-    dict[str, list[str]], dict[str, dict[str, list]], set[str] | None
+    dict[str, list[str]], dict[str, dict[str, list]], dict[str, set]
 ]:
     """Reconstruct a version's full partition map, its per-partition
-    column-bounds map, AND its table column set: walk back from
+    column-bounds map, and its per-partition COLUMN-SET map (the raw
+    fold `checkpoint_snapshot` persists): walk back from
     ``version`` to the nearest FULL state — an explicit checkpoint
     (``ckpt-v<K>.json``, written by checkpoint_snapshot /
     expire_snapshots) or a manifest that embeds its snapshot (legacy
@@ -1171,10 +1193,11 @@ def _snapshot_state(
     unless declared) — then replay the delta manifests forward. Cost
     is O(metadata since the last checkpoint), never a data scan; a
     scheduled checkpoint_snapshot bounds it, exactly Delta's 10-commit
-    checkpoint cadence. The returned column set is None when any link
-    in the chain added files without declaring columns (see
-    _fold_columns) — callers needing the schema then fall back to
-    footer reads."""
+    checkpoint cadence. Column sets fold PER PARTITION (`_apply_delta`)
+    so a full-partition rewrite genuinely drops the columns it no
+    longer writes; a partition absent from the returned map has
+    UNKNOWN columns (an undeclared add somewhere in its live
+    history)."""
     import json as _json
 
     mdir = _os.path.join(table_path, "manifests")
@@ -1182,7 +1205,7 @@ def _snapshot_state(
     k = version
     parts: dict[str, list[str]] = {}
     stats: dict[str, dict[str, list]] = {}
-    columns: set[str] | None = set()  # empty table: known-empty
+    pcols: dict[str, set] = {}
     while k >= 1:
         ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
         if _os.path.exists(ckpt):
@@ -1193,22 +1216,35 @@ def _snapshot_state(
                 p: {c: list(b) for c, b in cols.items()}
                 for p, cols in state.get("stats", {}).items()
             }
-            columns = (
-                set(state["columns"]) if "columns" in state else None
-            )
+            pcols = {
+                p: set(cs) for p, cs in state.get("pcols", {}).items()
+            }
             break
         man = _read_manifest(table_path, k)
         full = _manifest_full_parts(man)
         if full is not None:
             parts = full
-            columns = set(man["columns"]) if "columns" in man else None
+            if "columns" in man:
+                pcols = {p: set(man["columns"]) for p in parts}
             break
         deltas.append(man)
         k -= 1
     for man in reversed(deltas):
-        _apply_delta(parts, man, stats)
-        columns = _fold_columns(columns, man)
-    return parts, stats, columns
+        _apply_delta(parts, man, stats, pcols)
+    return parts, stats, pcols
+
+
+def _snapshot_state(
+    table_path: str, version: int
+) -> tuple[
+    dict[str, list[str]], dict[str, dict[str, list]], set[str] | None
+]:
+    """`_snapshot_maps` with the column map collapsed to the
+    TABLE-LEVEL set most callers want: the union over file-holding
+    partitions, or None (unknown → footer fallback) when any of them
+    lacks a declared set."""
+    parts, stats, pcols = _snapshot_maps(table_path, version)
+    return parts, stats, _table_columns(parts, pcols)
 
 
 def _snapshot_parts(table_path: str, version: int) -> dict[str, list[str]]:
@@ -1234,7 +1270,7 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         version = current_version(table_path)
     if version < 1:
         raise ValueError("cannot checkpoint an empty table")
-    parts, stats, columns = _snapshot_state(table_path, version)
+    parts, stats, pcols = _snapshot_maps(table_path, version)
     mdir = _os.path.join(table_path, "manifests")
     tmp = _os.path.join(
         mdir, f"ckpt-v{version}.json.tmp-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
@@ -1245,12 +1281,12 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
             p: {c: list(b) for c, b in sorted(cols.items())}
             for p, cols in sorted(stats.items())
         },
+        # per-partition column sets (absent = unknown), so
+        # post-checkpoint replays keep the metadata-only schema guard
+        # exact under rewrites; pre-r10 checkpoints lack the key and
+        # read as all-unknown (footer fallback), never as a guess
+        "pcols": {p: sorted(cs) for p, cs in sorted(pcols.items())},
     }
-    if columns is not None:
-        # persist the folded column set so post-checkpoint replays keep
-        # the metadata-only schema guard (absent = unknown, same as the
-        # pre-r10 checkpoints this code still reads)
-        state["columns"] = sorted(columns)
     with open(tmp, "w") as fh:
         _json.dump(state, fh)
         fh.flush()
@@ -1303,6 +1339,7 @@ def occ_commit(
     stats: dict[str, dict[str, list]] | None = None,
     columns: list[str] | tuple[str, ...] | None = None,
     guard_columns: set[str] | frozenset[str] | None = None,
+    conflict_on_winner_adds: bool = False,
     _parts_cache: tuple[int, dict[str, list[str]]] | None = None,
 ) -> int:
     """Commit a delta (per-partition file adds + replaced partitions)
@@ -1325,13 +1362,15 @@ def occ_commit(
     writer's files are unreferenced by every manifest (invisible to
     read_snapshot) and reclaimed by `vacuum_unreferenced`.
 
-    ``columns`` declares the column set of this commit's data files —
-    KB-scale metadata folded by readers into the table's known column
-    set (`_snapshot_state`), which is what lets the merge's schema
-    guard run without a single footer read (the Delta/Iceberg design:
-    schema lives in the log, not in the files). Optional and additive:
-    commits that add files without declaring columns simply make the
-    set unknown from that version on (`_fold_columns`).
+    ``columns`` declares the column set of this commit's data files
+    (it must COVER every added file's columns) — KB-scale metadata
+    folded by readers PER PARTITION (`_apply_delta`: a rewrite resets
+    its partitions to exactly this declaration, an append unions into
+    them) and collapsed to the table-level set the merge's schema
+    guard reads without a single footer open (the Delta/Iceberg
+    design: schema lives in the log, not in the files). Optional:
+    an undeclared commit just drops its partitions to unknown,
+    sending that guard back to footer reads.
 
     ``guard_columns`` closes the merge's REBASE WINDOW: it is the
     column set the caller's content guard certified against (head as
@@ -1344,6 +1383,15 @@ def occ_commit(
     columns-declaring commits get the closed window. Checked for
     rewrites only: a blind append reads no schema and composes with
     any evolution.
+
+    ``conflict_on_winner_adds`` is the stricter rule the
+    close_moved_keys merge needs: that merge's content depends on a
+    FULL-snapshot key scan (which partitions hold the batch's keys),
+    so ANY winner that added real files may have landed a batch key
+    outside the scanned footprint — partition disjointness cannot
+    prove row disjointness there. With the flag set, such winners
+    conflict and the caller retries from a fresh scan; winners with
+    metadata-only adds (empty file lists) still compose.
 
     Scale shape (SEGMENTED manifests since r9): the sealed payload is
     the DELTA ONLY — per-partition adds, replaced partitions, base —
@@ -1406,6 +1454,15 @@ def occ_commit(
                             f"rewrite of partitions "
                             f"{sorted(set(replaces) & w_touched)} conflicts "
                             f"with concurrent commit v{w}"
+                        )
+                    if conflict_on_winner_adds and any(
+                        fs for fs in wm.get("adds", {}).values()
+                    ):
+                        raise CommitConflictError(
+                            f"concurrent commit v{w} added files after "
+                            "this writer's full-snapshot key scan; row "
+                            "disjointness cannot be proven — retry the "
+                            "merge from a fresh snapshot read"
                         )
                     if guard_columns is not None:
                         evolved = set(wm.get("columns") or ()) - set(
@@ -1635,7 +1692,12 @@ def occ_merge_upsert(
     rewrite footprint to include those old homes, and drops an old
     home entirely when the moves emptied it — a K-row batch then costs
     O(table keys scanned + widened footprint's data) instead of
-    O(batch footprint's data); keep it off unless keys really move.
+    O(batch footprint's data). Its concurrency rule is accordingly
+    stricter: because row placement was proven against a full-snapshot
+    scan, ANY concurrent winner that added real files conflicts
+    (occ_commit's conflict_on_winner_adds) — partition disjointness
+    cannot prove a winner didn't land a batch key outside the scanned
+    footprint. Keep the mode off unless keys really move.
     A table still
     holding legacy partition-less commits ('' in the partition map) is
     refused — its rows are invisible to the per-partition survivor
@@ -1730,30 +1792,35 @@ def _merge_body(
             "version and dilute retention/replay"
         )
     affected = {f"{part_col}={v}" for v in guard["vals"]}
+    # the batch's distinct keys, reused by the holders scan and the
+    # survivor anti-join (one frame, one broadcast)
+    upd_keys = updates.select(*key_cols).distinct()
     moved: set[str] = set()
     if close_moved_keys and parts:
         # Delta-priced full-merge semantics: find every partition that
         # still holds one of the batch's keys (a key whose update row
         # carries a DIFFERENT part value has "moved" — its old row must
-        # die too). One full-snapshot scan, column-pruned to the key +
-        # partition columns, broadcast-semi-joined on the batch keys;
-        # partition names derive from the data values through the same
-        # str() form `affected` uses, and a value whose live partition
-        # name diverges from that form is refused loudly below rather
-        # than silently left unscanned.
-        all_files = [
-            _os.path.join(table_path, f) for fs in parts.values() for f in fs
+        # die too). One snapshot scan over the partitions OUTSIDE the
+        # batch footprint (the footprint's partitions are rewritten
+        # regardless, so scanning them here would be wasted I/O),
+        # column-pruned to the key + partition columns and
+        # broadcast-semi-joined on the batch keys; partition names
+        # derive from the data values through the same str() form
+        # `affected` uses, and a value whose live partition name
+        # diverges from that form is refused loudly below rather than
+        # silently left unscanned.
+        outside_files = [
+            _os.path.join(table_path, f)
+            for n, fs in parts.items()
+            if n not in affected
+            for f in fs
         ]
-        if all_files:
+        if outside_files:
             holders = (
                 _snapshot_reader(spark, merge_schema)
-                .parquet(*all_files)
+                .parquet(*outside_files)
                 .select(part_col, *key_cols)
-                .join(
-                    F.broadcast(updates.select(*key_cols).distinct()),
-                    on=key_cols,
-                    how="left_semi",
-                )
+                .join(F.broadcast(upd_keys), on=key_cols, how="left_semi")
                 .select(part_col)
                 .distinct()
                 .collect()
@@ -1837,7 +1904,7 @@ def _merge_body(
             )
         )
         keep = live.join(
-            F.broadcast(updates.select(*key_cols).distinct()),
+            F.broadcast(upd_keys),
             on=key_cols,
             how="left_anti",
         )
@@ -1940,6 +2007,11 @@ def _merge_body(
         stats=stats,
         columns=list(updates.columns),
         guard_columns=frozenset(updates.columns),
+        # the holders scan only proves row disjointness against the
+        # snapshot it read: under close_moved_keys any winner that
+        # added real files could have landed a batch key outside the
+        # scanned footprint, so it must conflict, not rebase
+        conflict_on_winner_adds=close_moved_keys,
         _parts_cache=(head, parts),
     )
 
@@ -2457,7 +2529,8 @@ def occ_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     _files, pruned = pruned_snapshot_files(path, 4, "o_odate", ML_PRUNE_LO, None)
     if pruned != 4:
         raise RuntimeError(
-            f"bounds should prune exactly the 4 pre-1996 partitions, got {pruned}"
+            "bounds should prune exactly the 4 partitions before "
+            f"{ML_PRUNE_LO // 10000}, got {pruned}"
         )
 
     def _agg(df: DataFrame, scope: str) -> DataFrame:

@@ -75,6 +75,48 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
 BATCH_FILE_PREFIX = "ingest-"  # batch-published data files: ingest-<batch>-<n>.parquet
 
 
+def _publish_manifest_path(live_root: str, batch_id: int) -> str:
+    return _os.path.join(live_root, f".publish-manifest-{batch_id}.json")
+
+
+def _staged_touched(
+    staging_root: str, tables: list[str] | tuple[str, ...]
+) -> dict[str, list[str]]:
+    """Per-table list of partition directories (relative to each
+    table's stage root) a staged batch will touch — THE single
+    implementation of the walk both the publish and its manifest
+    writers use, so the scrub footprint and the manifest content can
+    never drift."""
+    touched: dict[str, list[str]] = {}
+    for t in tables:
+        stage = _os.path.join(staging_root, t)
+        touched[t] = [
+            _os.path.relpath(dirpath, stage)
+            for dirpath, _dirs, files in sorted(_os.walk(stage))
+            if any(f.endswith(".parquet") for f in files)
+        ]
+    return touched
+
+
+def write_publish_manifest(
+    live_root: str,
+    staging_root: str,
+    tables: list[str] | tuple[str, ...],
+    batch_id: int,
+) -> dict[str, list[str]]:
+    """Write the pre-move publish manifest for a staged batch and
+    return its touched-set — the exact artifact publish_staged_batch
+    writes before its file moves. Exists so the crash-construction
+    queries (ivf/text index vacuum) build their mid-move states from
+    the SAME format the rollback reads instead of hand-rolling it."""
+    import json as _json
+
+    touched = _staged_touched(staging_root, tables)
+    with open(_publish_manifest_path(live_root, batch_id), "w") as fh:
+        _json.dump({t: sorted(rels) for t, rels in touched.items()}, fh)
+    return touched
+
+
 def publish_staged_batch(
     staging_root: str, live_root: str, tables: list[str] | tuple[str, ...],
     batch_id: int,
@@ -118,15 +160,8 @@ def publish_staged_batch(
 
     tag = f"{BATCH_FILE_PREFIX}{batch_id}-"
     # destination directories this batch touches, from the staged delta
-    touched: dict[str, list[str]] = {}
-    for t in tables:
-        stage = _os.path.join(staging_root, t)
-        touched[t] = [
-            _os.path.relpath(dirpath, stage)
-            for dirpath, _dirs, files in sorted(_os.walk(stage))
-            if any(f.endswith(".parquet") for f in files)
-        ]
-    manifest = _os.path.join(live_root, f".publish-manifest-{batch_id}.json")
+    touched = _staged_touched(staging_root, tables)
+    manifest = _publish_manifest_path(live_root, batch_id)
     scrub: dict[str, set[str]] = {t: set(rels) for t, rels in touched.items()}
     if _os.path.exists(manifest):  # a previous attempt crashed mid-move
         try:
@@ -268,16 +303,36 @@ def rollback_orphan_publishes(
     for entry in sorted(_os.listdir(live_root)):
         if entry == ".staging":
             # per-batch grain: one young staged batch must not shield
-            # its abandoned siblings (nor be eaten alongside them)
+            # its abandoned siblings (nor be eaten alongside them).
+            # A batch's AGE is the newest of its staged tree AND its
+            # publish manifest: a publisher can pick up an old staged
+            # batch and write a fresh manifest just before its moves —
+            # reclaiming that stage mid-publish would complete the
+            # publish with zero files moved and the ledger recording
+            # the batch as published (silent loss).
             staging = _os.path.join(live_root, entry)
             spared = 0
             for child in sorted(_os.listdir(staging)):
                 full = _os.path.join(staging, child)
-                if _tree_old(full):
+                man_of_child = None
+                bm = _re.fullmatch(r"batch-(\d+)", child)
+                if bm:
+                    cand = _publish_manifest_path(live_root, int(bm.group(1)))
+                    if _os.path.exists(cand):
+                        man_of_child = cand
+                young = not _tree_old(full) or (
+                    man_of_child is not None and not _tree_old(man_of_child)
+                )
+                if young:
+                    spared += 1
+                elif _os.path.isdir(full):
                     _shutil.rmtree(full, ignore_errors=True)
                     report["scratch_dirs"] += 1
                 else:
-                    spared += 1
+                    # stray non-directory scratch (a crashed writer's
+                    # temp artifact): rmtree would silently no-op
+                    _os.remove(full)
+                    report["scratch_dirs"] += 1
             report["young_spared"] += spared
             if not spared and not _os.listdir(staging):
                 _os.rmdir(staging)

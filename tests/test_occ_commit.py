@@ -938,11 +938,11 @@ def test_commit_columns_fold_checkpoint_and_unknown_degradation(spark, tmp_path)
     f2 = _commit_files(spark, t, "c2", range(10, 12))
     assert m.occ_commit(t, {"p1": f2}, base_version=1, columns=["k", "v", "w"]) == 2
     assert m._snapshot_state(t, 2)[2] == {"k", "v", "w"}
-    # checkpoint persists the set; replay resumes from it
+    # checkpoint persists the per-partition sets; replay resumes there
     m.checkpoint_snapshot(t, 2)
-    assert "columns" in json.load(
-        open(os.path.join(t, "manifests", "ckpt-v2.json"))
-    )
+    assert json.load(open(os.path.join(t, "manifests", "ckpt-v2.json")))[
+        "pcols"
+    ] == {"p0": ["k", "v"], "p1": ["k", "v", "w"]}
     assert m._snapshot_state(t, 2)[2] == {"k", "v", "w"}
     # a metadata-only commit (empty adds) without columns keeps knowledge
     assert m.occ_commit(t, {"p2": []}, base_version=2) == 3
@@ -1057,3 +1057,69 @@ def test_read_snapshot_of_zero_file_version_raises_descriptive(spark, tmp_path):
     assert m.occ_commit(t, {"p0": []}, base_version=0) == 1
     with pytest.raises(ValueError, match="zero data files"):
         m.read_snapshot(spark, t, 1)
+
+
+def test_rewrite_drops_columns_from_the_metadata_set(spark, tmp_path):
+    # review r10: a commit-level union could never forget a column a
+    # full-partition rewrite dropped — the guard would then demand a
+    # zombie column no live file holds, deadlocking every default-mode
+    # merge. The per-partition fold forgets it with the rewrite.
+    t = str(tmp_path / "drop_cols")
+    wide = spark.createDataFrame(
+        [(0, "a", 0, 1.5), (1, "b", 0, 2.5)], "k int, v string, p int, w double"
+    )
+    assert m.occ_merge_upsert(spark, t, wide, ["k"], "p") == 1
+    assert m._snapshot_state(t, 1)[2] == {"k", "v", "p", "w"}
+    # rewrite p=0 with files that no longer carry w, declaring so
+    narrow_df = spark.createDataFrame(
+        [(0, "a2", 0), (1, "b2", 0)], "k int, v string, p int"
+    )
+    f = m._tt_commit(narrow_df.coalesce(1), os.path.join(t, "data"), "c-narrow")
+    assert m.occ_commit(
+        t, {"p=0": f}, replaces=["p=0"], base_version=1,
+        columns=["k", "v", "p"],
+    ) == 2
+    assert m._snapshot_state(t, 2)[2] == {"k", "v", "p"}
+    # a default-mode merge WITHOUT w now passes the guard and lands —
+    # under the widen-only design it was refused for lacking w, and
+    # carrying w crashed the survivor union instead
+    ups = _updf(spark, [(0, "UPD", 0), (9, "NEW", 0)])
+    assert m.occ_merge_upsert(spark, t, ups, ["k"], "p") == 3
+    got = sorted((r.k, r.v) for r in m.read_snapshot(spark, t, 3).collect())
+    assert got == [(0, "UPD"), (1, "b2"), (9, "NEW")]
+
+
+def test_close_moved_keys_conflicts_with_any_file_adding_winner(
+    spark, merge_table
+):
+    # review r10: the holders scan proves row placement against the
+    # snapshot it read — a winner that added real files after it may
+    # have landed a batch key outside the scanned footprint, so a
+    # close-mode commit from the stale base must conflict (partition
+    # disjointness is not row disjointness under a full-table scan),
+    # while a metadata-only winner still composes.
+    t, _ = merge_table
+    head = m.current_version(t)
+    parts, _stats, meta_cols = m._snapshot_state(t, head)
+    # winner: a DISJOINT merge inserting a fresh key into a fresh
+    # partition — under partition rules it would rebase cleanly
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(30, "WIN", 8)]), ["k"], "p"
+    ) == head + 1
+    moves = _updf(spark, [(0, "MOVED", 5)])
+    with pytest.raises(m.CommitConflictError, match="full-snapshot key scan"):
+        m._merge_body(
+            spark, t, moves, ["k"], "p", None, False, head, parts,
+            meta_cols, True,
+        )
+    # a metadata-only winner (empty adds) composes: same stale base
+    head2 = m.current_version(t)
+    parts2, _s2, cols2 = m._snapshot_state(t, head2)
+    assert m.occ_commit(t, {"p=meta": []}, base_version=head2) == head2 + 1
+    v = m._merge_body(
+        spark, t, moves, ["k"], "p", None, False, head2, parts2, cols2, True,
+    )
+    assert v == head2 + 2
+    got = _rows(spark, t, v)
+    assert (0, "MOVED", 5) in got
+    assert not any(k == 0 and p == 0 for k, _v, p in got)

@@ -131,3 +131,51 @@ def test_young_spared_state_is_reclaimed_once_aged(spark, tmp_path):
     assert report["rolled_back_batches"] == 1
     assert not os.path.exists(stage)
     assert not os.path.exists(os.path.join(live, ".publish-manifest-9.json"))
+
+
+def test_staging_spared_when_manifest_is_young_even_if_tree_is_old(
+    spark, tmp_path
+):
+    # review r10: a publisher can pick up a LONG-AGO staged batch and
+    # write a fresh manifest just before its moves; reclaiming that
+    # stage mid-publish would complete the publish with zero files and
+    # the ledger recording the batch as published. The batch's age is
+    # the newest of its tree AND its manifest.
+    live = str(tmp_path / "idx_latepub")
+    spark.range(0, 5).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(live, "t")
+    )
+    stage = _stage_batch(spark, live, 11, 70, 73)
+    old_t = time.time() - 7200
+    _backdate_tree(os.path.join(live, ".staging"), old_t)  # tree: old
+    # manifest stays FRESH (the publisher just wrote it)
+    report = rollback_orphan_publishes(live, min_age_seconds=3600)
+    assert report["rolled_back_batches"] == 0
+    assert os.path.isdir(os.path.join(stage, "t"))
+    publish_staged_batch(stage, live, ("t",), 11)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(live, "t")).collect()
+    )
+    assert got == list(range(5)) + list(range(70, 73))
+
+
+def test_stray_file_under_staging_is_reclaimed_not_miscounted(spark, tmp_path):
+    # review r10: rmtree(file, ignore_errors=True) silently no-ops on a
+    # non-directory — the stray must be os.remove'd, and only actually
+    # reclaimed entries may count as scratch_dirs
+    live = str(tmp_path / "idx_stray")
+    spark.range(0, 3).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(live, "t")
+    )
+    staging = os.path.join(live, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    stray = os.path.join(staging, "junk.tmp")
+    with open(stray, "w") as fh:
+        fh.write("partial")
+    report = rollback_orphan_publishes(live)
+    assert report["scratch_dirs"] == 1
+    assert not os.path.exists(stray)
+    assert not os.path.exists(staging)  # emptied root removed too
+    # idempotent: a second vacuum reports a clean index
+    report = rollback_orphan_publishes(live)
+    assert report["scratch_dirs"] == 0 and report["rolled_back_batches"] == 0
