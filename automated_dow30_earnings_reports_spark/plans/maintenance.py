@@ -1131,14 +1131,20 @@ def _apply_delta(
         fresh = [f for f in fs if f not in present]
         existed = p in parts
         parts[p] = cur + fresh
-        if pcols is not None:
+        if pcols is not None and fresh:
+            # column knowledge moves ONLY with real files: a declared
+            # add that lands zero fresh files (metadata-only partition,
+            # idempotent re-add of already-present paths) must not
+            # union its declaration in — that would re-introduce the
+            # zombie-column deadlock (a demanded column no live file
+            # holds) the per-partition fold exists to prevent.
             if man_cols is not None:
                 if not existed:
                     pcols[p] = set(man_cols)
                 elif p in pcols:
                     pcols[p] = pcols[p] | set(man_cols)
                 # existed with unknown columns: stays unknown
-            elif fresh:
+            else:
                 pcols.pop(p, None)
         if stats is None:
             continue
@@ -1197,41 +1203,59 @@ def _snapshot_maps(
     so a full-partition rewrite genuinely drops the columns it no
     longer writes; a partition absent from the returned map has
     UNKNOWN columns (an undeclared add somewhere in its live
-    history)."""
+    history).
+
+    Safe against a RACING expire_snapshots: expiry writes its horizon
+    checkpoint durably BEFORE deleting any manifest, so a walk that
+    started pre-checkpoint and steps onto a just-deleted manifest
+    simply retries once — the fresh walk finds the checkpoint and
+    stops above the deletions. A second miss means the version itself
+    is expired (or the log is torn), reported descriptively."""
     import json as _json
 
     mdir = _os.path.join(table_path, "manifests")
-    deltas: list[dict] = []
-    k = version
-    parts: dict[str, list[str]] = {}
-    stats: dict[str, dict[str, list]] = {}
-    pcols: dict[str, set] = {}
-    while k >= 1:
-        ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
-        if _os.path.exists(ckpt):
-            with open(ckpt) as fh:
-                state = _json.load(fh)
-            parts = {p: list(fs) for p, fs in state["parts"].items()}
-            stats = {
-                p: {c: list(b) for c, b in cols.items()}
-                for p, cols in state.get("stats", {}).items()
-            }
-            pcols = {
-                p: set(cs) for p, cs in state.get("pcols", {}).items()
-            }
-            break
-        man = _read_manifest(table_path, k)
-        full = _manifest_full_parts(man)
-        if full is not None:
-            parts = full
-            if "columns" in man:
-                pcols = {p: set(man["columns"]) for p in parts}
-            break
-        deltas.append(man)
-        k -= 1
-    for man in reversed(deltas):
-        _apply_delta(parts, man, stats, pcols)
-    return parts, stats, pcols
+    for attempt in (0, 1):
+        deltas: list[dict] = []
+        k = version
+        parts: dict[str, list[str]] = {}
+        stats: dict[str, dict[str, list]] = {}
+        pcols: dict[str, set] = {}
+        try:
+            while k >= 1:
+                ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
+                if _os.path.exists(ckpt):
+                    with open(ckpt) as fh:
+                        state = _json.load(fh)
+                    parts = {p: list(fs) for p, fs in state["parts"].items()}
+                    stats = {
+                        p: {c: list(b) for c, b in cols.items()}
+                        for p, cols in state.get("stats", {}).items()
+                    }
+                    pcols = {
+                        p: set(cs) for p, cs in state.get("pcols", {}).items()
+                    }
+                    break
+                man = _read_manifest(table_path, k)
+                full = _manifest_full_parts(man)
+                if full is not None:
+                    parts = full
+                    if "columns" in man:
+                        pcols = {p: set(man["columns"]) for p in parts}
+                    break
+                deltas.append(man)
+                k -= 1
+        except FileNotFoundError:
+            if attempt == 0:
+                continue  # racing expiry: its checkpoint is durable now
+            raise FileNotFoundError(
+                f"v{version} of {table_path} cannot be reconstructed: a "
+                f"manifest below it is gone and no checkpoint covers it "
+                "(the version is expired, or the log is torn)"
+            ) from None
+        for man in reversed(deltas):
+            _apply_delta(parts, man, stats, pcols)
+        return parts, stats, pcols
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def _snapshot_state(
@@ -1795,6 +1819,31 @@ def _merge_body(
     # the batch's distinct keys, reused by the holders scan and the
     # survivor anti-join (one frame, one broadcast)
     upd_keys = updates.select(*key_cols).distinct()
+
+    def _refuse_dropped(live_cols: set[str]) -> None:
+        # An updates batch missing an EXISTING table column would
+        # either silently null it on every upserted row (under
+        # allowMissingColumns) or seal narrow files whose footer can
+        # hide the column from whole-snapshot reads — refuse loudly,
+        # for new-partition-only batches too.
+        dropped = live_cols - set(updates.columns)
+        if dropped:
+            raise ValueError(
+                f"updates batch lacks existing table columns "
+                f"{sorted(dropped)}; a merge must carry every live "
+                "column (nulling them implicitly would lose data)"
+            )
+
+    if parts and meta_columns is not None:
+        # every live commit declared its columns: the guard is a pure
+        # metadata check (the Delta/Iceberg design — schema lives in
+        # the log), run BEFORE any data I/O so a refused batch costs
+        # no scan (in particular not close_moved_keys's full-snapshot
+        # holders scan). The rebase window (a concurrent append
+        # evolving the schema after this check) is closed by
+        # guard_columns at commit time.
+        _refuse_dropped(set(meta_columns))
+
     moved: set[str] = set()
     if close_moved_keys and parts:
         # Delta-priced full-merge semantics: find every partition that
@@ -1804,39 +1853,47 @@ def _merge_body(
         # batch footprint (the footprint's partitions are rewritten
         # regardless, so scanning them here would be wasted I/O),
         # column-pruned to the key + partition columns and
-        # broadcast-semi-joined on the batch keys; partition names
-        # derive from the data values through the same str() form
-        # `affected` uses, and a value whose live partition name
-        # diverges from that form is refused loudly below rather than
-        # silently left unscanned.
-        outside_files = [
-            _os.path.join(table_path, f)
-            for n, fs in parts.items()
-            if n not in affected
-            for f in fs
-        ]
-        if outside_files:
-            holders = (
+        # broadcast-semi-joined on the batch keys. The holder's
+        # partition is identified by the FILE it was read from
+        # (input_file_name mapped through the snapshot's own file
+        # lists), never by re-deriving a name from the data value —
+        # a table whose partition names don't follow the value's
+        # str() form (adopted via raw occ_commit) would otherwise
+        # widen the wrong partition and leave the stale row alive.
+        file_part: dict[str, str] = {}
+        for n, fs in parts.items():
+            if n in affected:
+                continue
+            for f in fs:
+                file_part[
+                    _os.path.realpath(_os.path.join(table_path, f))
+                ] = n
+        if file_part:
+            holder_files = (
                 _snapshot_reader(spark, merge_schema)
-                .parquet(*outside_files)
-                .select(part_col, *key_cols)
+                .parquet(*file_part)
+                .select(
+                    F.input_file_name().alias("_src"), *key_cols
+                )
                 .join(F.broadcast(upd_keys), on=key_cols, how="left_semi")
-                .select(part_col)
+                .select("_src")
                 .distinct()
                 .collect()
             )
-            moved = {
-                f"{part_col}={r[part_col]}" for r in holders
-            } - affected
-            divergent = [n for n in moved if n not in parts]
-            if divergent:
-                raise RuntimeError(
-                    "close_moved_keys found batch keys in partitions "
-                    f"whose str() names {sorted(divergent)} match no "
-                    "snapshot partition: value needs hive-escaping the "
-                    "merge does not model — rewrite those partitions "
-                    "explicitly"
-                )
+            from urllib.parse import unquote as _unquote
+            from urllib.parse import urlparse as _urlparse
+
+            for r in holder_files:
+                src = _os.path.realpath(_unquote(_urlparse(r["_src"]).path))
+                name = file_part.get(src)
+                if name is None:
+                    raise RuntimeError(
+                        "close_moved_keys could not map scanned file "
+                        f"{r['_src']} back to a snapshot partition; "
+                        "refusing rather than widening the wrong one"
+                    )
+                moved.add(name)
+            moved -= affected
     # partitions sealed with an EMPTY file list (metadata-only adds)
     # hold no rows: nothing to scan for survivors, the merge into them
     # is a pure insert — and passing their zero paths to the reader
@@ -1845,53 +1902,30 @@ def _merge_body(
         n: fs for n, fs in parts.items() if n in (affected | moved) and fs
     }
 
-    if parts:
-        # An updates batch missing an EXISTING table column would
-        # either silently null it on every upserted row (under
-        # allowMissingColumns) or seal narrow files whose footer can
-        # hide the column from whole-snapshot reads — refuse loudly,
-        # for new-partition-only batches too.
-        if meta_columns is not None:
-            # every live commit declared its columns: the guard is a
-            # pure metadata check (the Delta/Iceberg design — schema
-            # lives in the log). The set is a union over history, so
-            # a column a rewrite dropped is still demanded: the guard
-            # over-requires at worst, never under-requires. The rebase
-            # window (a concurrent append evolving the schema after
-            # this check) is closed by guard_columns at commit time.
-            live_cols = set(meta_columns)
-        else:
-            # legacy fallback — some live commit predates column
-            # declarations. Schema union via plan-time footer reads
-            # (no data): EVERY file of the affected partitions (files
-            # within one partition can span schema generations — a
-            # sampled footer would miss a column an append evolved
-            # in), plus ONE footer per unaffected partition. Residual
-            # gaps of this path (unaffected-partition sampling, the
-            # rebase window for undeclared winners, O(affected files
-            # + partitions) cost) go away once the table's commits
-            # declare columns.
-            samples = [
-                _os.path.join(table_path, f)
-                for fs in existing.values()
-                for f in fs
-            ]
-            samples += [
-                _os.path.join(table_path, sorted(fs)[0])
-                for n, fs in parts.items()
-                if fs and n not in existing
-            ]
-            live_cols = (
+    if parts and meta_columns is None:
+        # legacy fallback — some live commit predates column
+        # declarations. Schema union via plan-time footer reads
+        # (no data): EVERY file of the affected (and moved)
+        # partitions (files within one partition can span schema
+        # generations — a sampled footer would miss a column an
+        # append evolved in), plus ONE footer per unaffected
+        # partition. Residual gaps of this path (unaffected-partition
+        # sampling, the rebase window for undeclared winners,
+        # O(affected files + partitions) cost) go away once the
+        # table's commits declare columns.
+        samples = [
+            _os.path.join(table_path, f)
+            for fs in existing.values()
+            for f in fs
+        ]
+        samples += [
+            _os.path.join(table_path, sorted(fs)[0])
+            for n, fs in parts.items()
+            if fs and n not in existing
+        ]
+        if samples:
+            _refuse_dropped(
                 set(_snapshot_reader(spark, True).parquet(*samples).schema.names)
-                if samples
-                else set()
-            )
-        dropped = live_cols - set(updates.columns)
-        if dropped:
-            raise ValueError(
-                f"updates batch lacks existing table columns "
-                f"{sorted(dropped)}; a merge must carry every live "
-                "column (nulling them implicitly would lose data)"
             )
 
     new_content = updates
@@ -2507,7 +2541,10 @@ def occ_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_year") == year)
                 & (F.col("o_orderkey") % ML_RACE_MOD == 1)
             ).withColumn("o_orderstatus", F.lit(status))
-            barrier.wait()
+            # timeout → BrokenBarrierError → errs: if the sibling dies
+            # BEFORE reaching the barrier, this thread must fail loudly
+            # instead of blocking join() forever
+            barrier.wait(timeout=600)
             occ_merge_upsert(
                 spark, path, ups, ["o_orderkey"], "o_year",
                 stats_cols=["o_odate"],

@@ -1123,3 +1123,89 @@ def test_close_moved_keys_conflicts_with_any_file_adding_winner(
     got = _rows(spark, t, v)
     assert (0, "MOVED", 5) in got
     assert not any(k == 0 and p == 0 for k, _v, p in got)
+
+
+def test_declared_empty_add_does_not_union_columns(spark, tmp_path):
+    # review r10 wave 2: a DECLARED add that lands zero files (schema
+    # registration, emptied retry) must not widen the partition's
+    # column set — no live file holds the declared column, so the
+    # merge guard would demand a zombie
+    t = str(tmp_path / "empty_decl")
+    base = spark.createDataFrame([(0, "a", 0)], "k int, v string, p int")
+    assert m.occ_merge_upsert(spark, t, base, ["k"], "p") == 1
+    assert m.occ_commit(
+        t, {"p=0": []}, base_version=1, columns=["k", "v", "p", "w"]
+    ) == 2
+    assert m._snapshot_state(t, 2)[2] == {"k", "v", "p"}
+    # a default-mode merge without w still lands
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(1, "b", 0)]), ["k"], "p"
+    ) == 3
+    assert sorted(r.k for r in m.read_snapshot(spark, t, 3).collect()) == [0, 1]
+
+
+def test_close_moved_keys_maps_holders_by_file_not_by_value(spark, tmp_path):
+    # review r10 wave 2: a table adopted via raw occ_commit can hold a
+    # partition whose NAME does not follow the value's str() form. The
+    # holders scan must locate the old row by the file it was read
+    # from: (a) an exotic old home whose every row moved is dropped
+    # correctly; (b) an exotic old home with SURVIVORS refuses loudly
+    # (the survivors would restage under the str()-form name, which is
+    # outside the footprint) instead of leaving a silent duplicate.
+    t = str(tmp_path / "exotic")
+    df = spark.createDataFrame([(0, "only", 0)], "k int, v string, p int")
+    f = m._tt_commit(df.coalesce(1), os.path.join(t, "data"), "c-exotic")
+    assert m.occ_commit(t, {"weird0": f}, base_version=0, columns=["k", "v", "p"]) == 1
+    # (a) the single row of 'weird0' moves to p=5: total move, old home dropped
+    assert m.occ_merge_upsert(
+        spark, t, _updf(spark, [(0, "MOVED", 5)]), ["k"], "p",
+        close_moved_keys=True,
+    ) == 2
+    parts = m._snapshot_parts(t, 2)
+    assert "weird0" not in parts and "p=5" in parts
+    assert _rows(spark, t, 2) == [(0, "MOVED", 5)]
+    # (b) an exotic home WITH survivors: loud refusal, nothing sealed
+    t2 = str(tmp_path / "exotic2")
+    df2 = spark.createDataFrame(
+        [(0, "mover", 0), (1, "stayer", 0)], "k int, v string, p int"
+    )
+    f2 = m._tt_commit(df2.coalesce(1), os.path.join(t2, "data"), "c-exotic")
+    assert m.occ_commit(t2, {"weird0": f2}, base_version=0, columns=["k", "v", "p"]) == 1
+    with pytest.raises(RuntimeError, match="partition-name mismatch"):
+        m.occ_merge_upsert(
+            spark, t2, _updf(spark, [(0, "MOVED", 5)]), ["k"], "p",
+            close_moved_keys=True,
+        )
+    assert m.current_version(t2) == 1  # nothing sealed
+
+
+def test_snapshot_walk_retries_once_under_racing_expiry(spark, table, monkeypatch):
+    # review r10 wave 2: a walk that started before a concurrent
+    # expiry wrote its horizon checkpoint can step onto a just-deleted
+    # manifest; one retry finds the (durably-written-first) checkpoint
+    fa = _commit_files(spark, table, "c-a", range(10, 12))
+    fb = _commit_files(spark, table, "c-b", range(20, 22))
+    assert m.occ_commit(table, {"pA": fa}, base_version=1) == 2
+    assert m.occ_commit(table, {"pB": fb}, base_version=2) == 3
+    want = m._snapshot_parts(table, 3)
+    real_read = m._read_manifest
+    state = {"fired": False}
+
+    def racing_read(table_path, version):
+        if version == 1 and not state["fired"]:
+            # the concurrent expiry: checkpoint at the horizon, then
+            # v1's manifest vanishes under the walker
+            state["fired"] = True
+            m.checkpoint_snapshot(table_path, 2)
+            os.remove(os.path.join(table_path, "manifests", "v1.json"))
+            raise FileNotFoundError("v1.json")
+        return real_read(table_path, version)
+
+    monkeypatch.setattr(m, "_read_manifest", racing_read)
+    assert m._snapshot_parts(table, 3) == want
+    # a genuinely unreconstructible version reports descriptively
+    monkeypatch.undo()
+    os.remove(os.path.join(table, "manifests", "ckpt-v2.json"))
+    os.remove(os.path.join(table, "manifests", "v2.json"))
+    with pytest.raises(FileNotFoundError, match="cannot be reconstructed"):
+        m._snapshot_parts(table, 3)
