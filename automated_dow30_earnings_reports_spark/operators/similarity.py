@@ -1897,7 +1897,6 @@ def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest's cell directories; sparing is O(1) per young entry. With
     the window wider than the longest stage-to-publish latency this is
     exactly Delta's VACUUM RETAIN applied to the index family."""
-    import json as _json
     import shutil as _shutil
     import time as _time
 
@@ -1918,24 +1917,24 @@ def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(path, "postings"), ["cell"], dynamic=False,
     )
 
-    def _stage(batch_id: int, vecs: DataFrame) -> str:
+    def _stage(batch_id: int, vecs: DataFrame) -> tuple[str, dict]:
         staging = _os.path.join(path, ".staging", f"batch-{batch_id}")
         _shutil.rmtree(staging, ignore_errors=True)
         write_partitioned(
             _assign_cells(vecs, cents),
             _os.path.join(staging, "postings"), ["cell"], dynamic=False,
         )
-        write_publish_manifest(path, staging, ("postings",), batch_id)
-        return staging
+        return staging, write_publish_manifest(
+            path, staging, ("postings",), batch_id
+        )
 
     # batch 77: ghost vectors, staged + manifest + ONE moved file, aged
     ghosts = e.where(F.expr(IVF_DELETE_PRED)).withColumn(
         "vec_id", (F.col("vec_id") + IVF_GHOST_OFFSET).cast("long")
     )
-    stage77 = _stage(77, ghosts)
+    stage77, touched77 = _stage(77, ghosts)
     man77 = _os.path.join(path, ".publish-manifest-77.json")
-    with open(man77) as fh:
-        rel0 = sorted(_json.load(fh)["postings"])[0]
+    rel0 = sorted(touched77["postings"])[0]
     src_dir = _os.path.join(stage77, "postings", rel0)
     src = sorted(f for f in _os.listdir(src_dir) if f.endswith(".parquet"))[0]
     dest_dir = _os.path.join(path, "postings", rel0)
@@ -1951,7 +1950,7 @@ def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.utime(moved, (old_t, old_t))
 
     # batch 78: the racing ingest's real delta, fresh (in-flight)
-    stage78 = _stage(78, e.where(F.expr(IVF_DELETE_PRED)))
+    stage78, _touched78 = _stage(78, e.where(F.expr(IVF_DELETE_PRED)))
 
     report = rollback_orphan_publishes(path, min_age_seconds=3600)
     if report["rolled_back_batches"] != 1 or report["scrubbed_files"] != 1:

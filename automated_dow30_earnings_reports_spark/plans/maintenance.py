@@ -2562,7 +2562,11 @@ def occ_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("both racing merges should have serialized to v4")
 
     # stats-pruned read: the four pre-cutoff year partitions' bounds
-    # exclude the range — they must be skipped on metadata alone
+    # exclude the range — they must be skipped on metadata alone.
+    # (read_snapshot_where below replays the same plan internally; the
+    # duplicate O(metadata) pass is deliberate — this call attests the
+    # prune COUNT, that one attests the public read verb, and the
+    # table is five versions deep by construction.)
     _files, pruned = pruned_snapshot_files(path, 4, "o_odate", ML_PRUNE_LO, None)
     if pruned != 4:
         raise RuntimeError(

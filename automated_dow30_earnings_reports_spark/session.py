@@ -36,6 +36,10 @@ def get_spark(app_name: str = "dow30-spark-engine", shuffle_partitions: int | No
     if active is not None:
         # An EXPLICIT shuffle_partitions request against an existing
         # session is either a no-op (it already matches) or a CONFLICT.
+        # Caller audit (r10, per the r9 ADVICE): the only caller
+        # passing shuffle_partitions is tests/conftest.py, which owns
+        # session creation — no driver/bench/registered-query path can
+        # hit this raise at runtime.
         # Mutating the shared session here would silently change
         # shuffle parallelism for every other consumer (concurrent
         # tests, queries sharing the session), so a conflicting

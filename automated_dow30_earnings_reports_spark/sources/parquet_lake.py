@@ -79,6 +79,32 @@ def _publish_manifest_path(live_root: str, batch_id: int) -> str:
     return _os.path.join(live_root, f".publish-manifest-{batch_id}.json")
 
 
+def _fsync_dir_pl(path: str) -> None:
+    dfd = _os.open(path, _os.O_RDONLY)
+    try:
+        _os.fsync(dfd)
+    finally:
+        _os.close(dfd)
+
+
+def _write_json_durable(path: str, payload: dict) -> None:
+    """temp + fsync + atomic rename + dir fsync: the manifest is the
+    crash-recovery source of truth for a publish's partial moves, so it
+    must be durable BEFORE the first move — a torn manifest would leave
+    moved partial files that no scrub can find (the same contract every
+    other commit point in the lake honors: seal_manifest, _cas_seal,
+    checkpoint_snapshot, the TTL stamps)."""
+    import json as _json
+
+    tmp = f"{path}.tmp-{_os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, path)
+    _fsync_dir_pl(_os.path.dirname(path))
+
+
 def _staged_touched(
     staging_root: str, tables: list[str] | tuple[str, ...]
 ) -> dict[str, list[str]]:
@@ -108,12 +134,13 @@ def write_publish_manifest(
     return its touched-set — the exact artifact publish_staged_batch
     writes before its file moves. Exists so the crash-construction
     queries (ivf/text index vacuum) build their mid-move states from
-    the SAME format the rollback reads instead of hand-rolling it."""
-    import json as _json
-
+    the SAME format the rollback reads instead of hand-rolling it.
+    Durable (temp + fsync + rename) before it returns."""
     touched = _staged_touched(staging_root, tables)
-    with open(_publish_manifest_path(live_root, batch_id), "w") as fh:
-        _json.dump({t: sorted(rels) for t, rels in touched.items()}, fh)
+    _write_json_durable(
+        _publish_manifest_path(live_root, batch_id),
+        {t: sorted(rels) for t, rels in touched.items()},
+    )
     return touched
 
 
@@ -179,11 +206,14 @@ def publish_staged_batch(
             for f in _os.listdir(d):
                 if f.startswith(tag):
                     _os.remove(_os.path.join(d, f))
-    # manifest BEFORE the moves: a crash mid-move leaves the exact
-    # touched-set on disk for the replay's scrub
+    # manifest BEFORE the moves, DURABLE before the first move: a
+    # crash mid-move leaves the exact touched-set on disk for the
+    # replay's scrub — an unsynced manifest could tear while moved
+    # files survive, leaving partials no scrub can ever find
     _os.makedirs(live_root, exist_ok=True)
-    with open(manifest, "w") as fh:
-        _json.dump({t: sorted(rels) for t, rels in touched.items()}, fh)
+    _write_json_durable(
+        manifest, {t: sorted(rels) for t, rels in touched.items()}
+    )
     for t in tables:
         live = _os.path.join(live_root, t)
         stage = _os.path.join(staging_root, t)
@@ -220,8 +250,11 @@ def rollback_orphan_publishes(
     than the window is possibly an IN-FLIGHT ingest between its stage
     write and its publish completion, so it is spared (counted in
     ``young_spared``) and only durably-abandoned state — every mtime
-    in it past the window — is rolled back. With the window wider than
-    the longest stage-to-publish latency, a racing ingest's staged
+    in it past the window — is rolled back. The window must exceed
+    BOTH the longest stage-to-publish latency AND a live stream's
+    maximum replay gap (a batch that can still be replayed is by
+    definition in-flight — Delta's VACUUM RETAIN rule verbatim); sized
+    that way, a racing ingest's staged
     batch survives the vacuum and publishes cleanly afterwards. The
     manifest's age governs its whole batch: an old manifest's partial
     ``ingest-*`` files are scrubbed regardless of their own mtimes.
@@ -287,7 +320,47 @@ def rollback_orphan_publishes(
             with open(manifest) as fh:
                 touched = _json.load(fh)
         except (OSError, ValueError):
-            touched = {}
+            # torn manifest (pre-durable-write crash state): retiring
+            # it with touched={} would abandon the batch's partial
+            # ingest files forever. Recover the touched-set from the
+            # staged tree (the same fallback the publish's own scrub
+            # uses); if that is gone too, pay a ONE-TIME full walk of
+            # the live tables for this batch's tag — the only point in
+            # the lifecycle allowed to walk the index, and only on the
+            # doubly-corrupted path that the durable manifest write
+            # makes near-impossible.
+            stage = _os.path.join(live_root, ".staging", f"batch-{m.group(1)}")
+            if _os.path.isdir(stage):
+                touched = {
+                    t: rels
+                    for t, rels in _staged_touched(
+                        stage, sorted(_os.listdir(stage))
+                    ).items()
+                }
+            else:
+                touched = {}
+                for t in sorted(_os.listdir(live_root)):
+                    troot = _os.path.join(live_root, t)
+                    if t.startswith(".") or not _os.path.isdir(troot):
+                        continue
+                    rels = [
+                        _os.path.relpath(dp, troot)
+                        for dp, _dirs, files in sorted(_os.walk(troot))
+                        if any(f.startswith(tag) for f in files)
+                    ]
+                    if rels:
+                        touched[t] = rels
+        if min_age_seconds > 0 and not _tree_old(manifest):
+            # re-check at the last instant before destructive work: a
+            # replaying publisher may have overwritten the manifest
+            # between the loop-top age check and here. This shrinks the
+            # check-to-act window to ~0; the remaining sliver is
+            # covered by the window CONTRACT (min_age_seconds must
+            # exceed the stream's maximum replay gap — a batch that can
+            # still be replayed is by definition in-flight, exactly
+            # Delta's VACUUM RETAIN rule).
+            report["young_spared"] += 1
+            continue
         for t, rels in touched.items():
             live = _os.path.join(live_root, t)
             for rel in rels:

@@ -1209,3 +1209,80 @@ def test_snapshot_walk_retries_once_under_racing_expiry(spark, table, monkeypatc
     os.remove(os.path.join(table, "manifests", "v2.json"))
     with pytest.raises(FileNotFoundError, match="cannot be reconstructed"):
         m._snapshot_parts(table, 3)
+
+
+def test_column_fold_randomized_model_check(tmp_path):
+    """Seeded randomized interleavings of declared/undeclared adds,
+    declared empty adds, rewrites, and background checkpoints against
+    a dict model of the PER-PARTITION column fold: at every step the
+    engine's table-level column set must equal the model's (union over
+    file-holding partitions, None if any is unknown). Pure metadata —
+    occ_commit never opens data files."""
+    import random
+
+    cols_pool = ["a", "b", "c", "d", "e"]
+    for seed in range(5):
+        rng = random.Random(2000 + seed)
+        t = str(tmp_path / f"colmodel-{seed}")
+        os.makedirs(os.path.join(t, "data"), exist_ok=True)
+        parts_model: dict[str, list[str]] = {}
+        pcols_model: dict[str, set | None] = {}  # absent/None = unknown
+        file_seq = 0
+        parts_pool = [f"p{i}" for i in range(4)]
+
+        def new_files(n):
+            nonlocal file_seq
+            out = []
+            for _ in range(n):
+                rel = f"data/f{file_seq}.parquet"
+                file_seq += 1
+                with open(os.path.join(t, rel), "w"):
+                    pass
+                out.append(rel)
+            return out
+
+        def model_table_cols():
+            live = [p for p, fs in parts_model.items() if fs]
+            if any(pcols_model.get(p) is None for p in live):
+                return None
+            out = set()
+            for p in live:
+                out |= pcols_model[p]
+            return out
+
+        for _ in range(60):
+            head = m.current_version(t)
+            roll = rng.random()
+            if head and roll < 0.15:
+                m.checkpoint_snapshot(t, rng.randint(1, head))
+                assert m._snapshot_state(t, head)[2] == model_table_cols()
+                continue
+            p = rng.choice(parts_pool)
+            declared = rng.random() < 0.7
+            empty = rng.random() < 0.15
+            is_rewrite = rng.random() < 0.3 and p in parts_model
+            files = [] if empty else new_files(rng.randint(1, 2))
+            cols = (
+                sorted(rng.sample(cols_pool, rng.randint(1, 3)))
+                if declared
+                else None
+            )
+            m.occ_commit(
+                t, {p: files}, replaces=[p] if is_rewrite else (),
+                base_version=head, columns=cols,
+            )
+            if is_rewrite:
+                parts_model.pop(p, None)
+                pcols_model.pop(p, None)
+            existed = p in parts_model
+            parts_model[p] = parts_model.get(p, []) + files
+            if files:  # knowledge moves only with real files
+                if cols is not None:
+                    if not existed:
+                        pcols_model[p] = set(cols)
+                    elif pcols_model.get(p) is not None:
+                        pcols_model[p] = pcols_model[p] | set(cols)
+                else:
+                    pcols_model[p] = None
+            got = m._snapshot_state(t, head + 1)[2]
+            assert got == model_table_cols(), (seed, head + 1, got)

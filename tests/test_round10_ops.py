@@ -179,3 +179,65 @@ def test_stray_file_under_staging_is_reclaimed_not_miscounted(spark, tmp_path):
     # idempotent: a second vacuum reports a clean index
     report = rollback_orphan_publishes(live)
     assert report["scratch_dirs"] == 0 and report["rolled_back_batches"] == 0
+
+
+def test_torn_manifest_recovers_scrub_set_instead_of_abandoning(spark, tmp_path):
+    # review r10 wave 3: a torn manifest used to be retired with
+    # touched={}, permanently abandoning the batch's partial ingest
+    # files. Recovery now derives the scrub set from the staged tree,
+    # or — when that is gone too — from a one-time walk for the
+    # batch's tag.
+    live = str(tmp_path / "idx_torn")
+    spark.range(0, 6).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(live, "t")
+    )
+    # (a) torn manifest, staged tree PRESENT: scrub via the stage
+    stage = _stage_batch(spark, live, 21, 90, 93)
+    src = next(
+        f for f in os.listdir(os.path.join(stage, "t")) if f.endswith(".parquet")
+    )
+    import shutil
+    shutil.copy(
+        os.path.join(stage, "t", src), os.path.join(live, "t", "ingest-21-0.parquet")
+    )
+    with open(os.path.join(live, ".publish-manifest-21.json"), "w") as fh:
+        fh.write('{"t": ["')  # torn
+    report = rollback_orphan_publishes(live)
+    assert report["rolled_back_batches"] == 1
+    assert report["scrubbed_files"] == 1
+    assert not os.path.exists(os.path.join(live, "t", "ingest-21-0.parquet"))
+    # (b) torn manifest, staged tree GONE: the one-time walk finds it
+    with open(os.path.join(live, "t", "ingest-22-0.parquet"), "w") as fh:
+        fh.write("partial")
+    with open(os.path.join(live, ".publish-manifest-22.json"), "w") as fh:
+        fh.write("{")  # torn
+    report = rollback_orphan_publishes(live)
+    assert report["rolled_back_batches"] == 1
+    assert report["scrubbed_files"] == 1
+    assert not os.path.exists(os.path.join(live, "t", "ingest-22-0.parquet"))
+    # base rows untouched throughout
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(live, "t")).collect()
+    )
+    assert got == list(range(6))
+
+
+def test_publish_manifest_write_is_atomic_rename(spark, tmp_path):
+    # review r10 wave 3: the manifest is the crash-recovery source of
+    # truth for partial moves, so it must be written temp+fsync+rename
+    # — a reader (or crash) can never observe a half-written manifest
+    # under the canonical name
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        write_publish_manifest,
+    )
+
+    live = str(tmp_path / "idx_durable")
+    staging = os.path.join(live, ".staging", "batch-5")
+    spark.range(0, 4).selectExpr("id AS doc_id").coalesce(1).write.parquet(
+        os.path.join(staging, "t")
+    )
+    touched = write_publish_manifest(live, staging, ("t",), 5)
+    man = os.path.join(live, ".publish-manifest-5.json")
+    assert json.load(open(man)) == {t: sorted(r) for t, r in touched.items()}
+    # no tmp residue beside the canonical name
+    assert [f for f in os.listdir(live) if ".json.tmp" in f] == []
