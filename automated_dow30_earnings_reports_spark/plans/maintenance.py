@@ -514,13 +514,12 @@ TTL_CUTOFF_YEAR = 1998  # year(TTL_CUTOFF): the one boundary partition
 _TTL_STAMP = "_TTL_REQUEST"  # stage-dir marker naming the request that built it
 
 
-def _fsync_dir(path: str) -> None:
-    """Make a directory's entries durable (rename/link commit points)."""
-    dfd = _os.open(path, _os.O_RDONLY)
-    try:
-        _os.fsync(dfd)
-    finally:
-        _os.close(dfd)
+# THE shared durability helpers (one implementation for every commit
+# point in the repo — a durability fix lands once):
+from automated_dow30_earnings_reports_spark.sources.parquet_lake import (  # noqa: E402
+    fsync_dir as _fsync_dir,
+    write_json_durable as _write_json_durable,
+)
 
 
 def _fsync_tree(path: str) -> None:
@@ -790,18 +789,12 @@ def seal_manifest(table_path: str, version: int, files: list[str]) -> None:
     be trusted as a version and fail every read of it. File paths are
     stored RELATIVE to the table root so the table (manifests + data
     together) can be relocated/replicated without rewriting history."""
-    import json as _json
-
     mdir = _os.path.join(table_path, "manifests")
     _os.makedirs(mdir, exist_ok=True)
-    tmp = _os.path.join(mdir, f"v{version}.json.tmp")
     rels = [_os.path.relpath(f, table_path) for f in files]
-    with open(tmp, "w") as fh:
-        _json.dump({"files": rels}, fh)
-        fh.flush()
-        _os.fsync(fh.fileno())
-    _os.replace(tmp, _os.path.join(mdir, f"v{version}.json"))
-    _fsync_dir(mdir)  # make the dir entry durable too
+    _write_json_durable(
+        _os.path.join(mdir, f"v{version}.json"), {"files": rels}
+    )
 
 
 def _snapshot_reader(spark: SparkSession, merge_schema: bool):
@@ -1286,19 +1279,15 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
     where the O(snapshot) write happens, on whatever cadence the
     table's operator schedules — Delta's checkpoint-every-10-commits
     run by a background job, not by writers. Idempotent and
-    crash-safe: temp write + fsync + os.replace, and a torn/absent
-    checkpoint only costs replay depth, never correctness."""
-    import json as _json
-
+    crash-safe: the shared durable JSON write (temp + fsync +
+    os.replace), and a torn/absent checkpoint only costs replay
+    depth, never correctness."""
     if version is None:
         version = current_version(table_path)
     if version < 1:
         raise ValueError("cannot checkpoint an empty table")
     parts, stats, pcols = _snapshot_maps(table_path, version)
     mdir = _os.path.join(table_path, "manifests")
-    tmp = _os.path.join(
-        mdir, f"ckpt-v{version}.json.tmp-{_os.getpid()}-{next(_CAS_TMP_SEQ)}"
-    )
     state = {
         "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
         "stats": {
@@ -1311,12 +1300,7 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         # read as all-unknown (footer fallback), never as a guess
         "pcols": {p: sorted(cs) for p, cs in sorted(pcols.items())},
     }
-    with open(tmp, "w") as fh:
-        _json.dump(state, fh)
-        fh.flush()
-        _os.fsync(fh.fileno())
-    _os.replace(tmp, _os.path.join(mdir, f"ckpt-v{version}.json"))
-    _fsync_dir(mdir)
+    _write_json_durable(_os.path.join(mdir, f"ckpt-v{version}.json"), state)
     return version
 
 
@@ -1884,6 +1868,18 @@ def _merge_body(
             from urllib.parse import urlparse as _urlparse
 
             for r in holder_files:
+                if not r["_src"]:
+                    # some plan shapes legally evaluate
+                    # input_file_name() as '' (e.g. when codegen fuses
+                    # the projection above a join boundary) — realpath
+                    # of '' would resolve to the cwd and produce a
+                    # misleading not-in-snapshot error
+                    raise RuntimeError(
+                        "close_moved_keys: input_file_name() returned "
+                        "'' for a holder row, so its partition cannot "
+                        "be identified on this plan shape; refusing "
+                        "rather than widening the wrong partition"
+                    )
                 src = _os.path.realpath(_unquote(_urlparse(r["_src"]).path))
                 name = file_part.get(src)
                 if name is None:

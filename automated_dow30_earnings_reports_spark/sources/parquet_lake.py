@@ -79,7 +79,15 @@ def _publish_manifest_path(live_root: str, batch_id: int) -> str:
     return _os.path.join(live_root, f".publish-manifest-{batch_id}.json")
 
 
-def _fsync_dir_pl(path: str) -> None:
+import itertools as _itertools
+
+_PL_TMP_SEQ = _itertools.count()
+
+
+def fsync_dir(path: str) -> None:
+    """Make a directory's entries durable (rename/link commit points).
+    THE shared implementation — maintenance.py's commit points alias
+    it, so a durability fix lands once."""
     dfd = _os.open(path, _os.O_RDONLY)
     try:
         _os.fsync(dfd)
@@ -87,22 +95,31 @@ def _fsync_dir_pl(path: str) -> None:
         _os.close(dfd)
 
 
-def _write_json_durable(path: str, payload: dict) -> None:
-    """temp + fsync + atomic rename + dir fsync: the manifest is the
-    crash-recovery source of truth for a publish's partial moves, so it
-    must be durable BEFORE the first move — a torn manifest would leave
-    moved partial files that no scrub can find (the same contract every
-    other commit point in the lake honors: seal_manifest, _cas_seal,
-    checkpoint_snapshot, the TTL stamps)."""
+def write_json_durable(path: str, payload: dict) -> None:
+    """temp + fsync + atomic rename + dir fsync: the one way any
+    crash-recovery JSON artifact is written (publish manifests here;
+    seal_manifest / checkpoint_snapshot in plans/maintenance.py
+    delegate to this) — a torn artifact under the canonical name must
+    be impossible. The tmp name is pid+sequence unique so concurrent
+    writers in one process never interleave into the same staging
+    file, and the tmp is unlinked on every error path (a crash between
+    write and rename leaves only a residue the vacuum sweeps)."""
     import json as _json
 
-    tmp = f"{path}.tmp-{_os.getpid()}"
-    with open(tmp, "w") as fh:
-        _json.dump(payload, fh)
-        fh.flush()
-        _os.fsync(fh.fileno())
-    _os.replace(tmp, path)
-    _fsync_dir_pl(_os.path.dirname(path))
+    tmp = f"{path}.tmp-{_os.getpid()}-{next(_PL_TMP_SEQ)}"
+    try:
+        with open(tmp, "w") as fh:
+            _json.dump(payload, fh)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(tmp, path)
+    except BaseException:
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    fsync_dir(_os.path.dirname(path))
 
 
 def _staged_touched(
@@ -137,7 +154,7 @@ def write_publish_manifest(
     the SAME format the rollback reads instead of hand-rolling it.
     Durable (temp + fsync + rename) before it returns."""
     touched = _staged_touched(staging_root, tables)
-    _write_json_durable(
+    write_json_durable(
         _publish_manifest_path(live_root, batch_id),
         {t: sorted(rels) for t, rels in touched.items()},
     )
@@ -211,7 +228,7 @@ def publish_staged_batch(
     # replay's scrub — an unsynced manifest could tear while moved
     # files survive, leaving partials no scrub can ever find
     _os.makedirs(live_root, exist_ok=True)
-    _write_json_durable(
+    write_json_durable(
         manifest, {t: sorted(rels) for t, rels in touched.items()}
     )
     for t in tables:
@@ -282,7 +299,7 @@ def rollback_orphan_publishes(
     import time as _time
 
     report = {"rolled_back_batches": 0, "scrubbed_files": 0, "scratch_dirs": 0,
-              "young_spared": 0}
+              "young_spared": 0, "tmp_files_removed": 0}
     if not _os.path.isdir(live_root):
         return report
     cutoff = _time.time() - min_age_seconds
@@ -305,6 +322,20 @@ def rollback_orphan_publishes(
         return True
 
     for entry in sorted(_os.listdir(live_root)):
+        if _re.fullmatch(r"\.publish-manifest-\d+\.json\.tmp-.+", entry):
+            # write_json_durable staging residue (a writer that died
+            # between its tmp write and the rename): never read by any
+            # recovery path, reclaim under the same age rule
+            full = _os.path.join(live_root, entry)
+            if _tree_old(full):
+                try:
+                    _os.remove(full)
+                    report["tmp_files_removed"] += 1
+                except OSError:
+                    pass  # vanished under us: nothing to reclaim
+            else:
+                report["young_spared"] += 1
+            continue
         m = _re.fullmatch(r"\.publish-manifest-(\d+)\.json", entry)
         if not m:
             continue
@@ -322,34 +353,27 @@ def rollback_orphan_publishes(
         except (OSError, ValueError):
             # torn manifest (pre-durable-write crash state): retiring
             # it with touched={} would abandon the batch's partial
-            # ingest files forever. Recover the touched-set from the
-            # staged tree (the same fallback the publish's own scrub
-            # uses); if that is gone too, pay a ONE-TIME full walk of
+            # ingest files forever. Recover by a ONE-TIME full walk of
             # the live tables for this batch's tag — the only point in
             # the lifecycle allowed to walk the index, and only on the
-            # doubly-corrupted path that the durable manifest write
-            # makes near-impossible.
-            stage = _os.path.join(live_root, ".staging", f"batch-{m.group(1)}")
-            if _os.path.isdir(stage):
-                touched = {
-                    t: rels
-                    for t, rels in _staged_touched(
-                        stage, sorted(_os.listdir(stage))
-                    ).items()
-                }
-            else:
-                touched = {}
-                for t in sorted(_os.listdir(live_root)):
-                    troot = _os.path.join(live_root, t)
-                    if t.startswith(".") or not _os.path.isdir(troot):
-                        continue
-                    rels = [
-                        _os.path.relpath(dp, troot)
-                        for dp, _dirs, files in sorted(_os.walk(troot))
-                        if any(f.startswith(tag) for f in files)
-                    ]
-                    if rels:
-                        touched[t] = rels
+            # corrupted path the durable manifest write makes
+            # near-impossible. (The leftover staged tree is NOT a
+            # sufficient source: a partition whose staged files were
+            # ALL moved before the crash holds no .parquet in its
+            # stage dir and would be missed — the walk finds the moves
+            # wherever they landed.)
+            touched = {}
+            for t in sorted(_os.listdir(live_root)):
+                troot = _os.path.join(live_root, t)
+                if t.startswith(".") or not _os.path.isdir(troot):
+                    continue
+                rels = [
+                    _os.path.relpath(dp, troot)
+                    for dp, _dirs, files in sorted(_os.walk(troot))
+                    if any(f.startswith(tag) for f in files)
+                ]
+                if rels:
+                    touched[t] = rels
         if min_age_seconds > 0 and not _tree_old(manifest):
             # re-check at the last instant before destructive work: a
             # replaying publisher may have overwritten the manifest
@@ -404,11 +428,17 @@ def rollback_orphan_publishes(
                 else:
                     # stray non-directory scratch (a crashed writer's
                     # temp artifact): rmtree would silently no-op
-                    _os.remove(full)
-                    report["scratch_dirs"] += 1
+                    try:
+                        _os.remove(full)
+                        report["scratch_dirs"] += 1
+                    except OSError:
+                        pass  # vanished under us
             report["young_spared"] += spared
-            if not spared and not _os.listdir(staging):
-                _os.rmdir(staging)
+            if not spared:
+                try:
+                    _os.rmdir(staging)
+                except OSError:
+                    pass  # a racing ingest re-created a child: leave it
         elif (
             entry in (".committed-seed-tmp", ".committed-compact-tmp")
             or entry.startswith(".forget-stage-")

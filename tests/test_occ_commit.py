@@ -1260,8 +1260,21 @@ def test_column_fold_randomized_model_check(tmp_path):
             p = rng.choice(parts_pool)
             declared = rng.random() < 0.7
             empty = rng.random() < 0.15
-            is_rewrite = rng.random() < 0.3 and p in parts_model
+            # rewrites may also target an ABSENT partition (legal:
+            # occ_commit treats it as an append for the apply step)
+            is_rewrite = rng.random() < 0.3
             files = [] if empty else new_files(rng.randint(1, 2))
+            if (
+                not is_rewrite
+                and parts_model.get(p)
+                and rng.random() < 0.3
+            ):
+                # idempotent RE-ADD of already-present paths (a rebased
+                # retry): the engine must treat these as fresh-empty —
+                # a declared re-add must NOT union its declaration in
+                files = files + rng.sample(
+                    parts_model[p], min(2, len(parts_model[p]))
+                )
             cols = (
                 sorted(rng.sample(cols_pool, rng.randint(1, 3)))
                 if declared
@@ -1275,8 +1288,10 @@ def test_column_fold_randomized_model_check(tmp_path):
                 parts_model.pop(p, None)
                 pcols_model.pop(p, None)
             existed = p in parts_model
-            parts_model[p] = parts_model.get(p, []) + files
-            if files:  # knowledge moves only with real files
+            present = set(parts_model.get(p, []))
+            fresh = [f for f in files if f not in present]
+            parts_model[p] = parts_model.get(p, []) + fresh
+            if fresh:  # knowledge moves only with genuinely NEW files
                 if cols is not None:
                     if not existed:
                         pcols_model[p] = set(cols)

@@ -241,3 +241,59 @@ def test_publish_manifest_write_is_atomic_rename(spark, tmp_path):
     assert json.load(open(man)) == {t: sorted(r) for t, r in touched.items()}
     # no tmp residue beside the canonical name
     assert [f for f in os.listdir(live) if ".json.tmp" in f] == []
+
+
+def test_manifest_tmp_residue_is_swept(spark, tmp_path):
+    # review r10 wave 4: a writer that died between its durable-write
+    # tmp and the rename leaves .publish-manifest-N.json.tmp-* residue
+    # no recovery path reads; the vacuum sweeps it under the age rule
+    live = str(tmp_path / "idx_tmp")
+    spark.range(0, 3).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(live, "t")
+    )
+    residue = os.path.join(live, ".publish-manifest-4.json.tmp-999-0")
+    with open(residue, "w") as fh:
+        fh.write('{"t": ["')
+    # young residue spared under a window...
+    report = rollback_orphan_publishes(live, min_age_seconds=3600)
+    assert report["tmp_files_removed"] == 0 and os.path.exists(residue)
+    # ...aged residue reclaimed (and immediately under quiesce mode)
+    old_t = time.time() - 7200
+    os.utime(residue, (old_t, old_t))
+    report = rollback_orphan_publishes(live, min_age_seconds=3600)
+    assert report["tmp_files_removed"] == 1
+    assert not os.path.exists(residue)
+
+
+def test_torn_manifest_walk_finds_fully_moved_partitions(spark, tmp_path):
+    # review r10 wave 4: the staged tree is NOT a sufficient scrub
+    # source — a partition whose staged files were ALL moved holds no
+    # .parquet in its stage dir. The walk must find the moves anyway,
+    # even with the stage dir still present.
+    live = str(tmp_path / "idx_allmoved")
+    spark.range(0, 4).selectExpr("id AS doc_id").write.parquet(
+        os.path.join(live, "t")
+    )
+    stage = _stage_batch(spark, live, 31, 80, 82)
+    # move EVERY staged file in, then tear the manifest
+    n = 0
+    for f in sorted(os.listdir(os.path.join(stage, "t"))):
+        if f.endswith(".parquet"):
+            os.replace(
+                os.path.join(stage, "t", f),
+                os.path.join(live, "t", f"ingest-31-{n}.parquet"),
+            )
+            n += 1
+    assert n >= 1
+    with open(os.path.join(live, ".publish-manifest-31.json"), "w") as fh:
+        fh.write('{"t"')  # torn
+    report = rollback_orphan_publishes(live)
+    assert report["rolled_back_batches"] == 1
+    assert report["scrubbed_files"] == n
+    assert not any(
+        f.startswith("ingest-31-") for f in os.listdir(os.path.join(live, "t"))
+    )
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(live, "t")).collect()
+    )
+    assert got == list(range(4))

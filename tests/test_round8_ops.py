@@ -199,6 +199,7 @@ def test_vacuum_is_a_noop_on_a_clean_index(spark, tmp_path):
         "scrubbed_files": 0,
         "scratch_dirs": 0,
         "young_spared": 0,
+        "tmp_files_removed": 0,
     }
     got = {r["doc_id"] for r in spark.read.parquet(os.path.join(live, "t")).collect()}
     assert got == set(range(12))
