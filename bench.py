@@ -208,6 +208,8 @@ HEADLINE = [
     "occ_merge_lifecycle",
     "occ_merge_moved_keys",
     "ivf_vacuum_retention",
+    "incremental_snapshot_read",
+    "occ_schema_evolution",
 ]
 
 

@@ -64,6 +64,8 @@ _EXECUTES_ON_BUILD = {
     "occ_merge_lifecycle",
     "occ_merge_moved_keys",
     "ivf_vacuum_retention",
+    "incremental_snapshot_read",
+    "occ_schema_evolution",
 }
 
 

@@ -297,3 +297,124 @@ def test_torn_manifest_walk_finds_fully_moved_partitions(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(os.path.join(live, "t")).collect()
     )
     assert got == list(range(4))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (append-only) snapshot reads: snapshot_changes_files /
+# read_snapshot_changes (plans/maintenance.py). The contract under
+# test: the plan is exactly the range's appended files — deduped
+# against idempotent re-adds inside the range AND against files
+# already live at v_from — and anything the file grain cannot express
+# (a rewrite in range, a legacy full manifest, an expired log) refuses
+# loudly instead of returning a row set that double-counts survivors.
+# ---------------------------------------------------------------------------
+
+from automated_dow30_earnings_reports_spark.plans.maintenance import (  # noqa: E402
+    expire_snapshots,
+    occ_commit,
+    read_snapshot_changes,
+    seal_manifest,
+    snapshot_changes_files,
+)
+
+
+def _commit_files(spark, out, lo, hi, extra=None):
+    df = spark.range(lo, hi).selectExpr("id AS doc_id")
+    if extra is not None:
+        df = df.selectExpr("doc_id", f"doc_id * 10 AS {extra}")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_changes_plan_is_exactly_the_appended_files_deduped(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": f1}, base_version=0) == 1
+    f2 = _commit_files(spark, os.path.join(t, "data", "c2"), 10, 20)
+    assert occ_commit(t, {"a": f2}, base_version=1) == 2
+    f3 = _commit_files(spark, os.path.join(t, "data", "c3"), 20, 30)
+    # v3 re-mentions a v2 file (crashed writer's re-commit): counted once
+    assert occ_commit(t, {"b": f3, "a": [f2[0]]}, base_version=2) == 3
+
+    rel = snapshot_changes_files(t, 1, 3)
+    want = sorted(os.path.relpath(f, t) for f in f2 + f3)
+    assert rel == want
+    assert _ids(read_snapshot_changes(spark, t, 1, 3)) == list(range(10, 30))
+    # since table creation
+    assert _ids(read_snapshot_changes(spark, t, 0, 1)) == list(range(10))
+
+
+def test_changes_excludes_files_live_at_v_from(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": f1}, base_version=0) == 1
+    # v2 is ONLY an idempotent re-add of a v1 file: nothing new arrived
+    assert occ_commit(t, {"a": [f1[0]]}, base_version=1) == 2
+    assert snapshot_changes_files(t, 1, 2) == []
+    with pytest.raises(ValueError, match="zero data files"):
+        read_snapshot_changes(spark, t, 1, 2)
+
+
+def test_changes_refuses_rewrites_and_bad_ranges(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": f1}, base_version=0) == 1
+    f2 = _commit_files(spark, os.path.join(t, "data", "c2"), 0, 5)
+    assert occ_commit(t, {"a": f2}, ("a",), base_version=1) == 2
+    with pytest.raises(ValueError, match="append-only"):
+        snapshot_changes_files(t, 0, 2)
+    with pytest.raises(ValueError, match="append-only"):
+        snapshot_changes_files(t, 1, 2)
+    # narrowing below the rewrite still works
+    assert _ids(read_snapshot_changes(spark, t, 0, 1)) == list(range(10))
+    with pytest.raises(ValueError, match="v_from"):
+        snapshot_changes_files(t, 2, 2)
+    with pytest.raises(ValueError, match="head"):
+        snapshot_changes_files(t, 0, 3)
+
+
+def test_changes_refuses_legacy_manifest_but_reads_above_it(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    seal_manifest(t, 1, f1)  # legacy bootstrap: a state, not a delta
+    f2 = _commit_files(spark, os.path.join(t, "data", "c2"), 10, 20)
+    assert occ_commit(t, {"a": f2}, base_version=1) == 2
+    with pytest.raises(ValueError, match="full"):
+        snapshot_changes_files(t, 0, 1)
+    # the delta tail above the bootstrap is incrementally readable
+    assert _ids(read_snapshot_changes(spark, t, 1, 2)) == list(range(10, 20))
+
+
+def test_changes_over_expired_range_raises_descriptively(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for v, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30)), start=1):
+        fs = _commit_files(spark, os.path.join(t, "data", f"c{v}"), lo, hi)
+        assert occ_commit(t, {"a": fs}, base_version=v - 1) == v
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="expired or torn"):
+        snapshot_changes_files(t, 0, 3)
+
+
+def test_changes_merge_schema_spans_the_evolution(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": f1}, base_version=0, columns=["doc_id"]) == 1
+    f2 = _commit_files(
+        spark, os.path.join(t, "data", "c2"), 10, 20, extra="score"
+    )
+    assert (
+        occ_commit(t, {"b": f2}, base_version=1, columns=["doc_id", "score"])
+        == 2
+    )
+    df = read_snapshot_changes(spark, t, 0, 2, merge_schema=True)
+    assert set(df.columns) == {"doc_id", "score"}
+    rows = {r.doc_id: r.score for r in df.collect()}
+    assert len(rows) == 20
+    assert all(rows[i] is None for i in range(10))
+    assert all(rows[i] == i * 10 for i in range(10, 20))
