@@ -928,9 +928,13 @@ def snapshot_changes_files(
 
     Idempotent-rebase duplicates are removed two ways: a file sealed
     by two in-range commits (a crashed writer's re-commit) counts
-    once, and a file already live AT ``v_from`` (an in-range re-add of
-    a pre-existing path, which `_apply_delta` folds as a no-op) is
-    excluded via one O(metadata) reconstruction of the v_from state.
+    once, and a file already live AT ``v_from`` IN THE SAME PARTITION
+    (an in-range re-add of a pre-existing path, which `_apply_delta`
+    folds as a no-op) is excluded via one O(metadata) reconstruction
+    of the v_from state. The exclusion is PARTITION-grain, exactly
+    `_apply_delta`'s idempotence rule — an in-range add of a path
+    that was live at v_from under a DIFFERENT partition genuinely
+    joins the snapshot and is reported.
 
     Scale shape: planning reads only the range's KB-scale delta
     manifests (+ one checkpoint-bounded replay for the v_from file
@@ -949,8 +953,8 @@ def snapshot_changes_files(
     head = current_version(table_path)
     if v_to > head:
         raise ValueError(f"v_to={v_to} is beyond the table head v{head}")
-    added: list[str] = []
-    seen: set[str] = set()
+    added: list[tuple[str, str]] = []  # (partition, file)
+    seen: set[tuple[str, str]] = set()  # dedup at _apply_delta's grain
     for k in range(v_from + 1, v_to + 1):
         try:
             man = _read_manifest(table_path, k)
@@ -972,16 +976,16 @@ def snapshot_changes_files(
                 "full snapshots and diff, or narrow the range below the "
                 "rewrite"
             )
-        for fs in man.get("adds", {}).values():
+        for p, fs in man.get("adds", {}).items():
             for f in fs:
-                if f not in seen:
-                    seen.add(f)
-                    added.append(f)
+                if (p, f) not in seen:
+                    seen.add((p, f))
+                    added.append((p, f))
     if v_from >= 1 and added:
         base_parts, _stats, _pcols = _snapshot_maps(table_path, v_from)
-        present = {f for fs in base_parts.values() for f in fs}
-        added = [f for f in added if f not in present]
-    return sorted(added)
+        present = {p: set(fs) for p, fs in base_parts.items()}
+        added = [(p, f) for p, f in added if f not in present.get(p, ())]
+    return sorted(f for _p, f in added)
 
 
 def read_snapshot_changes(

@@ -40,6 +40,7 @@ from automated_dow30_earnings_reports_spark.plans.maintenance import (  # noqa: 
     checkpoint_snapshot,
     current_version,
     occ_commit,
+    snapshot_changes_files,
 )
 
 SCRATCH = os.path.join(REPO, ".scratch", "occ_probe")
@@ -113,6 +114,33 @@ def probe_read_reconstruction() -> None:
         )
 
 
+def probe_incremental_plan() -> None:
+    print("incremental-scan planning (100-file append range) vs snapshot "
+          "file count (claim: O(range deltas + v_from replay), flat once "
+          "a checkpoint covers v_from):")
+    for n_files in (1_000, 10_000, 100_000):
+        t = _fresh(f"inc-{n_files}")
+        occ_commit(
+            t, {"base": [f"data/base/f{i}.parquet" for i in range(n_files)]}
+        )
+        v_from = current_version(t)
+        occ_commit(
+            t,
+            {"delta": [f"data/delta/g{i}.parquet" for i in range(100)]},
+            base_version=v_from,
+        )
+        head = current_version(t)
+        cold = _timed(lambda: snapshot_changes_files(t, v_from, head))
+        checkpoint_snapshot(t, v_from)
+        warm = _timed(lambda: snapshot_changes_files(t, v_from, head))
+        if len(snapshot_changes_files(t, v_from, head)) != 100:
+            raise RuntimeError("probe planned the wrong appended set")
+        print(
+            f"  {n_files:>7}-file snapshot: plan {cold*1e3:7.1f} ms cold, "
+            f"{warm*1e3:7.1f} ms with checkpoint at v_from"
+        )
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -123,4 +151,5 @@ if __name__ == "__main__":
     probe_snapshot_size()
     probe_winner_chain()
     probe_read_reconstruction()
+    probe_incremental_plan()
     shutil.rmtree(SCRATCH, ignore_errors=True)

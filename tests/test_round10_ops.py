@@ -418,3 +418,16 @@ def test_changes_merge_schema_spans_the_evolution(spark, tmp_path):
     assert len(rows) == 20
     assert all(rows[i] is None for i in range(10))
     assert all(rows[i] == i * 10 for i in range(10, 20))
+
+
+def test_changes_v_from_exclusion_is_partition_grain(spark, tmp_path):
+    """An in-range add of a path live at v_from under a DIFFERENT
+    partition genuinely joins the snapshot (_apply_delta folds it in)
+    and must be reported; the same-partition re-add stays a no-op."""
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": f1}, base_version=0) == 1
+    # cross-partition: f1[0] added under "b"; same-partition: f1 re-added to "a"
+    assert occ_commit(t, {"b": [f1[0]], "a": list(f1)}, base_version=1) == 2
+    rel = snapshot_changes_files(t, 1, 2)
+    assert rel == [os.path.relpath(f1[0], t)]
