@@ -2147,6 +2147,152 @@ def _merge_body(
     )
 
 
+def occ_compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partitions: list[str] | tuple[str, ...] | None = None,
+    max_files: int = 1,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
+    _pre_commit=None,
+) -> dict:
+    """Compact fragmented partitions of the manifest-pinned table —
+    Iceberg's ``rewrite_data_files`` / Delta's ``OPTIMIZE``: each
+    partition holding more than ``max_files`` data files (or each
+    named in ``partitions``) is rewritten to ``target_files`` fresh
+    immutable files with IDENTICAL content, sealed through
+    `occ_commit` as a rewrite. Small-file sprawl is what append-heavy
+    ingest leaves behind, and at 100 TB it is a real query tax (a
+    footer open + seek per file per scan); compaction is the
+    maintenance verb that pays it down without changing a single row.
+
+    One COMMIT PER PARTITION, Iceberg's per-file-group commit shape,
+    for two reasons: (a) each rewritten partition declares ITS OWN
+    column set — one multi-partition commit carries one declaration,
+    and `_apply_delta` resets every rewritten partition to exactly it,
+    so partitions with differing schemas would be corrupted into
+    claiming columns they don't hold; (b) a concurrent append landing
+    in one partition then costs only THAT partition's compaction (the
+    conflict is reported in ``skipped_conflict`` and the next
+    maintenance cadence retries) instead of failing the whole sweep —
+    partial progress, the production behavior. Because the rewrite
+    re-stages the partition's full content, the declared column set is
+    read back from the staged frame itself, which also HEALS a
+    partition whose columns were unknown (an undeclared legacy add)
+    back to known metadata. ``stats_cols`` recomputes column bounds
+    over the rewritten content so `pruned_snapshot_files` keeps (or
+    gains) its file-skipping power.
+
+    Old small files stay on disk — prior versions remain readable
+    (time travel) until `expire_snapshots` retires them and
+    `vacuum_unreferenced` reclaims the bytes. An incremental read
+    range crossing a compaction commit refuses by design
+    (`snapshot_changes_files`): at file grain a rewrite's row delta —
+    here empty — is not provable, the Iceberg incremental-scan
+    contract. The legacy '' pseudo-partition is refused (its migration
+    is an explicit occ_commit rewrite of '', documented there).
+
+    Returns ``{"base_version", "head_after", "compacted", "skipped_conflict",
+    "files_before", "files_after"}``."""
+    base = current_version(table_path)
+    parts, _stats, pcols = _snapshot_maps(table_path, base)
+    if partitions is None:
+        targets = sorted(p for p, fs in parts.items() if len(fs) > max_files)
+    else:
+        missing = [p for p in partitions if p not in parts]
+        if missing:
+            raise ValueError(
+                f"partitions {missing} are not in snapshot v{base}"
+            )
+        targets = sorted(set(partitions))
+    if "" in targets:
+        raise ValueError(
+            "the legacy '' pseudo-partition is not compactable here; "
+            "migrate it first (one occ_commit rewrite targeting '')"
+        )
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    data = _os.path.join(table_path, "data")
+    report = {
+        "base_version": base,
+        "head_after": base,
+        "compacted": [],
+        "skipped_conflict": [],
+        "files_before": 0,
+        "files_after": 0,
+    }
+    for i, p in enumerate(targets):
+        fs = parts[p]
+        if not fs or len(fs) <= target_files:
+            continue  # nothing to gain: already at/below target
+        df = _snapshot_reader(spark, merge_schema).parquet(
+            *(_os.path.join(table_path, f) for f in fs)
+        )
+        # pid+sequence keeps two concurrent sweeps from staging into
+        # one directory (the loser's commit conflicts later; its files
+        # must still be intact to rmtree, not interleaved)
+        out = _os.path.join(
+            data,
+            f"compact-v{base}-{i}-{_os.getpid()}-{next(_CAS_TMP_SEQ)}",
+        )
+        _shutil.rmtree(out, ignore_errors=True)
+        df.coalesce(target_files).write.mode("overwrite").parquet(out)
+        new_files = sorted(
+            _os.path.join(out, f)
+            for f in _os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        stats = None
+        if stats_cols:
+            want = [c for c in stats_cols if c in df.columns]
+            if want:
+                row = (
+                    spark.read.parquet(*new_files)
+                    .agg(
+                        *[F.min(c).alias(f"lo_{c}") for c in want],
+                        *[F.max(c).alias(f"hi_{c}") for c in want],
+                    )
+                    .collect()[0]
+                )
+                cols = {
+                    c: [row[f"lo_{c}"], row[f"hi_{c}"]]
+                    for c in want
+                    if isinstance(row[f"lo_{c}"], (int, float, str))
+                    and isinstance(row[f"hi_{c}"], (int, float, str))
+                }
+                stats = {p: cols} if cols else None
+        if _pre_commit is not None:
+            _pre_commit(p)  # test seam: interleave a concurrent writer
+        try:
+            # base_version is ALWAYS the snapshot the content was read
+            # at: occ_commit's winner scan then sees every commit since
+            # — including this sweep's own earlier (disjoint) partition
+            # commits, which rebase — and an external winner that
+            # touched THIS partition conflicts instead of being
+            # silently un-seen
+            v = occ_commit(
+                table_path,
+                {p: new_files},
+                replaces=[p],
+                base_version=base,
+                stats=stats,
+                columns=list(df.columns),
+            )
+        except CommitConflictError:
+            # a winner touched this partition after our snapshot: its
+            # content is newer than what we staged — drop our files
+            # and let the next cadence retry from a fresh snapshot
+            _shutil.rmtree(out, ignore_errors=True)
+            report["skipped_conflict"].append(p)
+            continue
+        report["head_after"] = v
+        report["compacted"].append(p)
+        report["files_before"] += len(fs)
+        report["files_after"] += len(new_files)
+    return report
+
+
 def vacuum_unreferenced(
     table_path: str, min_age_seconds: float = 0.0
 ) -> dict[str, int]:
@@ -3024,4 +3170,142 @@ def occ_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").cast("bigint").alias("sum_cust"),
         )
         .orderBy("o_orderstatus", "has_cust")
+    )
+
+
+CP_EARLY_CUTOFF = "1997-01-01"  # 'early' partition: orders strictly before
+CP_LOAD_CUTOFF = "1999-01-01"  # 'late' partition: [EARLY, LOAD)
+CP_FRAGMENTS = 4  # files per partition per commit (x2 commits = 8)
+
+
+@_register(
+    "occ_compaction_lifecycle",
+    f"""
+    WITH rows_ AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{CP_LOAD_CUTOFF}'
+    ),
+    u AS (
+      SELECT 'pre' AS scope, * FROM rows_
+      UNION ALL
+      SELECT 'post' AS scope, * FROM rows_
+    )
+    SELECT scope, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM u
+    GROUP BY scope, o_orderstatus
+    ORDER BY scope, o_orderstatus
+    """,
+)
+def occ_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`occ_compact_partitions` in operating position: two appends
+    fragment each of two partitions to 4×2 files, the
+    sweep rewrites each partition to ONE file through its own OCC
+    commit (per-file-group commits, the Iceberg rewrite_data_files
+    shape), and the query reads the table BOTH at the pre-compaction
+    version and at the head — compaction must change bytes, never
+    rows, so the two scopes aggregate identically and the oracle pins
+    them to the base table. Raise-guards: exact per-partition file
+    counts before/after, exact report accounting, the column set
+    still answered from metadata after the rewrite, recomputed
+    o_totalprice bounds present for both partitions, and the
+    incremental planner refusing a range across the compaction (a
+    rewrite's row delta — here empty — is unprovable at file grain).
+
+    Scale shape: the sweep reads and rewrites ONLY the fragmented
+    partitions' data (never a table scan), commits are per-partition
+    so a concurrent append costs one partition's retry instead of the
+    sweep, and the paid-down tax is real at 100 TB — a footer open
+    per file per scan. Old files stay readable (time travel) until
+    expiry + vacuum reclaim them."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        scratch_path,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = scratch_path(_os.path.join(_SCRATCH, "occ_compact"), sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    data = _os.path.join(path, "data")
+
+    early = o.where(F.col("o_orderdate") < F.lit(CP_EARLY_CUTOFF))
+    late = o.where(
+        (F.col("o_orderdate") >= F.lit(CP_EARLY_CUTOFF))
+        & (F.col("o_orderdate") < F.lit(CP_LOAD_CUTOFF))
+    )
+    for v, (tag, parity) in enumerate(
+        (("even", 0), ("odd", 1)), start=1
+    ):
+        adds = {}
+        for pname, df in (("early", early), ("late", late)):
+            files = _tt_commit(
+                df.where(F.col("o_orderkey") % 2 == parity).repartition(
+                    CP_FRAGMENTS
+                ),
+                data,
+                f"{pname}-{tag}",
+            )
+            adds[pname] = files
+        _expect_version(
+            occ_commit(
+                path,
+                adds,
+                base_version=v - 1,
+                columns=list(o.columns),
+            ),
+            v,
+        )
+
+    pre_parts = _snapshot_parts(path, 2)
+    if sorted(len(fs) for fs in pre_parts.values()) != [8, 8]:
+        raise RuntimeError(f"fragmentation setup wrong: {pre_parts}")
+    report = occ_compact_partitions(
+        spark, path, stats_cols=["o_totalprice"]
+    )
+    if (
+        report["compacted"] != ["early", "late"]
+        or report["skipped_conflict"]
+        or report["files_before"] != 16
+        or report["files_after"] != 2
+        or report["head_after"] != 4
+    ):
+        raise RuntimeError(f"compaction report wrong: {report}")
+    parts, stats, cols = _snapshot_state(path, 4)
+    if sorted(len(fs) for fs in parts.values()) != [1, 1]:
+        raise RuntimeError(f"post-compaction file counts wrong: {parts}")
+    if cols != set(o.columns):
+        raise RuntimeError(f"column metadata lost in compaction: {cols}")
+    for p in ("early", "late"):
+        if "o_totalprice" not in stats.get(p, {}):
+            raise RuntimeError(f"recomputed bounds missing for {p}: {stats}")
+    try:
+        snapshot_changes_files(path, 2, 4)
+        raise RuntimeError("incremental range across the compaction not refused")
+    except ValueError:
+        pass
+
+    def _agg(df: DataFrame, scope: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                    ).cast("double"),
+                    2,
+                ).alias("total_price"),
+            )
+            .withColumn("scope", F.lit(scope))
+        )
+
+    pre = _agg(read_snapshot(spark, path, 2), "pre")
+    post = _agg(read_snapshot(spark, path, 4), "post")
+    return (
+        pre.unionByName(post)
+        .select("scope", "o_orderstatus", "n_orders", "total_price")
+        .orderBy("scope", "o_orderstatus")
     )

@@ -66,16 +66,17 @@ _MODULES = [
 # explicit same-round routing of queries whose rows the artifact scan
 # can't know about yet (e.g. a rename).
 # r10: _PRIORITY stays EMPTY. Slot math at the driver's ~50-query
-# budget: 5 new queries (occ_merge_lifecycle, occ_merge_moved_keys,
+# budget: 6 new queries (occ_merge_lifecycle, occ_merge_moved_keys,
 # ivf_vacuum_retention — the r9 verdict's top item: driver rows for
 # occ_merge_upsert / read_snapshot_where, plus the retention-windowed
-# index vacuum — and incremental_snapshot_read / occ_schema_evolution,
-# the CDC-style append-range scan and the commit-log schema evolution
-# the column-set metadata was built for) auto-lead via the
-# never-attested rule, then plain LRU drains the ENTIRE 40-query r4
-# cohort with 5 slots of slack reaching into r5: 5 + 40 = 45 <= 50,
-# satisfying the r9 criterion (nothing older than r5 remains) without
-# zero-slack risk. Queries whose ENGINE
+# index vacuum — plus incremental_snapshot_read / occ_schema_evolution
+# / occ_compaction_lifecycle, the CDC-style append-range scan, the
+# commit-log schema evolution, and the rewrite_data_files sweep the
+# column-set metadata was built for) auto-lead via the never-attested
+# rule, then plain LRU drains the ENTIRE 40-query r4 cohort with 4
+# slots of slack reaching into r5: 6 + 40 = 46 <= 50, satisfying the
+# r9 criterion (nothing older than r5 remains) without zero-slack
+# risk. Queries whose ENGINE
 # changed this round — the occ/merge/snapshot family (column-set
 # metadata), ivf_index_vacuum / text_index_vacuum (report key added) —
 # are NOT routed ahead: all were re-verified green on current code by

@@ -210,6 +210,7 @@ HEADLINE = [
     "ivf_vacuum_retention",
     "incremental_snapshot_read",
     "occ_schema_evolution",
+    "occ_compaction_lifecycle",
 ]
 
 

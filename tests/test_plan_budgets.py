@@ -66,6 +66,7 @@ _EXECUTES_ON_BUILD = {
     "ivf_vacuum_retention",
     "incremental_snapshot_read",
     "occ_schema_evolution",
+    "occ_compaction_lifecycle",
 }
 
 

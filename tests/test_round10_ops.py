@@ -431,3 +431,128 @@ def test_changes_v_from_exclusion_is_partition_grain(spark, tmp_path):
     assert occ_commit(t, {"b": [f1[0]], "a": list(f1)}, base_version=1) == 2
     rel = snapshot_changes_files(t, 1, 2)
     assert rel == [os.path.relpath(f1[0], t)]
+
+
+# ---------------------------------------------------------------------------
+# occ_compact_partitions (plans/maintenance.py): the rewrite_data_files
+# sweep. Contract under test: content-identical rewrite, per-partition
+# commits, conflict -> skip + intact staging cleanup + next-cadence
+# retry, unknown-column healing, and the refusal edges.
+# ---------------------------------------------------------------------------
+
+from automated_dow30_earnings_reports_spark.plans.maintenance import (  # noqa: E402
+    _snapshot_state,
+    occ_compact_partitions,
+    read_snapshot,
+)
+
+
+def _frag_table(spark, t, parts=("a",), n_files=4):
+    adds = {}
+    for i, p in enumerate(parts):
+        out = os.path.join(t, "data", f"load-{p}")
+        spark.range(i * 100, i * 100 + 40).selectExpr(
+            "id AS doc_id"
+        ).repartition(n_files).write.mode("overwrite").parquet(out)
+        adds[p] = sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+    assert occ_commit(t, adds, base_version=0, columns=["doc_id"]) == 1
+    return adds
+
+
+def test_compaction_is_content_identical_and_time_travel_safe(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _frag_table(spark, t, parts=("a", "b"), n_files=4)
+    before = _ids(read_snapshot(spark, t, 1))
+    report = occ_compact_partitions(spark, t)
+    assert report["compacted"] == ["a", "b"]
+    assert report["head_after"] == 3  # one commit per partition
+    assert report["files_before"] == 8 and report["files_after"] == 2
+    assert _ids(read_snapshot(spark, t, 3)) == before
+    assert _ids(read_snapshot(spark, t, 1)) == before  # time travel intact
+    parts, _stats, cols = _snapshot_state(t, 3)
+    assert sorted(len(fs) for fs in parts.values()) == [1, 1]
+    assert cols == {"doc_id"}
+
+
+def test_compaction_conflict_skips_partition_and_retries_clean(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _frag_table(spark, t, parts=("a",), n_files=4)
+
+    def _race(p):
+        out = os.path.join(t, "data", "racer")
+        spark.range(500, 510).selectExpr("id AS doc_id").write.mode(
+            "overwrite"
+        ).parquet(out)
+        fs = sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        assert occ_commit(t, {"a": fs}, base_version=1) == 2
+
+    report = occ_compact_partitions(spark, t, _pre_commit=_race)
+    assert report["compacted"] == []
+    assert report["skipped_conflict"] == ["a"]
+    # the racer's rows are intact and the staged sweep files are gone
+    assert _ids(read_snapshot(spark, t, 2)) == list(range(40)) + list(
+        range(500, 510)
+    )
+    assert not [
+        d
+        for d in os.listdir(os.path.join(t, "data"))
+        if d.startswith("compact-")
+    ]
+    # next cadence compacts the merged content cleanly
+    report = occ_compact_partitions(spark, t)
+    assert report["compacted"] == ["a"] and report["head_after"] == 3
+    assert _ids(read_snapshot(spark, t, 3)) == list(range(40)) + list(
+        range(500, 510)
+    )
+
+
+def test_compaction_heals_unknown_column_metadata(spark, tmp_path):
+    t = str(tmp_path / "t")
+    out = os.path.join(t, "data", "load")
+    spark.range(0, 40).selectExpr("id AS doc_id").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    fs = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert occ_commit(t, {"a": fs}, base_version=0) == 1  # undeclared
+    assert _snapshot_state(t, 1)[2] is None  # columns unknown
+    report = occ_compact_partitions(spark, t)
+    assert report["compacted"] == ["a"]
+    assert _snapshot_state(t, 2)[2] == {"doc_id"}  # healed from the rewrite
+
+
+def test_compaction_refusals_and_noop_edges(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _frag_table(spark, t, parts=("a",), n_files=4)
+    with pytest.raises(ValueError, match="not in snapshot"):
+        occ_compact_partitions(spark, t, partitions=["ghost"])
+    with pytest.raises(ValueError, match="target_files"):
+        occ_compact_partitions(spark, t, target_files=0)
+    # already at/below target: a no-op sweep commits nothing
+    report = occ_compact_partitions(spark, t, max_files=4)
+    assert report["compacted"] == [] and report["head_after"] == 1
+    report = occ_compact_partitions(spark, t, target_files=2)
+    assert report["compacted"] == ["a"] and report["files_after"] <= 2
+
+
+def test_compaction_refuses_legacy_pseudo_partition(spark, tmp_path):
+    t = str(tmp_path / "t")
+    out = os.path.join(t, "data", "legacy")
+    spark.range(0, 10).selectExpr("id AS doc_id").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(out)
+    fs = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    seal_manifest(t, 1, fs)  # bootstrap: files live under ''
+    with pytest.raises(ValueError, match="pseudo-partition"):
+        occ_compact_partitions(spark, t, partitions=[""])
