@@ -1140,6 +1140,16 @@ import itertools as _itertools
 _CAS_TMP_SEQ = _itertools.count()
 
 
+def _json_bound(v):
+    """A min/max value usable as a manifest-carried column bound: the
+    JSON-primitive types whose ordering survives a JSON round trip.
+    Anything else (timestamps, decimals, bytes) gets no bounds — the
+    partition is conservatively kept by pruning. THE shared filter for
+    every stats writer (merge, compaction), so a future type admitted
+    in one place cannot silently diverge from the other."""
+    return v if isinstance(v, (int, float, str)) else None
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent winner touched a partition this rewrite was based
     on; the commit cannot be rebased and must be retried from a fresh
@@ -2095,9 +2105,6 @@ def _merge_body(
         # column itself: partition-discovery readback could reinterpret
         # the value's type ('007' -> 7) and mis-key the bounds, which
         # the guard above has already certified for the str() form
-        def _bound(v):
-            return v if isinstance(v, (int, float, str)) else None
-
         rows = (
             spark.read.parquet(
                 *(_os.path.join(table_path, f) for f in leaf_files)
@@ -2113,7 +2120,7 @@ def _merge_body(
         for r in rows:
             cols = {}
             for c in stats_cols:
-                lo, hi = _bound(r[f"lo_{c}"]), _bound(r[f"hi_{c}"])
+                lo, hi = _json_bound(r[f"lo_{c}"]), _json_bound(r[f"hi_{c}"])
                 if lo is not None and hi is not None:
                     cols[c] = [lo, hi]  # non-JSON-primitive types: no bounds
             if cols:
@@ -2154,7 +2161,6 @@ def occ_compact_partitions(
     max_files: int = 1,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
-    merge_schema: bool = False,
     _pre_commit=None,
 ) -> dict:
     """Compact fragmented partitions of the manifest-pinned table —
@@ -2176,13 +2182,25 @@ def occ_compact_partitions(
     in one partition then costs only THAT partition's compaction (the
     conflict is reported in ``skipped_conflict`` and the next
     maintenance cadence retries) instead of failing the whole sweep —
-    partial progress, the production behavior. Because the rewrite
-    re-stages the partition's full content, the declared column set is
-    read back from the staged frame itself, which also HEALS a
-    partition whose columns were unknown (an undeclared legacy add)
-    back to known metadata. ``stats_cols`` recomputes column bounds
-    over the rewritten content so `pruned_snapshot_files` keeps (or
-    gains) its file-skipping power.
+    partial progress, the production behavior.
+
+    The partition read ALWAYS unions file schemas (mergeSchema): a
+    partition whose files span schema generations — a legal evolved
+    append — would otherwise be rewritten to whichever footer won
+    schema inference, silently destroying the evolved column's data
+    and committing metadata that agrees it never existed. The footer
+    cost is negligible next to rewriting the partition's data. The
+    staged frame's column set is then the TRUE live union, declared
+    in the commit — which also HEALS a partition whose columns were
+    unknown (an undeclared legacy add) back to known metadata.
+
+    Column bounds survive compaction: the content-identical rewrite
+    carries the partition's existing bounds forward (they remain a
+    valid over-approximation, so `pruned_snapshot_files` keeps its
+    file-skipping power through routine maintenance), and
+    ``stats_cols`` additionally recomputes exact bounds for the named
+    columns over the rewritten content (tightening stale ones or
+    adding bounds a partition never had).
 
     Old small files stay on disk — prior versions remain readable
     (time travel) until `expire_snapshots` retires them and
@@ -2190,27 +2208,32 @@ def occ_compact_partitions(
     range crossing a compaction commit refuses by design
     (`snapshot_changes_files`): at file grain a rewrite's row delta —
     here empty — is not provable, the Iceberg incremental-scan
-    contract. The legacy '' pseudo-partition is refused (its migration
-    is an explicit occ_commit rewrite of '', documented there).
+    contract. The legacy '' pseudo-partition is SKIPPED by the auto
+    sweep (a mixed legacy table still gets its named partitions
+    compacted — partial progress again) and refused only when named
+    explicitly; its migration is an occ_commit rewrite of '',
+    documented there.
 
     Returns ``{"base_version", "head_after", "compacted", "skipped_conflict",
     "files_before", "files_after"}``."""
     base = current_version(table_path)
     parts, _stats, pcols = _snapshot_maps(table_path, base)
     if partitions is None:
-        targets = sorted(p for p, fs in parts.items() if len(fs) > max_files)
+        targets = sorted(
+            p for p, fs in parts.items() if p != "" and len(fs) > max_files
+        )
     else:
         missing = [p for p in partitions if p not in parts]
         if missing:
             raise ValueError(
                 f"partitions {missing} are not in snapshot v{base}"
             )
+        if "" in partitions:
+            raise ValueError(
+                "the legacy '' pseudo-partition is not compactable here; "
+                "migrate it first (one occ_commit rewrite targeting '')"
+            )
         targets = sorted(set(partitions))
-    if "" in targets:
-        raise ValueError(
-            "the legacy '' pseudo-partition is not compactable here; "
-            "migrate it first (one occ_commit rewrite targeting '')"
-        )
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     data = _os.path.join(table_path, "data")
@@ -2226,42 +2249,40 @@ def occ_compact_partitions(
         fs = parts[p]
         if not fs or len(fs) <= target_files:
             continue  # nothing to gain: already at/below target
-        df = _snapshot_reader(spark, merge_schema).parquet(
+        # mergeSchema ALWAYS: files may span schema generations, and a
+        # single-footer inference would rewrite the partition without
+        # the evolved column — silent data destruction (see docstring)
+        df = _snapshot_reader(spark, merge_schema=True).parquet(
             *(_os.path.join(table_path, f) for f in fs)
         )
         # pid+sequence keeps two concurrent sweeps from staging into
         # one directory (the loser's commit conflicts later; its files
         # must still be intact to rmtree, not interleaved)
-        out = _os.path.join(
+        new_files = _tt_commit(
+            df.coalesce(target_files),
             data,
             f"compact-v{base}-{i}-{_os.getpid()}-{next(_CAS_TMP_SEQ)}",
         )
-        _shutil.rmtree(out, ignore_errors=True)
-        df.coalesce(target_files).write.mode("overwrite").parquet(out)
-        new_files = sorted(
-            _os.path.join(out, f)
-            for f in _os.listdir(out)
-            if f.endswith(".parquet")
-        )
-        stats = None
-        if stats_cols:
-            want = [c for c in stats_cols if c in df.columns]
-            if want:
-                row = (
-                    spark.read.parquet(*new_files)
-                    .agg(
-                        *[F.min(c).alias(f"lo_{c}") for c in want],
-                        *[F.max(c).alias(f"hi_{c}") for c in want],
-                    )
-                    .collect()[0]
+        out = _os.path.dirname(new_files[0]) if new_files else None
+        # content-identical rewrite: existing bounds stay valid (an
+        # over-approximation at worst) — carry them; recompute exact
+        # bounds for the explicitly named columns on top
+        bounds = dict(_stats.get(p, {}))
+        want = [c for c in (stats_cols or []) if c in df.columns]
+        if want:
+            row = (
+                spark.read.parquet(*new_files)
+                .agg(
+                    *[F.min(c).alias(f"lo_{c}") for c in want],
+                    *[F.max(c).alias(f"hi_{c}") for c in want],
                 )
-                cols = {
-                    c: [row[f"lo_{c}"], row[f"hi_{c}"]]
-                    for c in want
-                    if isinstance(row[f"lo_{c}"], (int, float, str))
-                    and isinstance(row[f"hi_{c}"], (int, float, str))
-                }
-                stats = {p: cols} if cols else None
+                .collect()[0]
+            )
+            for c in want:
+                lo, hi = _json_bound(row[f"lo_{c}"]), _json_bound(row[f"hi_{c}"])
+                if lo is not None and hi is not None:
+                    bounds[c] = [lo, hi]
+        stats = {p: bounds} if bounds else None
         if _pre_commit is not None:
             _pre_commit(p)  # test seam: interleave a concurrent writer
         try:
@@ -2283,7 +2304,8 @@ def occ_compact_partitions(
             # a winner touched this partition after our snapshot: its
             # content is newer than what we staged — drop our files
             # and let the next cadence retry from a fresh snapshot
-            _shutil.rmtree(out, ignore_errors=True)
+            if out:
+                _shutil.rmtree(out, ignore_errors=True)
             report["skipped_conflict"].append(p)
             continue
         report["head_after"] = v

@@ -556,3 +556,98 @@ def test_compaction_refuses_legacy_pseudo_partition(spark, tmp_path):
     seal_manifest(t, 1, fs)  # bootstrap: files live under ''
     with pytest.raises(ValueError, match="pseudo-partition"):
         occ_compact_partitions(spark, t, partitions=[""])
+
+
+def test_compaction_preserves_evolved_column_in_mixed_partition(spark, tmp_path):
+    """A partition whose files span schema generations is rewritten
+    with the UNION schema (mergeSchema always): the evolved column's
+    values survive and the commit declares the true live set."""
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": f1}, base_version=0, columns=["doc_id"]) == 1
+    f2 = _commit_files(spark, os.path.join(t, "data", "c2"), 10, 20, extra="score")
+    assert (
+        occ_commit(t, {"a": f2}, base_version=1, columns=["doc_id", "score"])
+        == 2
+    )
+    report = occ_compact_partitions(spark, t)
+    assert report["compacted"] == ["a"] and report["files_after"] == 1
+    df = read_snapshot(spark, t, 3)
+    assert set(df.columns) == {"doc_id", "score"}
+    rows = {r.doc_id: r.score for r in df.collect()}
+    assert len(rows) == 20
+    assert all(rows[i] is None for i in range(10))
+    assert all(rows[i] == i * 10 for i in range(10, 20))
+    assert _snapshot_state(t, 3)[2] == {"doc_id", "score"}
+
+
+def test_compaction_carries_existing_bounds_forward(spark, tmp_path):
+    """A routine sweep without stats_cols must not destroy the
+    partition's file-skipping bounds — the content-identical rewrite
+    keeps them valid."""
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 20)
+    assert (
+        occ_commit(
+            t,
+            {"a": f1},
+            base_version=0,
+            columns=["doc_id"],
+            stats={"a": {"doc_id": [0, 19]}},
+        )
+        == 1
+    )
+    f2 = _commit_files(spark, os.path.join(t, "data", "c2"), 20, 40)
+    assert (
+        occ_commit(
+            t,
+            {"a": f2},
+            base_version=1,
+            columns=["doc_id"],
+            stats={"a": {"doc_id": [20, 39]}},
+        )
+        == 2
+    )
+    report = occ_compact_partitions(spark, t)  # no stats_cols
+    assert report["compacted"] == ["a"]
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        _snapshot_maps,
+    )
+
+    _parts, stats, _pcols = _snapshot_maps(t, 3)
+    assert stats.get("a", {}).get("doc_id") == [0, 39]
+    # and an explicit stats_cols recompute tightens on top of carry
+    f3 = _commit_files(spark, os.path.join(t, "data", "c3"), 5, 6)
+    assert occ_commit(t, {"a": f3}, base_version=3, columns=["doc_id"]) == 4
+    report = occ_compact_partitions(spark, t, stats_cols=["doc_id"])
+    _parts, stats, _pcols = _snapshot_maps(t, 5)
+    assert stats.get("a", {}).get("doc_id") == [0, 39]
+
+
+def test_compaction_auto_sweep_skips_legacy_partition(spark, tmp_path):
+    """A mixed legacy table still gets its named partitions compacted:
+    the auto sweep skips '' instead of refusing everything."""
+    t = str(tmp_path / "t")
+    out = os.path.join(t, "data", "legacy")
+    spark.range(0, 10).selectExpr("id AS doc_id").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(out)
+    legacy = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    seal_manifest(t, 1, legacy)  # '' holds 3 files
+    out2 = os.path.join(t, "data", "c2")
+    spark.range(100, 140).selectExpr("id AS doc_id").repartition(
+        4
+    ).write.mode("overwrite").parquet(out2)
+    f2 = sorted(
+        os.path.join(out2, f)
+        for f in os.listdir(out2)
+        if f.endswith(".parquet")
+    )
+    assert occ_commit(t, {"a": f2}, base_version=1) == 2
+    report = occ_compact_partitions(spark, t)
+    assert report["compacted"] == ["a"]
+    assert _ids(read_snapshot(spark, t, 3)) == list(range(10)) + list(
+        range(100, 140)
+    )
