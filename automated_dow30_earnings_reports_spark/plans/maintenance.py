@@ -2161,6 +2161,7 @@ def occ_compact_partitions(
     max_files: int = 1,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
     _pre_commit=None,
 ) -> dict:
     """Compact fragmented partitions of the manifest-pinned table —
@@ -2201,6 +2202,17 @@ def occ_compact_partitions(
     ``stats_cols`` additionally recomputes exact bounds for the named
     columns over the rewritten content (tightening stale ones or
     adding bounds a partition never had).
+
+    ``sort_cols`` CLUSTERS while it compacts — Delta's
+    ``OPTIMIZE ... ZORDER BY`` lite: with ``target_files > 1`` the
+    partition is range-repartitioned on the sort columns (each output
+    file owns a disjoint value range) and rows are sorted within each
+    file, so per-file min/max footer stats become tight and a
+    range-predicate scan skips most files; with one output file it
+    still sorts rows for scan locality. Same rows, same bounds —
+    clustering changes LAYOUT only, which is why it belongs in the
+    compaction rewrite (the one moment maintenance already pays to
+    rewrite the bytes).
 
     Old small files stay on disk — prior versions remain readable
     (time travel) until `expire_snapshots` retires them and
@@ -2255,11 +2267,25 @@ def occ_compact_partitions(
         df = _snapshot_reader(spark, merge_schema=True).parquet(
             *(_os.path.join(table_path, f) for f in fs)
         )
+        if sort_cols:
+            missing_sort = [c for c in sort_cols if c not in df.columns]
+            if missing_sort:
+                raise ValueError(
+                    f"sort_cols {missing_sort} not in partition {p!r}'s "
+                    f"columns {sorted(df.columns)}"
+                )
+            staged = (
+                df.repartitionByRange(target_files, *sort_cols)
+                if target_files > 1
+                else df.coalesce(1)
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            staged = df.coalesce(target_files)
         # pid+sequence keeps two concurrent sweeps from staging into
         # one directory (the loser's commit conflicts later; its files
         # must still be intact to rmtree, not interleaved)
         new_files = _tt_commit(
-            df.coalesce(target_files),
+            staged,
             data,
             f"compact-v{base}-{i}-{_os.getpid()}-{next(_CAS_TMP_SEQ)}",
         )

@@ -440,6 +440,8 @@ def test_changes_v_from_exclusion_is_partition_grain(spark, tmp_path):
 # retry, unknown-column healing, and the refusal edges.
 # ---------------------------------------------------------------------------
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from automated_dow30_earnings_reports_spark.plans.maintenance import (  # noqa: E402
     _snapshot_state,
     occ_compact_partitions,
@@ -651,3 +653,44 @@ def test_compaction_auto_sweep_skips_legacy_partition(spark, tmp_path):
     assert _ids(read_snapshot(spark, t, 3)) == list(range(10)) + list(
         range(100, 140)
     )
+
+
+def test_compaction_with_sort_cols_clusters_files_by_range(spark, tmp_path):
+    """sort_cols + target_files>1 range-clusters the rewrite: same
+    rows, and each output file owns a disjoint doc_id range (tight
+    per-file footer stats — the OPTIMIZE ZORDER-lite layout)."""
+    t = str(tmp_path / "t")
+    out = os.path.join(t, "data", "c1")
+    # shuffled load: ids deliberately scattered across input files
+    spark.range(0, 400).selectExpr("id AS doc_id").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    ).repartition(8).write.mode("overwrite").parquet(out)
+    fs = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert occ_commit(t, {"a": fs}, base_version=0, columns=["doc_id"]) == 1
+
+    report = occ_compact_partitions(
+        spark, t, target_files=4, sort_cols=["doc_id"]
+    )
+    assert report["compacted"] == ["a"]
+    assert _ids(read_snapshot(spark, t, 2)) == list(range(400))
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        _snapshot_parts,
+    )
+
+    files = _snapshot_parts(t, 2)["a"]
+    assert len(files) <= 4
+    spans = []
+    for f in files:
+        rows = spark.read.parquet(os.path.join(t, f)).agg(
+            F.min("doc_id"), F.max("doc_id")
+        ).collect()[0]
+        if rows[0] is not None:
+            spans.append((rows[0], rows[1]))
+    spans.sort()
+    assert len(spans) >= 2  # genuinely split across files
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges: tight, non-overlapping stats
+    with pytest.raises(ValueError, match="sort_cols"):
+        occ_compact_partitions(spark, t, sort_cols=["ghost"])
