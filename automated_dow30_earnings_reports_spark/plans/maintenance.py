@@ -859,22 +859,34 @@ def pruned_snapshot_files(
     the predicate. Returns (table-root-relative files to read,
     partitions pruned).
 
+    Pruning happens at TWO grains: partitions whose bounds exclude the
+    range are dropped whole, and inside a kept partition, individual
+    FILES with manifest-carried per-file bounds (occ_commit's
+    ``file_stats``, written e.g. by the clustered compaction) that
+    exclude the range are skipped too — Iceberg's per-data-file
+    min/max planning. A file without declared bounds is always kept.
+
     Scale shape: planning is O(snapshot metadata) on the driver and the
-    read is O(matching partitions' data) — at 100 TB with bounds
+    read is O(matching FILES' data) — at 100 TB with partition bounds
     maintained by the writers (occ_merge_upsert's stats_cols, or any
-    occ_commit caller passing ``stats``) a narrow range query opens a
-    handful of partitions instead of the table."""
-    parts, stats, _cols = _snapshot_state(table_path, version)
+    occ_commit caller passing ``stats``) and files range-clustered by
+    the compaction sweep (sort_cols + stats_cols), a narrow range
+    query opens a handful of files instead of the table."""
+    fstats: dict[str, dict[str, list]] = {}
+    parts, stats, _pcols = _snapshot_maps(table_path, version, fstats)
+
+    def _excludes(b) -> bool:
+        return b is not None and (
+            (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
+        )
+
     keep: list[str] = []
     pruned = 0
     for p, fs in sorted(parts.items()):
-        b = stats.get(p, {}).get(col)
-        if b is not None and (
-            (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
-        ):
+        if _excludes(stats.get(p, {}).get(col)):
             pruned += 1
             continue
-        keep.extend(fs)
+        keep.extend(f for f in fs if not _excludes(fstats.get(f, {}).get(col)))
     return sorted(keep), pruned
 
 
@@ -898,7 +910,7 @@ def read_snapshot_where(
     files, _pruned = pruned_snapshot_files(table_path, version, col, lo, hi)
     if not files:
         raise ValueError(
-            f"every partition of v{version} was pruned for {col} in "
+            f"every file of v{version} was pruned for {col} in "
             f"[{lo}, {hi}]; no file remains to derive a schema from"
         )
     df = _snapshot_reader(spark, merge_schema).parquet(
@@ -1202,6 +1214,7 @@ def _apply_delta(
     man: dict,
     stats: dict[str, dict[str, list]] | None = None,
     pcols: dict[str, set] | None = None,
+    fstats: dict[str, dict[str, list]] | None = None,
 ) -> None:
     """Fold one delta manifest into a partition map (and optionally its
     per-partition column-bounds and column-set maps), in place: drop
@@ -1220,10 +1233,22 @@ def _apply_delta(
     per-partition grain is what keeps the table-level set exact under
     rewrites — a commit-level union could never forget a column a
     full-partition rewrite dropped, deadlocking merges against a
-    zombie column no live file holds."""
+    zombie column no live file holds.
+
+    PER-FILE bounds (``fstats``, keyed by table-root-relative file)
+    fold trivially because files are IMMUTABLE: a declared bound is an
+    exact property of the file forever — no widening, no
+    invalidation. A replace drops the popped partitions' files' entries
+    with the files; a fresh add installs whatever per-file bounds the
+    commit declared (absent = that file is never file-skippable, only
+    partition-skippable); an idempotent re-add changes nothing."""
     man_stats = man.get("stats", {})
     man_cols = man.get("columns")
+    man_fstats = man.get("fstats", {})
     for p in man.get("replaces", []):
+        if fstats is not None:
+            for f in parts.get(p, []):
+                fstats.pop(f, None)
         parts.pop(p, None)
         if stats is not None:
             stats.pop(p, None)
@@ -1235,6 +1260,12 @@ def _apply_delta(
         fresh = [f for f in fs if f not in present]
         existed = p in parts
         parts[p] = cur + fresh
+        if fstats is not None:
+            for f in fresh:
+                if f in man_fstats:
+                    fstats[f] = {
+                        c: list(b) for c, b in man_fstats[f].items()
+                    }
         if pcols is not None and fresh:
             # column knowledge moves ONLY with real files: a declared
             # add that lands zero fresh files (metadata-only partition,
@@ -1289,7 +1320,9 @@ def _table_columns(
 
 
 def _snapshot_maps(
-    table_path: str, version: int
+    table_path: str,
+    version: int,
+    fstats: dict[str, dict[str, list]] | None = None,
 ) -> tuple[
     dict[str, list[str]], dict[str, dict[str, list]], dict[str, set]
 ]:
@@ -1314,7 +1347,14 @@ def _snapshot_maps(
     started pre-checkpoint and steps onto a just-deleted manifest
     simply retries once — the fresh walk finds the checkpoint and
     stops above the deletions. A second miss means the version itself
-    is expired (or the log is torn), reported descriptively."""
+    is expired (or the log is torn), reported descriptively.
+
+    ``fstats``: pass a dict and the walk additionally fills the
+    per-FILE column-bounds map (rel file -> {col: [lo, hi]}) from
+    checkpoints and deltas — the Iceberg per-data-file stats that let
+    pruning skip individual files inside a kept partition. Opt-in so
+    the common callers (merge, compaction, schema guard) pay nothing
+    for it."""
     import json as _json
 
     mdir = _os.path.join(table_path, "manifests")
@@ -1324,6 +1364,8 @@ def _snapshot_maps(
         parts: dict[str, list[str]] = {}
         stats: dict[str, dict[str, list]] = {}
         pcols: dict[str, set] = {}
+        if fstats is not None:
+            fstats.clear()  # a retried walk must not keep stale entries
         try:
             while k >= 1:
                 ckpt = _os.path.join(mdir, f"ckpt-v{k}.json")
@@ -1338,6 +1380,11 @@ def _snapshot_maps(
                     pcols = {
                         p: set(cs) for p, cs in state.get("pcols", {}).items()
                     }
+                    if fstats is not None:
+                        for f, cols in state.get("fstats", {}).items():
+                            fstats[f] = {
+                                c: list(b) for c, b in cols.items()
+                            }
                     break
                 man = _read_manifest(table_path, k)
                 full = _manifest_full_parts(man)
@@ -1357,7 +1404,7 @@ def _snapshot_maps(
                 "(the version is expired, or the log is torn)"
             ) from None
         for man in reversed(deltas):
-            _apply_delta(parts, man, stats, pcols)
+            _apply_delta(parts, man, stats, pcols, fstats)
         return parts, stats, pcols
     raise AssertionError("unreachable")  # pragma: no cover
 
@@ -1397,7 +1444,8 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         version = current_version(table_path)
     if version < 1:
         raise ValueError("cannot checkpoint an empty table")
-    parts, stats, pcols = _snapshot_maps(table_path, version)
+    fstats: dict[str, dict[str, list]] = {}
+    parts, stats, pcols = _snapshot_maps(table_path, version, fstats)
     mdir = _os.path.join(table_path, "manifests")
     state = {
         "parts": {p: sorted(fs) for p, fs in sorted(parts.items())},
@@ -1411,6 +1459,13 @@ def checkpoint_snapshot(table_path: str, version: int | None = None) -> int:
         # read as all-unknown (footer fallback), never as a guess
         "pcols": {p: sorted(cs) for p, cs in sorted(pcols.items())},
     }
+    if fstats:
+        # per-file bounds survive the checkpoint horizon the same way
+        # (immutable-file properties; absent key = never file-skippable)
+        state["fstats"] = {
+            f: {c: list(b) for c, b in sorted(cols.items())}
+            for f, cols in sorted(fstats.items())
+        }
     _write_json_durable(_os.path.join(mdir, f"ckpt-v{version}.json"), state)
     return version
 
@@ -1459,6 +1514,7 @@ def occ_commit(
     columns: list[str] | tuple[str, ...] | None = None,
     guard_columns: set[str] | frozenset[str] | None = None,
     conflict_on_winner_adds: bool = False,
+    file_stats: dict[str, dict[str, list]] | None = None,
     _parts_cache: tuple[int, dict[str, list[str]]] | None = None,
 ) -> int:
     """Commit a delta (per-partition file adds + replaced partitions)
@@ -1545,6 +1601,25 @@ def occ_commit(
         ]
         for p, fs in adds.items()
     }
+    rel_fstats = None
+    if file_stats:
+        added_set = {f for fs in rel_adds.values() for f in fs}
+        rel_fstats = {}
+        for f, cols in file_stats.items():
+            rf = (
+                f
+                if not _os.path.isabs(f)
+                else _os.path.relpath(f, table_path)
+            )
+            if rf not in added_set:
+                # a bound for a file this commit does not add would
+                # never fold (the fold moves only with fresh adds) —
+                # a silent no-op hiding a caller bug, so refuse
+                raise ValueError(
+                    f"file_stats names {rf!r}, which is not among this "
+                    "commit's added files"
+                )
+            rel_fstats[rf] = {c: list(b) for c, b in cols.items()}
     replaces = list(replaces)
     base = base_version
     for _ in range(max_attempts):
@@ -1632,6 +1707,15 @@ def occ_commit(
                 p: {c: list(b) for c, b in sorted(cols.items())}
                 for p, cols in sorted(stats.items())
                 if p in rel_adds
+            }
+        if rel_fstats:
+            # per-FILE bounds for this commit's adds — immutable-file
+            # properties readers fold via _apply_delta/_snapshot_maps
+            # and pruned_snapshot_files uses to skip individual files
+            # inside a kept partition
+            payload["fstats"] = {
+                f: {c: list(b) for c, b in sorted(cols.items())}
+                for f, cols in sorted(rel_fstats.items())
             }
         if _cas_seal(table_path, head + 1, payload):
             return head + 1
@@ -2201,18 +2285,24 @@ def occ_compact_partitions(
     file-skipping power through routine maintenance), and
     ``stats_cols`` additionally recomputes exact bounds for the named
     columns over the rewritten content (tightening stale ones or
-    adding bounds a partition never had).
+    adding bounds a partition never had) — at BOTH grains from one
+    agg: the commit carries per-FILE bounds (occ_commit
+    ``file_stats``) alongside the partition bounds, so
+    `pruned_snapshot_files` can skip individual rewritten files
+    inside a kept partition.
 
     ``sort_cols`` CLUSTERS while it compacts — Delta's
     ``OPTIMIZE ... ZORDER BY`` lite: with ``target_files > 1`` the
     partition is range-repartitioned on the sort columns (each output
     file owns a disjoint value range) and rows are sorted within each
-    file, so per-file min/max footer stats become tight and a
+    file, so per-file min/max stats become tight and a
     range-predicate scan skips most files; with one output file it
     still sorts rows for scan locality. Same rows, same bounds —
     clustering changes LAYOUT only, which is why it belongs in the
     compaction rewrite (the one moment maintenance already pays to
-    rewrite the bytes).
+    rewrite the bytes). Combine with ``stats_cols`` to put the tight
+    per-file bounds INTO the commit metadata, where the planner reads
+    them without opening a footer.
 
     Old small files stay on disk — prior versions remain readable
     (time travel) until `expire_snapshots` retires them and
@@ -2292,22 +2382,51 @@ def occ_compact_partitions(
         out = _os.path.dirname(new_files[0]) if new_files else None
         # content-identical rewrite: existing bounds stay valid (an
         # over-approximation at worst) — carry them; recompute exact
-        # bounds for the explicitly named columns on top
+        # bounds for the explicitly named columns on top, at BOTH
+        # grains from one agg: per-FILE bounds (the payoff of the
+        # range-clustered layout — pruned_snapshot_files can then skip
+        # individual files) folded up into the partition bounds
         bounds = dict(_stats.get(p, {}))
+        file_stats = None
         want = [c for c in (stats_cols or []) if c in df.columns]
         if want:
-            row = (
+            by_name = {_os.path.basename(f): f for f in new_files}
+            rows = (
                 spark.read.parquet(*new_files)
+                .groupBy(F.input_file_name().alias("_f"))
                 .agg(
                     *[F.min(c).alias(f"lo_{c}") for c in want],
                     *[F.max(c).alias(f"hi_{c}") for c in want],
                 )
-                .collect()[0]
+                .collect()
             )
+            file_stats = {}
+            for r in rows:
+                f = by_name.get(_os.path.basename(r["_f"].split("?")[0]))
+                if f is None:
+                    raise RuntimeError(
+                        f"per-file stats scan saw unexpected file {r['_f']!r}"
+                    )
+                fb = {}
+                for c in want:
+                    flo = _json_bound(r[f"lo_{c}"])
+                    fhi = _json_bound(r[f"hi_{c}"])
+                    if flo is not None and fhi is not None:
+                        fb[c] = [flo, fhi]
+                if fb:
+                    file_stats[f] = fb
+            # recomputed partition bounds must REPLACE carried ones for
+            # the recomputed columns (exact, possibly tighter), so fold
+            # fresh: min/max over the per-file bounds only
             for c in want:
-                lo, hi = _json_bound(row[f"lo_{c}"]), _json_bound(row[f"hi_{c}"])
-                if lo is not None and hi is not None:
-                    bounds[c] = [lo, hi]
+                spans = [
+                    fs_[c] for fs_ in file_stats.values() if c in fs_
+                ]
+                if spans:
+                    bounds[c] = [
+                        min(s[0] for s in spans),
+                        max(s[1] for s in spans),
+                    ]
         stats = {p: bounds} if bounds else None
         if _pre_commit is not None:
             _pre_commit(p)  # test seam: interleave a concurrent writer
@@ -2325,6 +2444,7 @@ def occ_compact_partitions(
                 base_version=base,
                 stats=stats,
                 columns=list(df.columns),
+                file_stats=file_stats,
             )
         except CommitConflictError:
             # a winner touched this partition after our snapshot: its
@@ -3249,18 +3369,23 @@ CP_FRAGMENTS = 4  # files per partition per commit (x2 commits = 8)
 )
 def occ_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`occ_compact_partitions` in operating position: two appends
-    fragment each of two partitions to 4×2 files, the
-    sweep rewrites each partition to ONE file through its own OCC
-    commit (per-file-group commits, the Iceberg rewrite_data_files
-    shape), and the query reads the table BOTH at the pre-compaction
-    version and at the head — compaction must change bytes, never
-    rows, so the two scopes aggregate identically and the oracle pins
-    them to the base table. Raise-guards: exact per-partition file
-    counts before/after, exact report accounting, the column set
-    still answered from metadata after the rewrite, recomputed
-    o_totalprice bounds present for both partitions, and the
-    incremental planner refusing a range across the compaction (a
-    rewrite's row delta — here empty — is unprovable at file grain).
+    fragment each of two partitions to 4×2 files, the sweep rewrites
+    each partition to TWO files RANGE-CLUSTERED on o_totalprice
+    through its own OCC commit (per-file-group commits, the Iceberg
+    rewrite_data_files shape, with per-file bounds sealed into the
+    commit metadata), and the query reads the table BOTH at the
+    pre-compaction version and at the head — compaction must change
+    bytes, never rows, so the two scopes aggregate identically and
+    the oracle pins them to the base table. Raise-guards: exact
+    per-partition file counts before/after, exact report accounting,
+    the column set still answered from metadata after the rewrite,
+    recomputed o_totalprice bounds present for both partitions,
+    per-FILE bounds present for every rewritten file, file-grain
+    pruning provably skipping at least one clustered file on a range
+    probe while the pruned-plan aggregate matches the full scan's,
+    and the incremental planner refusing a range across the
+    compaction (a rewrite's row delta — here empty — is unprovable at
+    file grain).
 
     Scale shape: the sweep reads and rewrites ONLY the fragmented
     partitions' data (never a table scan), commits are per-partition
@@ -3311,24 +3436,58 @@ def occ_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sorted(len(fs) for fs in pre_parts.values()) != [8, 8]:
         raise RuntimeError(f"fragmentation setup wrong: {pre_parts}")
     report = occ_compact_partitions(
-        spark, path, stats_cols=["o_totalprice"]
+        spark,
+        path,
+        target_files=2,
+        sort_cols=["o_totalprice"],
+        stats_cols=["o_totalprice"],
     )
     if (
         report["compacted"] != ["early", "late"]
         or report["skipped_conflict"]
         or report["files_before"] != 16
-        or report["files_after"] != 2
+        or report["files_after"] != 4
         or report["head_after"] != 4
     ):
         raise RuntimeError(f"compaction report wrong: {report}")
-    parts, stats, cols = _snapshot_state(path, 4)
-    if sorted(len(fs) for fs in parts.values()) != [1, 1]:
+    fstats: dict = {}
+    parts, stats, pcols = _snapshot_maps(path, 4, fstats)
+    if sorted(len(fs) for fs in parts.values()) != [2, 2]:
         raise RuntimeError(f"post-compaction file counts wrong: {parts}")
-    if cols != set(o.columns):
-        raise RuntimeError(f"column metadata lost in compaction: {cols}")
+    if _table_columns(parts, pcols) != set(o.columns):
+        raise RuntimeError(f"column metadata lost in compaction: {pcols}")
     for p in ("early", "late"):
         if "o_totalprice" not in stats.get(p, {}):
             raise RuntimeError(f"recomputed bounds missing for {p}: {stats}")
+        for f in parts[p]:
+            if "o_totalprice" not in fstats.get(f, {}):
+                raise RuntimeError(f"per-file bounds missing for {f}")
+    # file-grain pruning: probe at the 'early' LOWER file's upper
+    # bound — its range-clustered sibling starts strictly above it, so
+    # the plan must drop >= 1 of the 4 files while the pruned-plan
+    # aggregate still matches the full scan (pruning only ever skips
+    # provably-empty files)
+    probe_hi = min(fstats[f]["o_totalprice"][1] for f in parts["early"])
+    kept, _pp = pruned_snapshot_files(path, 4, "o_totalprice", None, probe_hi)
+    if len(kept) >= 4:
+        raise RuntimeError(
+            f"file-grain pruning skipped nothing at hi={probe_hi}: {kept}"
+        )
+    full = (
+        read_snapshot(spark, path, 4)
+        .where(F.col("o_totalprice") <= probe_hi)
+        .agg(F.count("*"), F.sum("o_totalprice"))
+        .collect()[0]
+    )
+    pruned_plan = (
+        read_snapshot_where(spark, path, 4, "o_totalprice", None, probe_hi)
+        .agg(F.count("*"), F.sum("o_totalprice"))
+        .collect()[0]
+    )
+    if tuple(full) != tuple(pruned_plan):
+        raise RuntimeError(
+            f"pruned plan diverged from full scan: {full} vs {pruned_plan}"
+        )
     try:
         snapshot_changes_files(path, 2, 4)
         raise RuntimeError("incremental range across the compaction not refused")

@@ -694,3 +694,108 @@ def test_compaction_with_sort_cols_clusters_files_by_range(spark, tmp_path):
         assert hi1 < lo2  # disjoint ranges: tight, non-overlapping stats
     with pytest.raises(ValueError, match="sort_cols"):
         occ_compact_partitions(spark, t, sort_cols=["ghost"])
+
+
+# ---------------------------------------------------------------------------
+# Per-FILE column bounds in commit metadata (occ_commit file_stats /
+# _apply_delta fstats / pruned_snapshot_files file-grain skipping) —
+# Iceberg's per-data-file stats. Files are immutable so the fold is
+# pop-with-partition + install-on-fresh-add; pruning must stay an
+# over-approximation (stat-less files always kept).
+# ---------------------------------------------------------------------------
+
+from automated_dow30_earnings_reports_spark.plans.maintenance import (  # noqa: E402
+    _snapshot_maps,
+    checkpoint_snapshot,
+    pruned_snapshot_files,
+    read_snapshot_where,
+)
+
+
+def test_file_stats_fold_checkpoint_and_file_grain_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    f2 = _commit_files(spark, os.path.join(t, "data", "c2"), 100, 110)
+    rel1, rel2 = (os.path.relpath(f[0], t) for f in (f1, f2))
+    assert (
+        occ_commit(
+            t,
+            {"a": f1 + f2},
+            base_version=0,
+            columns=["doc_id"],
+            stats={"a": {"doc_id": [0, 109]}},
+            file_stats={rel1: {"doc_id": [0, 9]}, rel2: {"doc_id": [100, 109]}},
+        )
+        == 1
+    )
+    # file-grain skip inside a KEPT partition: probe [0, 50] drops f2
+    kept, pruned = pruned_snapshot_files(t, 1, "doc_id", 0, 50)
+    assert kept == [rel1] and pruned == 0
+    # over-approximation: a third, stat-less file is always kept
+    f3 = _commit_files(spark, os.path.join(t, "data", "c3"), 200, 210)
+    rel3 = os.path.relpath(f3[0], t)
+    assert occ_commit(t, {"a": f3}, base_version=1, columns=["doc_id"]) == 2
+    kept, _ = pruned_snapshot_files(t, 2, "doc_id", 0, 50)
+    assert kept == sorted([rel1, rel3])
+    # the residual predicate still filters the kept stat-less file
+    assert _ids(read_snapshot_where(spark, t, 2, "doc_id", 0, 50)) == list(
+        range(10)
+    )
+    # checkpoint roundtrip preserves the per-file bounds
+    checkpoint_snapshot(t, 2)
+    fstats: dict = {}
+    _snapshot_maps(t, 2, fstats)
+    assert fstats == {
+        rel1: {"doc_id": [0, 9]},
+        rel2: {"doc_id": [100, 109]},
+    }
+    # a rewrite drops the popped partition's file entries with it
+    f4 = _commit_files(spark, os.path.join(t, "data", "c4"), 0, 5)
+    assert occ_commit(t, {"a": f4}, ("a",), base_version=2, columns=["doc_id"]) == 3
+    fstats = {}
+    _snapshot_maps(t, 3, fstats)
+    assert fstats == {}
+
+
+def test_file_stats_for_unadded_file_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    with pytest.raises(ValueError, match="not among this commit"):
+        occ_commit(
+            t,
+            {"a": f1},
+            base_version=0,
+            file_stats={"data/ghost.parquet": {"doc_id": [0, 1]}},
+        )
+
+
+def test_clustered_compaction_seals_tight_per_file_bounds(spark, tmp_path):
+    t = str(tmp_path / "t")
+    out = os.path.join(t, "data", "c1")
+    spark.range(0, 400).selectExpr("id AS doc_id").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    ).repartition(8).write.mode("overwrite").parquet(out)
+    fs = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert occ_commit(t, {"a": fs}, base_version=0, columns=["doc_id"]) == 1
+    report = occ_compact_partitions(
+        spark, t, target_files=4, sort_cols=["doc_id"], stats_cols=["doc_id"]
+    )
+    assert report["compacted"] == ["a"]
+    fstats: dict = {}
+    parts, stats, _pcols = _snapshot_maps(t, 2, fstats)
+    files = parts["a"]
+    spans = sorted(fstats[f]["doc_id"] for f in files)
+    assert len(spans) == len(files) >= 2
+    for (a_lo, a_hi), (b_lo, _b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo  # disjoint: the clustering made stats tight
+    # partition bounds = fold of the file bounds
+    assert stats["a"]["doc_id"] == [spans[0][0], spans[-1][1]]
+    # a narrow probe plans exactly one file, and reads exactly its rows
+    lo, hi = spans[0]
+    kept, _ = pruned_snapshot_files(t, 2, "doc_id", lo, hi)
+    assert len(kept) == 1
+    assert _ids(read_snapshot_where(spark, t, 2, "doc_id", lo, hi)) == list(
+        range(lo, hi + 1)
+    )
