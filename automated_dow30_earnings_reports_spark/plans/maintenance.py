@@ -1594,23 +1594,16 @@ def occ_commit(
     survivors — silent duplication. Such a rewrite raises
     CommitConflictError: the caller must target '' explicitly (one
     migration rewrite of '' moves the table to named partitions)."""
-    rel_adds = {
-        p: [
-            f if not _os.path.isabs(f) else _os.path.relpath(f, table_path)
-            for f in fs
-        ]
-        for p, fs in adds.items()
-    }
+    def _rel(f: str) -> str:
+        return f if not _os.path.isabs(f) else _os.path.relpath(f, table_path)
+
+    rel_adds = {p: [_rel(f) for f in fs] for p, fs in adds.items()}
     rel_fstats = None
     if file_stats:
         added_set = {f for fs in rel_adds.values() for f in fs}
         rel_fstats = {}
         for f, cols in file_stats.items():
-            rf = (
-                f
-                if not _os.path.isabs(f)
-                else _os.path.relpath(f, table_path)
-            )
+            rf = _rel(f)
             if rf not in added_set:
                 # a bound for a file this commit does not add would
                 # never fold (the fold moves only with fresh adds) —
@@ -3473,15 +3466,23 @@ def occ_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"file-grain pruning skipped nothing at hi={probe_hi}: {kept}"
         )
+    # decimal sums (file convention): the two plans scan different
+    # file sets, and non-associative double addition could differ in
+    # the last ULP across task packings — an exact compare needs an
+    # exact accumulator
+    _probe_aggs = (
+        F.count("*"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+    )
     full = (
         read_snapshot(spark, path, 4)
         .where(F.col("o_totalprice") <= probe_hi)
-        .agg(F.count("*"), F.sum("o_totalprice"))
+        .agg(*_probe_aggs)
         .collect()[0]
     )
     pruned_plan = (
         read_snapshot_where(spark, path, 4, "o_totalprice", None, probe_hi)
-        .agg(F.count("*"), F.sum("o_totalprice"))
+        .agg(*_probe_aggs)
         .collect()[0]
     )
     if tuple(full) != tuple(pruned_plan):
