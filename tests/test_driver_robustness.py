@@ -92,6 +92,14 @@ def test_checkpointing_queries_rerun_identically(name, spark, sf_smoke):
         # orphan commit) both rebuild from scratch each call
         "retention_ttl_enforce",
         "time_travel_read",
+        # r10: the new lake lifecycle queries all build a fresh
+        # manifest table under scratch (rmtree + recommit); a same-
+        # session re-run must reproduce versions, reports, and reads
+        "occ_merge_lifecycle",
+        "occ_merge_moved_keys",
+        "occ_compaction_lifecycle",
+        "incremental_snapshot_read",
+        "occ_schema_evolution",
     ],
 )
 def test_scratch_writing_queries_rerun_identically(name, spark, sf_correctness):

@@ -1216,8 +1216,11 @@ def test_column_fold_randomized_model_check(tmp_path):
     declared empty adds, rewrites, and background checkpoints against
     a dict model of the PER-PARTITION column fold: at every step the
     engine's table-level column set must equal the model's (union over
-    file-holding partitions, None if any is unknown). Pure metadata —
-    occ_commit never opens data files."""
+    file-holding partitions, None if any is unknown). The same walk
+    also models the PER-FILE bounds fold (r10 fstats): bounds install
+    only with genuinely fresh adds, leave with a rewritten partition's
+    files, and survive checkpoints. Pure metadata — occ_commit never
+    opens data files."""
     import random
 
     cols_pool = ["a", "b", "c", "d", "e"]
@@ -1227,6 +1230,7 @@ def test_column_fold_randomized_model_check(tmp_path):
         os.makedirs(os.path.join(t, "data"), exist_ok=True)
         parts_model: dict[str, list[str]] = {}
         pcols_model: dict[str, set | None] = {}  # absent/None = unknown
+        fstats_model: dict[str, dict] = {}  # rel file -> {col: [lo, hi]}
         file_seq = 0
         parts_pool = [f"p{i}" for i in range(4)]
 
@@ -1256,6 +1260,9 @@ def test_column_fold_randomized_model_check(tmp_path):
             if head and roll < 0.15:
                 m.checkpoint_snapshot(t, rng.randint(1, head))
                 assert m._snapshot_state(t, head)[2] == model_table_cols()
+                fgot: dict = {}
+                m._snapshot_maps(t, head, fgot)
+                assert fgot == fstats_model, (seed, head)
                 continue
             p = rng.choice(parts_pool)
             declared = rng.random() < 0.7
@@ -1280,17 +1287,33 @@ def test_column_fold_randomized_model_check(tmp_path):
                 if declared
                 else None
             )
+            # declare per-file bounds for a random subset of the adds —
+            # including re-added already-present paths, which the fold
+            # must IGNORE (bounds install only with fresh files)
+            fdecl = {
+                f: {"k": [i * 10, i * 10 + 5]}
+                for i, f in enumerate(files)
+                if rng.random() < 0.5
+            }
             m.occ_commit(
                 t, {p: files}, replaces=[p] if is_rewrite else (),
                 base_version=head, columns=cols,
+                file_stats=fdecl or None,
             )
             if is_rewrite:
+                for f in parts_model.get(p, []):
+                    fstats_model.pop(f, None)
                 parts_model.pop(p, None)
                 pcols_model.pop(p, None)
             existed = p in parts_model
             present = set(parts_model.get(p, []))
             fresh = [f for f in files if f not in present]
             parts_model[p] = parts_model.get(p, []) + fresh
+            for f in fresh:
+                if f in fdecl:
+                    fstats_model[f] = {
+                        c: list(b) for c, b in fdecl[f].items()
+                    }
             if fresh:  # knowledge moves only with genuinely NEW files
                 if cols is not None:
                     if not existed:
@@ -1301,3 +1324,6 @@ def test_column_fold_randomized_model_check(tmp_path):
                     pcols_model[p] = None
             got = m._snapshot_state(t, head + 1)[2]
             assert got == model_table_cols(), (seed, head + 1, got)
+            fgot = {}
+            m._snapshot_maps(t, head + 1, fgot)
+            assert fgot == fstats_model, (seed, head + 1)
