@@ -946,7 +946,11 @@ def snapshot_changes_files(
     of the v_from state. The exclusion is PARTITION-grain, exactly
     `_apply_delta`'s idempotence rule — an in-range add of a path
     that was live at v_from under a DIFFERENT partition genuinely
-    joins the snapshot and is reported.
+    joins the snapshot (its rows then double in snapshot reads too)
+    and is reported, once per referencing partition: the incremental
+    read mirrors the snapshot's own row multiplicity, never invents
+    or hides a reference. occ_commit refuses the same-commit spelling
+    of that shape outright (one path, two partitions).
 
     Scale shape: planning reads only the range's KB-scale delta
     manifests (+ one checkpoint-bounded replay for the v_from file
@@ -1245,6 +1249,14 @@ def _apply_delta(
     man_stats = man.get("stats", {})
     man_cols = man.get("columns")
     man_fstats = man.get("fstats", {})
+
+    def _declared_cols(p):
+        # "columns" is either one list (EXACT set for every added
+        # partition) or a per-partition dict (heterogeneous commits);
+        # a partition absent from the dict is undeclared
+        if isinstance(man_cols, dict):
+            return man_cols.get(p)
+        return man_cols
     for p in man.get("replaces", []):
         if fstats is not None:
             for f in parts.get(p, []):
@@ -1273,11 +1285,12 @@ def _apply_delta(
             # union its declaration in — that would re-introduce the
             # zombie-column deadlock (a demanded column no live file
             # holds) the per-partition fold exists to prevent.
-            if man_cols is not None:
+            pc = _declared_cols(p)
+            if pc is not None:
                 if not existed:
-                    pcols[p] = set(man_cols)
+                    pcols[p] = set(pc)
                 elif p in pcols:
-                    pcols[p] = pcols[p] | set(man_cols)
+                    pcols[p] = pcols[p] | set(pc)
                 # existed with unknown columns: stays unknown
             else:
                 pcols.pop(p, None)
@@ -1390,8 +1403,15 @@ def _snapshot_maps(
                 full = _manifest_full_parts(man)
                 if full is not None:
                     parts = full
-                    if "columns" in man:
-                        pcols = {p: set(man["columns"]) for p in parts}
+                    mc = man.get("columns")
+                    if isinstance(mc, dict):
+                        pcols = {
+                            p: set(cs)
+                            for p, cs in mc.items()
+                            if p in parts
+                        }
+                    elif mc is not None:
+                        pcols = {p: set(mc) for p in parts}
                     break
                 deltas.append(man)
                 k -= 1
@@ -1511,7 +1531,7 @@ def occ_commit(
     base_version: int = 0,
     max_attempts: int = 10,
     stats: dict[str, dict[str, list]] | None = None,
-    columns: list[str] | tuple[str, ...] | None = None,
+    columns: list[str] | tuple[str, ...] | dict[str, list] | None = None,
     guard_columns: set[str] | frozenset[str] | None = None,
     conflict_on_winner_adds: bool = False,
     file_stats: dict[str, dict[str, list]] | None = None,
@@ -1537,15 +1557,21 @@ def occ_commit(
     writer's files are unreferenced by every manifest (invisible to
     read_snapshot) and reclaimed by `vacuum_unreferenced`.
 
-    ``columns`` declares the column set of this commit's data files
-    (it must COVER every added file's columns) — KB-scale metadata
-    folded by readers PER PARTITION (`_apply_delta`: a rewrite resets
-    its partitions to exactly this declaration, an append unions into
-    them) and collapsed to the table-level set the merge's schema
-    guard reads without a single footer open (the Delta/Iceberg
-    design: schema lives in the log, not in the files). Optional:
-    an undeclared commit just drops its partitions to unknown,
-    sending that guard back to footer reads.
+    ``columns`` declares the column set of this commit's data files —
+    KB-scale metadata folded by readers PER PARTITION (`_apply_delta`:
+    a rewrite resets its partitions to exactly this declaration, an
+    append unions into them) and collapsed to the table-level set the
+    merge's schema guard reads without a single footer open (the
+    Delta/Iceberg design: schema lives in the log, not in the files).
+    As a LIST it must be the EXACT column set of every added
+    partition's files — not merely covering: the fold unions it into
+    each partition, so a covering-but-not-exact list would poison a
+    narrower partition with columns its files never held, recreating
+    the zombie-column merge deadlock the per-partition grain exists
+    to prevent. A commit whose partitions differ in schema passes a
+    DICT {partition: exact columns} instead (a partition absent from
+    the dict is undeclared). Optional: an undeclared commit/partition
+    just drops to unknown, sending that guard back to footer reads.
 
     ``guard_columns`` closes the merge's REBASE WINDOW: it is the
     column set the caller's content guard certified against (head as
@@ -1598,6 +1624,20 @@ def occ_commit(
         return f if not _os.path.isabs(f) else _os.path.relpath(f, table_path)
 
     rel_adds = {p: [_rel(f) for f in fs] for p, fs in adds.items()}
+    if len(rel_adds) > 1:
+        # one physical file under two partitions would double its rows
+        # in every snapshot read (the file list concatenates per
+        # partition) and double-count in incremental scans — always a
+        # caller bug, refused loudly rather than folded quietly
+        seen_f: dict[str, str] = {}
+        for p, fs in rel_adds.items():
+            for f in fs:
+                if seen_f.setdefault(f, p) != p:
+                    raise ValueError(
+                        f"file {f!r} is added under both "
+                        f"{seen_f[f]!r} and {p!r}; a path belongs to "
+                        "exactly one partition"
+                    )
     rel_fstats = None
     if file_stats:
         added_set = {f for fs in rel_adds.values() for f in fs}
@@ -1652,9 +1692,14 @@ def occ_commit(
                             "merge from a fresh snapshot read"
                         )
                     if guard_columns is not None:
-                        evolved = set(wm.get("columns") or ()) - set(
-                            guard_columns
-                        )
+                        wc = wm.get("columns")
+                        if isinstance(wc, dict):
+                            declared: set = set()
+                            for cs in wc.values():
+                                declared |= set(cs)
+                        else:
+                            declared = set(wc or ())
+                        evolved = declared - set(guard_columns)
                         if evolved:
                             raise CommitConflictError(
                                 f"concurrent commit v{w} evolved the "
@@ -1687,7 +1732,18 @@ def occ_commit(
             "base": base,
         }
         if columns is not None:
-            payload["columns"] = sorted(set(columns))
+            if isinstance(columns, dict):
+                stray = sorted(set(columns) - set(rel_adds))
+                if stray:
+                    raise ValueError(
+                        f"columns declares partitions {stray} this "
+                        "commit does not add"
+                    )
+                payload["columns"] = {
+                    p: sorted(set(cs)) for p, cs in sorted(columns.items())
+                }
+            else:
+                payload["columns"] = sorted(set(columns))
         if stats:
             # per-partition column bounds for this commit's adds —
             # Iceberg-manifest-style file skipping metadata; readers
@@ -2041,10 +2097,26 @@ def _merge_body(
                     _os.path.realpath(_os.path.join(table_path, f))
                 ] = n
         if file_part:
+            # mergeSchema ALWAYS on the holders scan: it spans the
+            # WHOLE out-of-footprint snapshot, whose files may span
+            # schema generations regardless of the caller's
+            # merge_schema contract (which covers only the batch's
+            # affected partitions) — without it, schema inference is a
+            # footer lottery and a pre-evolution footer winning makes
+            # the key-column select raise nondeterministically.
+            # Pre-evolution rows surface NULL for an evolved key
+            # column and match no batch key, which is the honest
+            # answer: a key that did not exist then cannot hold now —
+            # including the limit case where NO out-of-footprint file
+            # has the column at all (null-filled below, zero holders).
+            holders_df = _snapshot_reader(spark, merge_schema=True).parquet(
+                *file_part
+            )
+            for c in key_cols:
+                if c not in holders_df.columns:
+                    holders_df = holders_df.withColumn(c, F.lit(None))
             holder_files = (
-                _snapshot_reader(spark, merge_schema)
-                .parquet(*file_part)
-                .select(
+                holders_df.select(
                     F.input_file_name().alias("_src"), *key_cols
                 )
                 .join(F.broadcast(upd_keys), on=key_cols, how="left_semi")
@@ -2340,6 +2412,15 @@ def occ_compact_partitions(
         "files_before": 0,
         "files_after": 0,
     }
+    # running head-snapshot cache for occ_commit's legacy-'' guard: the
+    # sweep knows its own disjoint per-partition deltas, so as long as
+    # no EXTERNAL winner intervenes (cache version == head), each
+    # commit skips the O(metadata-since-checkpoint) replay — without
+    # this an N-partition sweep pays N full replays (quadratic driver
+    # time); a conflict or external commit simply misses the cache and
+    # replays, never trusts it
+    cache_ver = base
+    cache_parts = {q: list(fs) for q, fs in parts.items()}
     for i, p in enumerate(targets):
         fs = parts[p]
         if not fs or len(fs) <= target_files:
@@ -2438,7 +2519,19 @@ def occ_compact_partitions(
                 stats=stats,
                 columns=list(df.columns),
                 file_stats=file_stats,
+                _parts_cache=(cache_ver, cache_parts),
             )
+            if v == cache_ver + 1:
+                # our commit and ours alone advanced the head: the
+                # cache plus our own delta IS the new snapshot
+                cache_ver = v
+                cache_parts[p] = [
+                    _os.path.relpath(f, table_path) for f in new_files
+                ]
+            else:
+                # an external winner interleaved — its delta is not in
+                # the cache, so never offer it again this sweep
+                cache_ver = -1
         except CommitConflictError:
             # a winner touched this partition after our snapshot: its
             # content is newer than what we staged — drop our files

@@ -427,9 +427,16 @@ def test_changes_v_from_exclusion_is_partition_grain(spark, tmp_path):
     t = str(tmp_path / "t")
     f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
     assert occ_commit(t, {"a": f1}, base_version=0) == 1
-    # cross-partition: f1[0] added under "b"; same-partition: f1 re-added to "a"
-    assert occ_commit(t, {"b": [f1[0]], "a": list(f1)}, base_version=1) == 2
-    rel = snapshot_changes_files(t, 1, 2)
+    # the same-commit spelling (one path under two partitions) is
+    # refused outright — always a caller bug
+    with pytest.raises(ValueError, match="exactly one partition"):
+        occ_commit(t, {"b": [f1[0]], "a": list(f1)}, base_version=1)
+    # across commits: same-partition re-add is a fold no-op, while the
+    # cross-partition add genuinely joins the snapshot and is reported
+    assert occ_commit(t, {"a": list(f1)}, base_version=1) == 2
+    assert snapshot_changes_files(t, 1, 2) == []
+    assert occ_commit(t, {"b": [f1[0]]}, base_version=2) == 3
+    rel = snapshot_changes_files(t, 2, 3)
     assert rel == [os.path.relpath(f1[0], t)]
 
 
@@ -799,3 +806,44 @@ def test_clustered_compaction_seals_tight_per_file_bounds(spark, tmp_path):
     assert _ids(read_snapshot_where(spark, t, 2, "doc_id", lo, hi)) == list(
         range(lo, hi + 1)
     )
+
+
+def test_per_partition_column_declarations(spark, tmp_path):
+    """A heterogeneous multi-partition commit declares columns as a
+    dict — each partition gets exactly ITS set, so a covering union
+    cannot poison the narrower partition with a column its files
+    never held (the zombie-column merge deadlock), and a later
+    rewrite dropping the column genuinely forgets it table-wide."""
+    t = str(tmp_path / "t")
+    fa = _commit_files(spark, os.path.join(t, "data", "ca"), 0, 10)
+    fb = _commit_files(spark, os.path.join(t, "data", "cb"), 10, 20, extra="score")
+    assert (
+        occ_commit(
+            t,
+            {"a": fa, "b": fb},
+            base_version=0,
+            columns={"a": ["doc_id"], "b": ["doc_id", "score"]},
+        )
+        == 1
+    )
+    assert _snapshot_state(t, 1)[2] == {"doc_id", "score"}
+    fstats_unused: dict = {}
+    _parts, _stats, pcols = _snapshot_maps(t, 1, fstats_unused)
+    assert pcols == {"a": {"doc_id"}, "b": {"doc_id", "score"}}
+    # rewrite b without score: the table-level set must FORGET score
+    # (partition a never claimed it — the exact point of the grain)
+    fb2 = _commit_files(spark, os.path.join(t, "data", "cb2"), 10, 20)
+    assert (
+        occ_commit(t, {"b": fb2}, ("b",), base_version=1, columns=["doc_id"])
+        == 2
+    )
+    assert _snapshot_state(t, 2)[2] == {"doc_id"}
+    # declaring a partition the commit does not add is refused
+    fc = _commit_files(spark, os.path.join(t, "data", "cc"), 20, 30)
+    with pytest.raises(ValueError, match="does not add"):
+        occ_commit(
+            t,
+            {"c": fc},
+            base_version=2,
+            columns={"c": ["doc_id"], "ghost": ["doc_id"]},
+        )
