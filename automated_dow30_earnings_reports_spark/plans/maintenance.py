@@ -1623,12 +1623,20 @@ def occ_commit(
     def _rel(f: str) -> str:
         return f if not _os.path.isabs(f) else _os.path.relpath(f, table_path)
 
-    rel_adds = {p: [_rel(f) for f in fs] for p, fs in adds.items()}
+    # dedup within each partition's list (an unambiguous "add f once" —
+    # _apply_delta's fresh filter only dedups against the PRIOR
+    # snapshot, so a doubled in-list entry would double the file's rows
+    # in every snapshot read), preserving order
+    rel_adds = {
+        p: list(dict.fromkeys(_rel(f) for f in fs))
+        for p, fs in adds.items()
+    }
     if len(rel_adds) > 1:
         # one physical file under two partitions would double its rows
         # in every snapshot read (the file list concatenates per
-        # partition) and double-count in incremental scans — always a
-        # caller bug, refused loudly rather than folded quietly
+        # partition) and double-count in incremental scans — and which
+        # partition was meant is unknowable: a caller bug, refused
+        # loudly rather than folded quietly
         seen_f: dict[str, str] = {}
         for p, fs in rel_adds.items():
             for f in fs:
@@ -1638,6 +1646,16 @@ def occ_commit(
                         f"{seen_f[f]!r} and {p!r}; a path belongs to "
                         "exactly one partition"
                     )
+    if isinstance(columns, dict):
+        # validated HERE, not in the sealing loop: a malformed dict is
+        # a deterministic caller bug that must surface before (and
+        # regardless of) any winner scan or conflict
+        stray = sorted(set(columns) - set(rel_adds))
+        if stray:
+            raise ValueError(
+                f"columns declares partitions {stray} this commit does "
+                "not add"
+            )
     rel_fstats = None
     if file_stats:
         added_set = {f for fs in rel_adds.values() for f in fs}
@@ -1733,12 +1751,6 @@ def occ_commit(
         }
         if columns is not None:
             if isinstance(columns, dict):
-                stray = sorted(set(columns) - set(rel_adds))
-                if stray:
-                    raise ValueError(
-                        f"columns declares partitions {stray} this "
-                        "commit does not add"
-                    )
                 payload["columns"] = {
                     p: sorted(set(cs)) for p, cs in sorted(columns.items())
                 }
@@ -2103,7 +2115,12 @@ def _merge_body(
             # merge_schema contract (which covers only the batch's
             # affected partitions) — without it, schema inference is a
             # footer lottery and a pre-evolution footer winning makes
-            # the key-column select raise nondeterministically.
+            # the key-column select raise nondeterministically. The
+            # plan-time footer-per-file cost is part of this mode's
+            # documented full-scan price (the data read dwarfs it); an
+            # explicit key-col schema() would avoid the footers but
+            # inherit the BATCH's physical types, breaking files whose
+            # stored type upcasts (int32 file vs long key).
             # Pre-evolution rows surface NULL for an evolved key
             # column and match no batch key, which is the honest
             # answer: a key that did not exist then cannot hold now —
@@ -2186,7 +2203,14 @@ def _merge_body(
 
     new_content = updates
     if existing:
-        live = _snapshot_reader(spark, merge_schema).parquet(
+        # the caller's merge_schema contract covers the BATCH's
+        # affected partitions; close_moved_keys widens the read to
+        # moved partitions elsewhere in the table, whose files may
+        # span schema generations regardless of what the caller knows
+        # — union schemas whenever the footprint was widened, or the
+        # survivors' schema is a footer lottery (nondeterministic
+        # unionByName failures on evolved tables)
+        live = _snapshot_reader(spark, merge_schema or bool(moved)).parquet(
             *(
                 _os.path.join(table_path, f)
                 for fs in existing.values()

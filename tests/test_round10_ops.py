@@ -847,3 +847,19 @@ def test_per_partition_column_declarations(spark, tmp_path):
             base_version=2,
             columns={"c": ["doc_id"], "ghost": ["doc_id"]},
         )
+
+
+def test_in_list_duplicate_add_is_deduped(spark, tmp_path):
+    """A path listed twice in ONE partition's add is an unambiguous
+    'add once' — deduped at commit time, so the snapshot can never
+    double the file's rows (cross-partition duplication stays loudly
+    refused; the prior-snapshot re-add stays a fold no-op)."""
+    t = str(tmp_path / "t")
+    f1 = _commit_files(spark, os.path.join(t, "data", "c1"), 0, 10)
+    assert occ_commit(t, {"a": [f1[0], f1[0]]}, base_version=0) == 1
+    from automated_dow30_earnings_reports_spark.plans.maintenance import (
+        _snapshot_parts,
+    )
+
+    assert _snapshot_parts(t, 1)["a"] == [os.path.relpath(f1[0], t)]
+    assert _ids(read_snapshot(spark, t, 1)) == list(range(10))
