@@ -206,19 +206,28 @@ MINHASH_A = [2 * i * 1_000_003 + 12_345 for i in range(1, MINHASH_H + 1)]
 MINHASH_B = [i * 97_911 + 7 for i in range(MINHASH_H)]
 
 
-def minhash_signatures(shd: DataFrame, h: int = MINHASH_H) -> DataFrame:
+def minhash_signatures(
+    shd: DataFrame, h: int = MINHASH_H, with_size: bool = False
+) -> DataFrame:
     """One column per hash fn: min of (A_i*H + B_i) mod P over the
     pre-hashed (doc_id, h) working set (doc_shingle_hashes). Single
     groupBy — signature width is columns, not rows. Takes the hashed
     form ONLY: a silent string-column fallback would have to re-derive
     the md5 digest bit-identically to doc_shingle_hashes to stay
     correct, and an unexercised duplicate of that contract is exactly
-    the kind of code that rots."""
+    the kind of code that rots.
+
+    ``with_size`` additionally emits ``sz`` = COUNT(*) per doc (the
+    shingle-set size) in the SAME aggregation — the persisted-index
+    build needs both, and riding one groupBy saves a whole second
+    pass over the (doc_id, h) working set (r10 optimization)."""
     H = F.col("h")
     aggs = [
         F.min((H * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
         for i in range(h)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("sz"))
     return shd.groupBy("doc_id").agg(*aggs)
 
 
@@ -1335,11 +1344,18 @@ def _dedup_index_path(sf_dir: str) -> str:
     return scratch_path(_SCRATCH_DEDUP, sf_dir)
 
 
-def _banded(shd: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key, bucket) for one corpus slice."""
-    return lsh_band_keys(minhash_signatures(shd)).withColumn(
+def _bucketed_bands(bandkeys: DataFrame) -> DataFrame:
+    """Attach the index's partition bucket to a band-keys frame — THE
+    single definition of the bucket expression (build, append, and the
+    one-off `_banded` derivation all route through it)."""
+    return bandkeys.withColumn(
         "bucket", F.pmod(F.xxhash64("band_id", "band_key"), F.lit(DEDUP_INDEX_BUCKETS))
     )
+
+
+def _banded(shd: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key, bucket) for one corpus slice."""
+    return _bucketed_bands(lsh_band_keys(minhash_signatures(shd)))
 
 
 def _build_signature_index(
@@ -1355,46 +1371,59 @@ def _build_signature_index(
     (one row per distinct (doc_id, shingle-hash) — the largest
     artifact) is a corpus-sized write it would otherwise pay for
     nothing."""
+    _write_signature_tables(shd_old, path, tables, mode="overwrite")
+
+
+def _write_signature_tables(
+    shd: DataFrame, path: str, tables: tuple[str, ...], mode: str
+) -> None:
+    """Shared build/append body. r10 optimization: when both bands and
+    sizes are written, the minhash signatures and the per-doc set size
+    ride ONE groupBy over the (doc_id, h) working set (persisted for
+    the two writes, unpersisted after) instead of two independent
+    passes — table content is bit-identical; sizes is written as a
+    derivative of the same aggregation the bands came from."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
-    if "bands" in tables:
-        write_partitioned(
-            _banded(shd_old), _os.path.join(path, "bands"), ["bucket"], dynamic=False
-        )
-    if "shd" in tables:
-        write_partitioned(
-            shd_old.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
-            _os.path.join(path, "shd"),
-            ["dbucket"],
-            dynamic=False,
-        )
-    if "sizes" in tables:
-        shd_old.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode(
-            "overwrite"
-        ).parquet(_os.path.join(path, "sizes"))
+    both = "bands" in tables and "sizes" in tables
+    sig = None
+    try:
+        if both:
+            sig = minhash_signatures(shd, with_size=True).persist()
+            bandkeys = lsh_band_keys(sig)
+        elif "bands" in tables:
+            bandkeys = lsh_band_keys(minhash_signatures(shd))
+        if "bands" in tables:
+            write_partitioned(
+                _bucketed_bands(bandkeys), _os.path.join(path, "bands"), ["bucket"],
+                mode=mode, dynamic=False,
+            )
+        if "shd" in tables:
+            write_partitioned(
+                shd.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
+                _os.path.join(path, "shd"),
+                ["dbucket"],
+                mode=mode,
+                dynamic=False,
+            )
+        if "sizes" in tables:
+            sizes = (
+                sig.select("doc_id", "sz")
+                if sig is not None
+                else shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+            )
+            sizes.write.mode(mode).parquet(_os.path.join(path, "sizes"))
+    finally:
+        if sig is not None:
+            sig.unpersist()
 
 
 def _append_signature_index(shd_new: DataFrame, path: str) -> None:
     """Append one batch's rows to all three tables — the ingest write,
     shared with the streaming path (streaming_dedup_ingest)."""
-    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        write_partitioned,
-    )
-
-    write_partitioned(
-        _banded(shd_new), _os.path.join(path, "bands"), ["bucket"], mode="append"
-    )
-    write_partitioned(
-        shd_new.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
-        _os.path.join(path, "shd"),
-        ["dbucket"],
-        mode="append",
-    )
-    shd_new.groupBy("doc_id").agg(F.count("*").alias("sz")).write.mode(
-        "append"
-    ).parquet(_os.path.join(path, "sizes"))
+    _write_signature_tables(shd_new, path, ("bands", "shd", "sizes"), mode="append")
 
 
 def _probe_signature_index(

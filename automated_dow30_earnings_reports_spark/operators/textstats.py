@@ -1978,28 +1978,43 @@ def _write_text_index(docs, path: str, mode: str) -> None:
         write_partitioned,
     )
 
-    toks = tokens_col(F.col("text"))
-    per_doc = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
-    per_doc.write.mode(mode).parquet(_os.path.join(path, "docstats"))
-    per_doc.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-    ).write.mode(mode).parquet(_os.path.join(path, "stats"))
-    postings = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 7), 16, 10)
-            .cast("bigint")
-            % TEXT_INDEX_BUCKETS,
+    # ONE tokenization pass (r10 optimization): the old shape tokenized
+    # the corpus three times — once per output table (docstats scan,
+    # stats agg scan, postings scan). The tokenized frame is persisted
+    # for the duration of the three writes (reused 3x, recompute = a
+    # full regex pass — exactly the guide's cache-when-reused bar) and
+    # unpersisted before returning so repeated lifecycle invocations
+    # can't accumulate CacheManager entries. Output tables, row
+    # content, and file layout are bit-identical to the old shape.
+    tokd = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).persist()
+    try:
+        per_doc = tokd.select(
+            "doc_id", F.size("toks").cast("bigint").alias("dl")
         )
-    )
-    write_partitioned(
-        postings, _os.path.join(path, "postings"), ["bucket"],
-        mode=mode, dynamic=False,
-    )
+        per_doc.write.mode(mode).parquet(_os.path.join(path, "docstats"))
+        per_doc.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode(mode).parquet(_os.path.join(path, "stats"))
+        postings = (
+            tokd.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .withColumn(
+                "bucket",
+                F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 7), 16, 10)
+                .cast("bigint")
+                % TEXT_INDEX_BUCKETS,
+            )
+        )
+        write_partitioned(
+            postings, _os.path.join(path, "postings"), ["bucket"],
+            mode=mode, dynamic=False,
+        )
+    finally:
+        tokd.unpersist()
 
 
 def _tombstone_request_id(tombs: DataFrame) -> str:
@@ -2072,21 +2087,28 @@ def _search_text_index(
             "doc_id"
         )
         post = post.join(F.broadcast(tombs), "doc_id", "left_anti")
-    post = post.localCheckpoint(eager=True)  # feeds both the df agg and the tf pivot
-    dfs = post.agg(
-        *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df_{i}")
-            for i, t in enumerate(q_terms)
-        ]
-    )
+    # r10 optimization: the old shape checkpointed the RAW filtered
+    # postings and ran two separate aggregations over them (df counts,
+    # tf pivot). The tf pivot subsumes the df information — a doc
+    # contributes 1 to df_i iff its summed tf_i > 0 (posting rows carry
+    # tf >= 1 and (term, doc_id) is unique across appends: generations
+    # partition doc_ids) — so checkpoint the already-aggregated pivot
+    # (<= one row per matching doc, smaller than the posting rows) and
+    # fold the dfs from it: postings are now read/aggregated ONCE.
     tfp = post.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
             .cast("bigint")
             .alias(f"tf_{i}")
             for i, t in enumerate(q_terms)
+        ]
+    ).localCheckpoint(eager=True)
+    dfs = tfp.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(q_terms))
         ]
     )
     docstats = spark.read.parquet(_os.path.join(path, "docstats"))

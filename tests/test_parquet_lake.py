@@ -100,14 +100,19 @@ def test_lake_compaction_file_counts(spark, sf_correctness):
         COMPACT_TARGET_FILES,
         _SCRATCH_COMPACT,
         lake_compaction,
+        scratch_path,
     )
 
     rows = lake_compaction(spark, sf_correctness).collect()
     assert rows
     assert all(r.files_before == COMPACT_FRAGMENTS for r in rows)
     assert all(r.files_after == COMPACT_TARGET_FILES for r in rows)
-    # physical layout agrees with the reported counts
-    base = os.path.join(_SCRATCH_COMPACT, os.path.basename(sf_correctness.rstrip("/")))
+    # physical layout agrees with the reported counts — derived through
+    # scratch_path (the keying contract), not a hand-built basename:
+    # the hand-built path predated the r6 hash-suffix scheme and only
+    # kept passing against stale pre-r6 scratch dirs (fresh sandboxes
+    # exposed it as FileNotFoundError).
+    base = scratch_path(_SCRATCH_COMPACT, sf_correctness)
     n_frag = sum(
         1 for f in os.listdir(os.path.join(base, "fragmented")) if f.endswith(".parquet")
     )
