@@ -183,24 +183,70 @@ _COSUPPLY_SQL = f"""ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
     e AS (SELECT sa, sb FROM sup ORDER BY c DESC, sa, sb LIMIT {TRI_EDGES})"""
 
 
+def _pair_explode(grouped_sets: DataFrame, set_col: str, a: str, b: str) -> DataFrame:
+    """Ordered within-group pairs (a < b) from a frame of per-group
+    SORTED DISTINCT arrays — the join-free replacement for the
+    dedup self-join both co-supply and co-occurrence used (r10, guide
+    §2.4): `distinct → self-join on the group key` costs an exchange
+    for the dedup plus an exchange into the sort-merge join whose
+    pair output re-shuffles into the pair aggregation; building the
+    per-group set costs ONE exchange (collect_set partially
+    aggregates map-side) and the k·(k-1)/2 pair fan-out happens
+    inside the row — no join, and the only corpus-sized shuffle
+    carries one array row per group (the dedup'd representation,
+    smaller than the pair rows). The fan-out is bounded by the
+    per-group set size exactly as the join was (the production cap is
+    per-group top-d, identical in both shapes).
+
+    Two measured gotchas (guide §1.1's "ideal plan is slower at
+    first"), both fixed here:
+    - nested higher-order lambdas building struct pairs run
+      INTERPRETED per row; two chained generators (posexplode +
+      explode of the tail slice) stay inside whole-stage codegen —
+      4.3 s vs 7.2 s for the full co-supply derivation at sf0.1;
+    - AQE coalesces the collect_set exchange by its BYTE size, but
+      the downstream stage does k²/2 fan-out work per row, so the
+      sets must be spread explicitly (repartition with an explicit
+      scale-adaptive count — AQE respects user-specified counts)
+      before the explosion: 2.5 s vs 4.3 s. The spread shuffles the
+      smallest intermediate in the plan (the per-group arrays)."""
+    n_part = int(
+        grouped_sets.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    s = F.col(set_col)
+    return (
+        grouped_sets.repartition(n_part)
+        .select(set_col, F.posexplode(set_col).alias("_i", a))
+        .select(
+            a,
+            F.explode(F.slice(s, F.col("_i") + F.lit(2), F.size(s))).alias(b),
+        )
+    )
+
+
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sa, sb) strongest-TRI_EDGES co-supply edges, sa < sb, cut
     deterministically by (shared-part count DESC, sa, sb) —
     localCheckpointed because every caller references it repeatedly
-    (triangle legs / BFS rounds)."""
-    ps = (
+    (triangle legs / BFS rounds).
+
+    r10 shape: per-part sorted supplier sets + in-row pair expansion
+    (_pair_explode) replace the (l_partkey, l_suppkey) distinct +
+    self-join — 4 exchanges → 2, no sort-merge join, and the shuffle
+    carries one array row per part instead of the dedup'd pair rows
+    twice. collect_set dedups (partkey, suppkey) exactly as the old
+    distinct did; sort_array makes the slice-generated pairs ascending
+    so sa < sb and each unordered pair appears once per part — the
+    edge multiset (and therefore the cut) is unchanged."""
+    sets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
     )
     sup = (
-        ps.alias("a")
-        .join(
-            ps.alias("b"),
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb"))
+        _pair_explode(sets, "ss", "sa", "sb")
+        .groupBy("sa", "sb")
         .agg(F.count("*").alias("c"))
     )
     return (

@@ -2351,6 +2351,17 @@ def _pca_matvec(gc: Column, vc: Column) -> Column:
     )
 
 
+def _pca_let(value: Column, fn) -> Column:
+    """let-binding for interpreted higher-order expressions: evaluate
+    ``value`` ONCE and hand it to ``fn`` as a bound lambda variable
+    (F.aggregate's finish lambda over a 1-element dummy fold). HOF
+    lambda BODIES are re-evaluated per array element, so an expensive
+    subexpression referenced inside a per-element lambda (a matvec
+    inside a normalize) is otherwise recomputed once per element —
+    the expression-level twin of guide §4.4's duplicated-UDF trap."""
+    return F.aggregate(F.array(F.lit(0)), value, lambda z, _u: z, fn)
+
+
 def _pca_oracle() -> str:
     d = EMB_DIM
     mv = (
@@ -2425,16 +2436,39 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = EMB_DIM
     r1 = e.select("emb", F.posexplode("emb").alias("i", "xi"))
-    r2 = r1.select("i", "xi", F.posexplode("emb").alias("j", "xj"))
-    m = r2.groupBy("i", "j").agg(
+    # r10: the scatter matrix is symmetric and the DECIMAL cell sums
+    # are exact sums of commutative double products (xi*xj ≡ xj*xi
+    # bitwise), so computing only j >= i and MIRRORING the aggregated
+    # upper triangle is bit-identical to the full expansion while
+    # halving the dominant D² fan-out (4096 → 2080 exploded rows per
+    # input row) — the corpus-sized stage this query's cost lives in.
+    r2u = r1.select(
+        "i",
+        "xi",
+        F.posexplode(F.slice(F.col("emb"), F.col("i") + 1, F.lit(d))).alias(
+            "p", "xj"
+        ),
+    )
+    mu = r2u.groupBy("i", (F.col("i") + F.col("p")).alias("j")).agg(
         F.sum((F.col("xi") * F.col("xj")).cast("decimal(24,12)")).alias("mij")
     )
-    s = r1.groupBy("i").agg(F.sum(F.col("xi").cast("decimal(24,12)")).alias("si"))
-    cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # the per-dim sums ride ONE groupBy with the row count (count per
+    # dim == corpus rows, so n needs no separate corpus scan — r10).
+    # The 64-row result feeds THREE broadcast branches (si, sj, cnt),
+    # each of which would re-run the corpus pass — checkpoint it once.
+    s = (
+        r1.groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("decimal(24,12)")).alias("si"),
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cnt = s.agg(F.max("n_i").cast("bigint").alias("n"))
     si = s.select(F.col("i").alias("gi"), F.col("si").alias("s_i"))
     sj = s.select(F.col("i").alias("gj"), F.col("si").alias("s_j"))
     g = (
-        m.join(F.broadcast(si), F.col("i") == F.col("gi"))
+        mu.join(F.broadcast(si), F.col("i") == F.col("gi"))
         .join(F.broadcast(sj), F.col("j") == F.col("gj"))
         .crossJoin(F.broadcast(cnt))
         .select(
@@ -2446,28 +2480,81 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gij"),
         )
     )
-    gar = g.agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "j", "gij"))), lambda t: t["gij"]
-        ).alias("g")
-    ).localCheckpoint(eager=True)
-    df = gar.select("g", F.array_repeat(F.lit(0.125), d).alias("v"))
-    for _ in range(PCA_ROUNDS):
-        # one checkpoint per round: matvec + normalize fuse into a
-        # single 1-row select (the repeated inline evaluation of `w`
-        # is ~0.5M interpreted ops — milliseconds — while a second
-        # checkpoint job costs more); values are identical either way
-        w = _pca_matvec(F.col("g"), F.col("v"))
-        nrm = F.sqrt(
-            F.aggregate(
-                F.zip_with(w, w, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, y: acc + y,
-            )
+    # Mirror INSIDE the collected 1-row array (a union of the mu
+    # subtree re-ran the whole corpus-side scatter — no exchange
+    # reuse across the union branches, measured 2x): gu holds the
+    # D(D+1)/2 upper cells sorted by (i, j); the full row-major g
+    # array indexes cell (min(i,j), max(i,j)) of gu. gij(j,i) ==
+    # gij(i,j) BITWISE — mij mirror-cells sum identical commutative
+    # double products into exact decimals, and s_j*s_i == s_i*s_j —
+    # so the expanded array equals the old full-expansion one
+    # exactly. Upper-index math: cells before row a = a*D - a(a-1)/2
+    # (exact — a(a-1) is even and the values are far below 2^53).
+    dd = F.lit(d)
+    gu = F.transform(
+        F.sort_array(F.collect_list(F.struct("i", "j", "gij"))), lambda t: t["gij"]
+    )
+    def _upper_at(k):
+        i = F.floor(k / dd).cast("long")
+        j = (k % dd).cast("long")
+        a, b = F.least(i, j), F.greatest(i, j)
+        idx = (a * dd - (a * (a - F.lit(1))) / F.lit(2) + (b - a) + F.lit(1)).cast(
+            "int"
         )
-        df = df.select(
-            "g", F.transform(w, lambda x: x / nrm).alias("v")
-        ).localCheckpoint(eager=True)
+        return F.element_at(F.col("gu"), idx)
+
+    # TWO checkpoints, deliberately: without the first, CollapseProject
+    # merges the expansion into the aggregate's result expressions and
+    # INLINES the collect_list+sort_array tree into every one of the
+    # 4096 lambda uses — measured 4 s of re-sorting one row's array
+    # 4096 times (the expression twin of the guide §4.4 UDF
+    # duplication). The second checkpoint stops the same inlining into
+    # the first power round's 64×64 element_at matvec. Both jobs run
+    # on one 2-5 KB row — the corpus-side scatter is paid exactly once.
+    gar = (
+        g.agg(gu.alias("gu"))
+        .localCheckpoint(eager=True)
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d * d - 1)), _upper_at
+            ).alias("g")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # r10: ALL power rounds fold into ONE expression in ONE job —
+    # 8 per-round checkpoint jobs (driver barriers, ~0.3 s apiece
+    # locally, a scheduling round-trip each at scale) become an
+    # F.aggregate over the round counter whose accumulator is the
+    # vector. Two interpreted-HOF pitfalls are dodged via _pca_let:
+    # lambda BODIES re-evaluate per element, so both `w` (the matvec)
+    # and `nrm` must be value-bound before the per-element division
+    # references them — without the binding the matvec re-runs 64×
+    # per round (measured 6.8 s; bound: milliseconds). The per-round
+    # checkpoint loop this replaces existed to stop expression-tree
+    # nesting across rounds; the fold binds the accumulator VALUE per
+    # step, so there is no tree growth at all. Arithmetic order is
+    # unchanged (same matvec transform/aggregate, same dot, same
+    # division) — results bit-identical, pinned by the oracle hash.
+    v_final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PCA_ROUNDS)),
+        F.array_repeat(F.lit(0.125), d),
+        lambda acc, _k: _pca_let(
+            _pca_matvec(F.col("g"), acc),
+            lambda w: _pca_let(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(w, w, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda q, y: q + y,
+                    )
+                ),
+                lambda nrm: F.transform(w, lambda x: x / nrm),
+            ),
+        ),
+    )
+    # checkpoint: `fin` below references v in a 64×64 element_at
+    # matvec — an unmaterialized v would be re-evaluated per use
+    df = gar.select("g", v_final.alias("v")).localCheckpoint(eager=True)
     fin = df.select("g", "v", _pca_matvec(F.col("g"), F.col("v")).alias("gv"))
     lam = F.aggregate(
         F.zip_with(F.col("v"), F.col("gv"), lambda a, b: a * b),

@@ -1596,28 +1596,28 @@ def co_occurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair explosion is bounded by basket size (max 13
     distinct parts per order here → ≤ 78 pairs; production baskets get
-    a per-basket cap exactly like the dedup DF cap); the self-join
-    co-partitions both sides on l_orderkey — identical subplans, so
-    the shuffle is planned once and reused; pair support is one
+    a per-basket cap exactly like the dedup DF cap); r10 shape: the
+    per-order sorted part set is built in ONE map-side-combined
+    collect_set exchange and the ordered pairs expand IN-ROW
+    (graph._pair_explode) — the old distinct + self-join paid the
+    dedup exchange plus a reused-but-sorted join exchange and a
+    sort-merge join for the same pair multiset; pair support is one
     map-side-combined groupBy; the name join touches only the 20
     winners (tiny side, AQE broadcasts it — no hint on fact-derived
     part). Deterministic cut via (support, part_a, part_b)."""
-    b = (
+    from automated_dow30_earnings_reports_spark.operators.graph import (
+        _pair_explode,
+    )
+
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("pp"))
     )
     pairs = (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("part_a"),
-            F.col("y.l_partkey").alias("part_b"),
-        )
+        _pair_explode(baskets, "pp", "part_a", "part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("support"))
     )
     top = pairs.orderBy(F.col("support").desc(), "part_a", "part_b").limit(COOC_TOPK)
