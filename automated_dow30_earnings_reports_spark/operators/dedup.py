@@ -1494,11 +1494,17 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 5 == 4
     path = _dedup_index_path(sf_dir)
 
-    # build (old corpus, one amortized pass) -> ingest (batch only)
-    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
-    _build_signature_index(shd_old, path)
-    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
-    _append_signature_index(shd_new, path)
+    # build (old corpus, one amortized pass) -> ingest (batch only).
+    # r10: ONE shingle pass over the corpus, sliced per generation from
+    # the checkpointed (doc_id, h) frame — the old shape re-scanned and
+    # re-tokenized the documents once per slice (2 corpus scans + 2
+    # checkpoint jobs; the slices are disjoint, so the shingle WORK was
+    # already 1x — the scans and job barriers were the waste). Filters
+    # on doc_id commute with the per-doc shingle explode, so each
+    # slice's row multiset is identical to the old per-slice derivation.
+    shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
+    _build_signature_index(shd.where(~is_new), path)
+    _append_signature_index(shd.where(is_new), path)
 
     return _probe_signature_index(spark, path, is_new)
 
@@ -1559,10 +1565,10 @@ def dedup_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 5 == 4
     path = _dedup_index_path(sf_dir) + "_purge"
 
-    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
-    _build_signature_index(shd_old, path)
-    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
-    _append_signature_index(shd_new, path)
+    # one shingle pass, sliced per generation (see dedup_incremental_index)
+    shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
+    _build_signature_index(shd.where(~is_new), path)
+    _append_signature_index(shd.where(is_new), path)
 
     purged = docs.where(~is_new & F.expr(PURGE_PRED_SQL)).select("doc_id")
     _purge_signature_index(spark, path, purged)
@@ -1634,10 +1640,10 @@ def dedup_index_purge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 5 == 4
     path = _dedup_index_path(sf_dir) + "_mor"
 
-    shd_old = _shingle_hashes_of(docs.where(~is_new)).localCheckpoint(eager=True)
-    _build_signature_index(shd_old, path)
-    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
-    _append_signature_index(shd_new, path)
+    # one shingle pass, sliced per generation (see dedup_incremental_index)
+    shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
+    _build_signature_index(shd.where(~is_new), path)
+    _append_signature_index(shd.where(is_new), path)
 
     # the forget request: tombstones only — no index table is touched
     docs.where(~is_new & F.expr(PURGE_PRED_SQL)).select("doc_id").write.mode(
@@ -1664,14 +1670,15 @@ def dedup_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old = docs.where(~is_new)
     gen = F.col("doc_id") % 2
-    shd_a = _shingle_hashes_of(old.where(gen == 0)).localCheckpoint(eager=True)
-    _build_signature_index(shd_a, path)
-    shd_b = _shingle_hashes_of(old.where(gen == 1)).localCheckpoint(eager=True)
-    _append_signature_index(shd_b, path)
+    # one shingle pass for all three generations (see
+    # dedup_incremental_index) — the verb ORDER below is unchanged;
+    # only the (doc_id, h) derivation is shared
+    shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
+    _build_signature_index(shd.where(~is_new & (gen == 0)), path)
+    _append_signature_index(shd.where(~is_new & (gen == 1)), path)
 
     purged = old.where(F.expr(PURGE_PRED_SQL)).select("doc_id")
     _purge_signature_index(spark, path, purged)
 
-    shd_new = _shingle_hashes_of(docs.where(is_new)).localCheckpoint(eager=True)
-    _append_signature_index(shd_new, path)
+    _append_signature_index(shd.where(is_new), path)
     return _probe_signature_index(spark, path, is_new)

@@ -1966,6 +1966,14 @@ def _py_term_bucket(term: str) -> int:
     return int(_hashlib.md5(term.encode()).hexdigest()[:7], 16) % TEXT_INDEX_BUCKETS
 
 
+def _tokenized_docs(docs) -> DataFrame:
+    """(doc_id, toks) projection of a documents frame — THE tokenize
+    pass of the text-index build, split out so multi-generation
+    lifecycles can run it once over the whole corpus and slice the
+    cached result per generation (see _write_text_index_tokd)."""
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+
+
 def _write_text_index(docs, path: str, mode: str) -> None:
     """Build ('overwrite') or ingest-append ('append') the three index
     tables from a documents frame. The stats table holds MERGEABLE
@@ -1973,48 +1981,55 @@ def _write_text_index(docs, path: str, mode: str) -> None:
     so the search-side avgdl = SUM(sum_dl)/SUM(n_docs) is bit-identical
     to the full-corpus recompute no matter how many appends happened
     (storing avgdl itself would drift: avg1*n1 re-derives a rounded
-    double, the mv_incremental_refresh lesson applied to doubles)."""
+    double, the mv_incremental_refresh lesson applied to doubles).
+
+    ONE tokenization pass (r10 optimization): the old shape tokenized
+    the corpus three times — once per output table (docstats scan,
+    stats agg scan, postings scan). The tokenized frame is persisted
+    for the duration of the three writes (reused 3x, recompute = a
+    full regex pass — exactly the guide's cache-when-reused bar) and
+    unpersisted before returning so repeated lifecycle invocations
+    can't accumulate CacheManager entries. Output tables, row
+    content, and file layout are bit-identical to the old shape.
+    Multi-generation lifecycles should tokenize once themselves and
+    call _write_text_index_tokd per generation slice instead."""
+    tokd = _tokenized_docs(docs).persist()
+    try:
+        _write_text_index_tokd(tokd, path, mode)
+    finally:
+        tokd.unpersist()
+
+
+def _write_text_index_tokd(tokd: DataFrame, path: str, mode: str) -> None:
+    """The three index-table writes from an already-tokenized
+    (doc_id, toks) frame — callers own the caching of ``tokd``."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
-    # ONE tokenization pass (r10 optimization): the old shape tokenized
-    # the corpus three times — once per output table (docstats scan,
-    # stats agg scan, postings scan). The tokenized frame is persisted
-    # for the duration of the three writes (reused 3x, recompute = a
-    # full regex pass — exactly the guide's cache-when-reused bar) and
-    # unpersisted before returning so repeated lifecycle invocations
-    # can't accumulate CacheManager entries. Output tables, row
-    # content, and file layout are bit-identical to the old shape.
-    tokd = docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("toks")
-    ).persist()
-    try:
-        per_doc = tokd.select(
-            "doc_id", F.size("toks").cast("bigint").alias("dl")
+    per_doc = tokd.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl")
+    )
+    per_doc.write.mode(mode).parquet(_os.path.join(path, "docstats"))
+    per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    ).write.mode(mode).parquet(_os.path.join(path, "stats"))
+    postings = (
+        tokd.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 7), 16, 10)
+            .cast("bigint")
+            % TEXT_INDEX_BUCKETS,
         )
-        per_doc.write.mode(mode).parquet(_os.path.join(path, "docstats"))
-        per_doc.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("sum_dl"),
-        ).write.mode(mode).parquet(_os.path.join(path, "stats"))
-        postings = (
-            tokd.select("doc_id", F.explode("toks").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-            .withColumn(
-                "bucket",
-                F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 7), 16, 10)
-                .cast("bigint")
-                % TEXT_INDEX_BUCKETS,
-            )
-        )
-        write_partitioned(
-            postings, _os.path.join(path, "postings"), ["bucket"],
-            mode=mode, dynamic=False,
-        )
-    finally:
-        tokd.unpersist()
+    )
+    write_partitioned(
+        postings, _os.path.join(path, "postings"), ["bucket"],
+        mode=mode, dynamic=False,
+    )
 
 
 def _tombstone_request_id(tombs: DataFrame) -> str:
@@ -2198,10 +2213,16 @@ def text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     files applies verbatim to posting buckets."""
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_append"
-    old = d.where(F.col("doc_id") % TEXT_APPEND_MOD != 0)
-    batch = d.where(F.col("doc_id") % TEXT_APPEND_MOD == 0)
-    _write_text_index(old, path, "overwrite")
-    _write_text_index(batch, path, "append")
+    # r10: tokenize the corpus ONCE and slice the cached (doc_id, toks)
+    # per generation — the old/batch slices are disjoint, so the two
+    # _write_text_index calls re-scanned the documents for no new work
+    is_batch = F.col("doc_id") % TEXT_APPEND_MOD == 0
+    tokd = _tokenized_docs(d).persist()
+    try:
+        _write_text_index_tokd(tokd.where(~is_batch), path, "overwrite")
+        _write_text_index_tokd(tokd.where(is_batch), path, "append")
+    finally:
+        tokd.unpersist()
     return _search_text_index(spark, path)
 
 
@@ -2497,9 +2518,15 @@ def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_compact"
     gen = F.col("doc_id") % TEXT_COMPACT_MOD
-    _write_text_index(d.where(gen == 0), path, "overwrite")
-    _write_text_index(d.where(gen == 1), path, "append")
-    _write_text_index(d.where(gen == 2), path, "append")
+    # one tokenize pass for the three generations (text_index_append's
+    # r10 slice pattern)
+    tokd = _tokenized_docs(d).persist()
+    try:
+        _write_text_index_tokd(tokd.where(gen == 0), path, "overwrite")
+        _write_text_index_tokd(tokd.where(gen == 1), path, "append")
+        _write_text_index_tokd(tokd.where(gen == 2), path, "append")
+    finally:
+        tokd.unpersist()
     _compact_text_index(spark, path)
     return _search_text_index(spark, path)
 
@@ -2711,12 +2738,22 @@ def text_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_vacuum"
-    _write_text_index(d.where(~F.expr(TEXT_DELETE_PRED)), path, "overwrite")
+    # one tokenize pass shared by the survivor build and the victims'
+    # staged delta (disjoint slices of the same corpus)
+    tokd = _tokenized_docs(d).persist()
+    try:
+        _write_text_index_tokd(
+            tokd.where(~F.expr(TEXT_DELETE_PRED)), path, "overwrite"
+        )
 
-    # --- construct the crashed publish: stage, manifest, one moved file ---
-    staging = _os.path.join(path, ".staging", "batch-99")
-    _shutil.rmtree(staging, ignore_errors=True)
-    _write_text_index(d.where(F.expr(TEXT_DELETE_PRED)), staging, "overwrite")
+        # --- construct the crashed publish: stage, manifest, one moved file ---
+        staging = _os.path.join(path, ".staging", "batch-99")
+        _shutil.rmtree(staging, ignore_errors=True)
+        _write_text_index_tokd(
+            tokd.where(F.expr(TEXT_DELETE_PRED)), staging, "overwrite"
+        )
+    finally:
+        tokd.unpersist()
     touched = write_publish_manifest(
         path, staging, ("postings", "docstats", "stats"), 99
     )
@@ -2808,9 +2845,16 @@ def text_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_crud"
     gen = F.col("doc_id") % 3
-    _write_text_index(d.where(gen == 0), path, "overwrite")
-    _write_text_index(d.where(gen == 1), path, "append")
-    victims = d.where(F.expr(TEXT_DELETE_PRED) & (gen < 2)).select("doc_id")
-    _delete_from_text_index(spark, path, victims)
-    _write_text_index(d.where(gen == 2), path, "append")
+    # one tokenize pass for the three generations (text_index_append's
+    # r10 slice pattern); the verb ORDER — delete lands between the
+    # gen-1 and gen-2 appends — is unchanged
+    tokd = _tokenized_docs(d).persist()
+    try:
+        _write_text_index_tokd(tokd.where(gen == 0), path, "overwrite")
+        _write_text_index_tokd(tokd.where(gen == 1), path, "append")
+        victims = d.where(F.expr(TEXT_DELETE_PRED) & (gen < 2)).select("doc_id")
+        _delete_from_text_index(spark, path, victims)
+        _write_text_index_tokd(tokd.where(gen == 2), path, "append")
+    finally:
+        tokd.unpersist()
     return _search_text_index(spark, path)
