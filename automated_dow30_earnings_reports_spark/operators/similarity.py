@@ -1111,6 +1111,16 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distance tables (PQ_M x PQ_K x |Q| rows) broadcast; the exact
     stage touches PQ_SHORTLIST*|Q| full vectors instead of N*|Q|."""
     e = _emb(spark, sf_dir)
+    # r10 measured and REJECTED (guide §1.1's "ideal plan is slower"):
+    # spread()-ing the subvector explosion to 32 partitions and/or
+    # eagerly checkpointing sub_all for its many consumers made the
+    # query 1.6x-4x SLOWER (min-of-4: 3.3 s baseline, 3.8 s with the
+    # checkpoint, 5.3 s with spread+checkpoint, runs to 19 s) — the
+    # unrolled Lloyd plan ships multi-MB task binaries per stage, so
+    # multiplying tiny single-task stages into 32-task stages multiplies
+    # scheduler+serialization cost with no compute to amortize it, and
+    # the explode re-derivation per round is cheaper than the cache
+    # round trip at this working-set size. Left as-is deliberately.
     sub_all = _pq_subvectors(e)
     cents = _pq_train_all(sub_all)
     w_assign = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")

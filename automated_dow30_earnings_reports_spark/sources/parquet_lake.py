@@ -508,21 +508,38 @@ def rewrite_affected_partitions(
 
     keys = [key] if isinstance(key, str) else list(key)
     tbl = spark.read.parquet(table_path)
-    affected = {
-        r[part_col]
-        for r in tbl.join(F.broadcast(victims), keys)
-        .select(part_col)
-        .distinct()
+    # ONE flag scan decides both driver-side sets (r10: the old shape
+    # ran a second aggregate-and-collect over the checkpointed
+    # survivors just to learn which affected partitions kept rows —
+    # the same information this scan already has): per partition,
+    # does any row match a victim (affected), and does any row
+    # survive the anti-join (kept)? Only victim-BEARING partitions
+    # matter downstream, so the aggregate is filtered to them.
+    vmark = victims.select(
+        *[F.col(k).alias(f"_vk_{i}") for i, k in enumerate(keys)]
+    ).withColumn("_v", F.lit(1))
+    cond = [F.col(k) == F.col(f"_vk_{i}") for i, k in enumerate(keys)]
+    flags = (
+        tbl.join(F.broadcast(vmark), cond, "left")
+        .groupBy(part_col)
+        .agg(
+            F.max(F.coalesce(F.col("_v"), F.lit(0))).alias("has_victim"),
+            F.max(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias(
+                "has_survivor"
+            ),
+        )
+        .where(F.col("has_victim") == 1)
         .collect()
-    }
+    )
+    affected = {r[part_col] for r in flags}
     if not affected:
         return
+    kept = {r[part_col] for r in flags if r["has_survivor"] == 1}
     survivors = (
         tbl.where(F.col(part_col).isin(list(affected)))
         .join(F.broadcast(victims), keys, "left_anti")
         .localCheckpoint(eager=True)
     )
-    kept = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
     write_partitioned(survivors, table_path, [part_col], dynamic=True)
     for p in affected - kept:
         _shutil.rmtree(

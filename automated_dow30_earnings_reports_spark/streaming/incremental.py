@@ -589,8 +589,6 @@ def _ingest_batch(
         publish_staged_batch,
     )
 
-    if batch_df.isEmpty():
-        return
     sess = batch_df.sparkSession
     committed = sess.read.parquet(ledger).select(key)
     fresh = (
@@ -599,8 +597,14 @@ def _ingest_batch(
         .select(key)
         .localCheckpoint(eager=True)
     )
+    # one emptiness gate, not two (r10): the old shape ran a separate
+    # batch_df.isEmpty() job first, but an empty batch falls through to
+    # an empty `fresh` anyway (join with an empty side), and isEmpty on
+    # the just-materialized checkpoint is a take(1) over cached blocks
+    # — the extra pre-check was one whole job per micro-batch for the
+    # rare empty-batch case it didn't even make cheaper.
     if fresh.isEmpty():
-        return  # fully-replayed batch: the ledger already has it
+        return  # empty or fully-replayed batch: nothing to ingest
     staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
     shutil.rmtree(staging, ignore_errors=True)
     stage(source.join(fresh, key), staging)
