@@ -1527,6 +1527,7 @@ def _purge_signature_index(spark: SparkSession, path: str, purged: DataFrame) ->
     through a checkpoint."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         rewrite_affected_partitions,
+        rewrite_table_atomic,
     )
 
     purged = purged.localCheckpoint(eager=True)
@@ -1534,12 +1535,15 @@ def _purge_signature_index(spark: SparkSession, path: str, purged: DataFrame) ->
         rewrite_affected_partitions(
             spark, _os.path.join(path, table), part_col, purged, "doc_id"
         )
-    sizes = (
-        spark.read.parquet(_os.path.join(path, "sizes"))
-        .join(F.broadcast(purged), "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
+    # one job, swap-published (r10): the checkpoint-then-overwrite
+    # shape cost two jobs and could strand a truncated sizes table on a
+    # mid-write crash
+    rewrite_table_atomic(
+        spark.read.parquet(_os.path.join(path, "sizes")).join(
+            F.broadcast(purged), "doc_id", "left_anti"
+        ),
+        _os.path.join(path, "sizes"),
     )
-    sizes.write.mode("overwrite").parquet(_os.path.join(path, "sizes"))
 
 
 def _purge_oracle() -> str:

@@ -1564,10 +1564,14 @@ def _recluster_index(spark: SparkSession, path: str) -> None:
         cents = _update_centroids(_assign_cells(vecs, cents)).localCheckpoint(
             eager=False
         )
-    # cents and the final assignment are checkpointed BEFORE any write,
-    # so neither overwrite can race a read of the old index state
+    # cents is checkpointed BEFORE any write, which also cuts the final
+    # assignment's lineage: final_cells reads ONLY the vecs and cents
+    # checkpoints (never the postings/centroids directories), so its
+    # write cannot race a read of the old index state and needs no
+    # checkpoint of its own (r10: one fewer full-assignment
+    # materialization job)
     cents = cents.localCheckpoint(eager=True)
-    final_cells = _assign_cells(vecs, cents).localCheckpoint(eager=True)
+    final_cells = _assign_cells(vecs, cents)
     cents.select(F.col("cid"), F.col("ce"), F.col("cnorm")).write.mode(
         "overwrite"
     ).parquet(_os.path.join(path, "centroids"))

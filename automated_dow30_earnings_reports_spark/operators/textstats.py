@@ -2427,7 +2427,7 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
     Once no tombstones stand, the markers are spent and fold like any
     other partial. Pinned in tests/test_round8_ops.py."""
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
-        write_partitioned,
+        rewrite_table_atomic,
     )
 
     import shutil as _shutil
@@ -2454,12 +2454,18 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
         else:
             _shutil.rmtree(stage, ignore_errors=True)
 
-    post = spark.read.parquet(_os.path.join(path, "postings")).localCheckpoint(
-        eager=True
+    # one job per table, swap-published (r10): the old
+    # checkpoint-then-overwrite cost two jobs per table and left the
+    # live directory torn if the in-place rewrite crashed mid-write
+    rewrite_table_atomic(
+        spark.read.parquet(_os.path.join(path, "postings")),
+        _os.path.join(path, "postings"),
+        partition_cols=["bucket"],
     )
-    write_partitioned(post, _os.path.join(path, "postings"), ["bucket"], dynamic=False)
-    ds = spark.read.parquet(_os.path.join(path, "docstats")).localCheckpoint(eager=True)
-    ds.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
+    rewrite_table_atomic(
+        spark.read.parquet(_os.path.join(path, "docstats")),
+        _os.path.join(path, "docstats"),
+    )
     tombstones_standing = _os.path.isdir(_os.path.join(path, "tombstones"))
     keep = (
         sorted(
@@ -2475,27 +2481,27 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
         for f in _os.listdir(stats_dir)
         if f.endswith(".parquet") and f not in keep
     ]
-    stats = (
-        spark.read.parquet(*fold_files)
-        .agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs"),
-            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
-        )
-        .localCheckpoint(eager=True)
+    stats = spark.read.parquet(*fold_files).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
     )
-    if keep:
-        # stage the fold, then swap folded + kept markers back in —
-        # mode("overwrite") on stats_dir would briefly delete the
-        # markers (and a crash there would orphan them permanently)
-        stats.write.mode("overwrite").parquet(stage)
-        for f in keep:
-            _os.link(_os.path.join(stats_dir, f), _os.path.join(stage, f))
-        with open(_os.path.join(stage, "_SWAP_READY"), "w"):
-            pass
-        _shutil.rmtree(stats_dir)
-        _os.replace(stage, stats_dir)
-    else:
-        stats.write.mode("overwrite").parquet(stats_dir)
+    # stage the fold, then swap folded (+ any kept markers) back in —
+    # ONE job either way (r10: the old no-marker branch checkpointed
+    # the fold and overwrote stats_dir in place — a second job, and a
+    # crash mid-overwrite tore the live dir; the marker branch staged
+    # but still paid the checkpoint). Writing the fold DIRECTLY to the
+    # stage never races its parquet sources (they live in stats_dir),
+    # and the _SWAP_READY-gated swap covers both branches.
+    stats.write.mode("overwrite").parquet(stage)
+    for f in keep:
+        # markers swap back in with the fold — mode("overwrite") on
+        # stats_dir would briefly delete them (and a crash there would
+        # orphan them permanently)
+        _os.link(_os.path.join(stats_dir, f), _os.path.join(stage, f))
+    with open(_os.path.join(stage, "_SWAP_READY"), "w"):
+        pass
+    _shutil.rmtree(stats_dir)
+    _os.replace(stage, stats_dir)
 
 
 @_register("text_index_compact", _bm25_oracle())
@@ -2576,6 +2582,7 @@ def _delete_from_text_index(
 
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         rewrite_affected_partitions,
+        rewrite_table_atomic,
     )
 
     victims = victims.localCheckpoint(eager=True)
@@ -2603,12 +2610,14 @@ def _delete_from_text_index(
     rewrite_affected_partitions(
         spark, _os.path.join(path, "postings"), "bucket", victims, "doc_id"
     )
-    ds = (
-        spark.read.parquet(_os.path.join(path, "docstats"))
-        .join(F.broadcast(victims), "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
+    # one job, swap-published (r10): checkpoint-then-overwrite cost two
+    # jobs and could strand a truncated docstats on a mid-write crash
+    rewrite_table_atomic(
+        spark.read.parquet(_os.path.join(path, "docstats")).join(
+            F.broadcast(victims), "doc_id", "left_anti"
+        ),
+        _os.path.join(path, "docstats"),
     )
-    ds.write.mode("overwrite").parquet(_os.path.join(path, "docstats"))
 
 
 @_register("text_index_delete", _bm25_oracle(f" WHERE NOT ({TEXT_DELETE_PRED})"))

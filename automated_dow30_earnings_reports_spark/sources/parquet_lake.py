@@ -547,6 +547,35 @@ def rewrite_affected_partitions(
         )
 
 
+def rewrite_table_atomic(
+    df: DataFrame, table_path: str, partition_cols: list[str] | None = None
+) -> None:
+    """Rewrite a parquet table with content derived FROM ITSELF in one
+    Spark job: write ``df`` to a sibling tmp directory (hive-partitioned
+    when ``partition_cols`` is given), then swap directories (park-old →
+    rename-in → reclaim, the compact_committed_ledger protocol).
+    Replaces the checkpoint-then-overwrite pattern, which cost TWO jobs
+    (one to materialize the checkpoint so the overwrite couldn't race
+    its own source, one to write) and could strand a truncated table if
+    the in-place overwrite crashed mid-write; the swap leaves either the
+    old table or the new one, never a partial."""
+    import shutil as _sh
+
+    parent = _os.path.dirname(table_path.rstrip("/"))
+    name = _os.path.basename(table_path.rstrip("/"))
+    tmp = _os.path.join(parent, f".{name}-rewrite-tmp")
+    old = _os.path.join(parent, f".{name}-rewrite-old")
+    _sh.rmtree(tmp, ignore_errors=True)
+    _sh.rmtree(old, ignore_errors=True)
+    if partition_cols:
+        write_partitioned(df, tmp, partition_cols, dynamic=False)
+    else:
+        df.write.mode("overwrite").parquet(tmp)
+    _os.rename(table_path, old)
+    _os.rename(tmp, table_path)
+    _sh.rmtree(old, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # ORC lake round trip — the second columnar container Spark ships a
 # native vectorized reader/writer for. Same hive-partitioned layout and
