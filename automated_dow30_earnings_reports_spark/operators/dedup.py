@@ -1382,14 +1382,38 @@ def _write_signature_tables(
     ride ONE groupBy over the (doc_id, h) working set (persisted for
     the two writes, unpersisted after) instead of two independent
     passes — table content is bit-identical; sizes is written as a
-    derivative of the same aggregation the bands came from."""
+    derivative of the same aggregation the bands came from.
+
+    The shd table write OVERLAPS the bands/sizes writes (guide §2.6:
+    independent jobs submitted from a driver thread back-fill idle
+    executors): it reads only the caller's checkpointed (doc_id, h)
+    frame — already-materialized blocks, disjoint from the sig cache
+    the other two writes share — and targets its own directory, so
+    running it concurrently cannot race a cache materialization or a
+    commit. Each write's content is identical to the sequential
+    shape; only the wall-clock overlap changes."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
 
+    def _write_shd() -> None:
+        write_partitioned(
+            shd.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
+            _os.path.join(path, "shd"),
+            ["dbucket"],
+            mode=mode,
+            dynamic=False,
+        )
+
     both = "bands" in tables and "sizes" in tables
     sig = None
+    shd_future = None
+    pool = ThreadPoolExecutor(max_workers=1) if "shd" in tables else None
     try:
+        if pool is not None:
+            shd_future = pool.submit(_write_shd)
         if both:
             sig = minhash_signatures(shd, with_size=True).persist()
             bandkeys = lsh_band_keys(sig)
@@ -1400,14 +1424,6 @@ def _write_signature_tables(
                 _bucketed_bands(bandkeys), _os.path.join(path, "bands"), ["bucket"],
                 mode=mode, dynamic=False,
             )
-        if "shd" in tables:
-            write_partitioned(
-                shd.withColumn("dbucket", F.pmod(F.col("doc_id"), F.lit(8))),
-                _os.path.join(path, "shd"),
-                ["dbucket"],
-                mode=mode,
-                dynamic=False,
-            )
         if "sizes" in tables:
             sizes = (
                 sig.select("doc_id", "sz")
@@ -1415,7 +1431,11 @@ def _write_signature_tables(
                 else shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
             )
             sizes.write.mode(mode).parquet(_os.path.join(path, "sizes"))
+        if shd_future is not None:
+            shd_future.result()  # surface any write failure loudly
     finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
         if sig is not None:
             sig.unpersist()
 
