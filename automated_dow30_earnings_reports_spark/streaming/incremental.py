@@ -591,26 +591,32 @@ def _ingest_batch(
 
     sess = batch_df.sparkSession
     committed = sess.read.parquet(ledger).select(key)
-    fresh = (
+    # ONE source pass per batch (r10): the old shape derived the fresh
+    # KEY SET (one corpus-scan join), then re-joined the source against
+    # it inside the stage callback — a second corpus scan per
+    # micro-batch at scale. Checkpointing the fresh ROWS (batch-sized:
+    # exactly the arriving documents/vectors) hands the stage callback
+    # its input without touching the source again, and the ledger
+    # append projects the keys from the same checkpoint.
+    fresh_rows = (
         source.join(batch_df.select(key).distinct(), key)
         .join(committed, key, "left_anti")
-        .select(key)
         .localCheckpoint(eager=True)
     )
     # one emptiness gate, not two (r10): the old shape ran a separate
     # batch_df.isEmpty() job first, but an empty batch falls through to
-    # an empty `fresh` anyway (join with an empty side), and isEmpty on
-    # the just-materialized checkpoint is a take(1) over cached blocks
-    # — the extra pre-check was one whole job per micro-batch for the
-    # rare empty-batch case it didn't even make cheaper.
-    if fresh.isEmpty():
+    # an empty checkpoint anyway (join with an empty side), and isEmpty
+    # on the just-materialized checkpoint is a take(1) over cached
+    # blocks — the extra pre-check was one whole job per micro-batch
+    # for the rare empty-batch case it didn't even make cheaper.
+    if fresh_rows.isEmpty():
         return  # empty or fully-replayed batch: nothing to ingest
     staging = os.path.join(index_path, ".staging", f"batch-{batch_id}")
     shutil.rmtree(staging, ignore_errors=True)
-    stage(source.join(fresh, key), staging)
+    stage(fresh_rows, staging)
     publish_staged_batch(staging, index_path, tables, batch_id)
     # ledger commit LAST, as one file (atomic publish via job commit)
-    fresh.coalesce(1).write.mode("append").parquet(ledger)
+    fresh_rows.select(key).coalesce(1).write.mode("append").parquet(ledger)
 
 
 def start_dedup_ingest_stream(
