@@ -40,6 +40,18 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _read_idx(spark, path):
+    """Index-table read with the process-cached schema (r11):
+    skips the per-call parquet footer inference (~60-130 ms) for
+    tables whose column set is process-stable — every index table
+    here. Delegates to parquet_lake.read_known_schema."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        read_known_schema,
+    )
+
+    return read_known_schema(spark, path)
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1436,6 +1448,15 @@ def _write_signature_tables(
     finally:
         if pool is not None:
             pool.shutdown(wait=True)
+            if shd_future is not None and shd_future.exception() is not None:
+                # the main-thread write raised FIRST and is propagating:
+                # don't let the overlapped shd write's own failure vanish
+                # (result() above was never reached) — record it loudly
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "overlapped shd write failed: %r", shd_future.exception()
+                )
         if sig is not None:
             sig.unpersist()
 
@@ -1460,11 +1481,11 @@ def _probe_signature_index(
     bucket partitions are still unrewritten — deletes are visible
     immediately, the rewrite (_purge_signature_index) runs on
     maintenance schedule."""
-    bands = spark.read.parquet(_os.path.join(path, "bands"))
-    shd = spark.read.parquet(_os.path.join(path, "shd")).select("doc_id", "h")
-    sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    bands = _read_idx(spark, _os.path.join(path, "bands"))
+    shd = _read_idx(spark, _os.path.join(path, "shd")).select("doc_id", "h")
+    sizes = _read_idx(spark, _os.path.join(path, "sizes"))
     if merge_tombstones:
-        tombs = spark.read.parquet(_os.path.join(path, "tombstones")).select(
+        tombs = _read_idx(spark, _os.path.join(path, "tombstones")).select(
             "doc_id"
         )
         bands = bands.join(F.broadcast(tombs), "doc_id", "left_anti")
@@ -1559,7 +1580,7 @@ def _purge_signature_index(spark: SparkSession, path: str, purged: DataFrame) ->
     # shape cost two jobs and could strand a truncated sizes table on a
     # mid-write crash
     rewrite_table_atomic(
-        spark.read.parquet(_os.path.join(path, "sizes")).join(
+        _read_idx(spark, _os.path.join(path, "sizes")).join(
             F.broadcast(purged), "doc_id", "left_anti"
         ),
         _os.path.join(path, "sizes"),
@@ -1631,7 +1652,7 @@ def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _dedup_index_path(sf_dir) + "_statsq"
     shd = _shingle_hashes_of(docs).localCheckpoint(eager=True)
     _build_signature_index(shd, path, tables=("bands",))  # stats reads only bands
-    bands = spark.read.parquet(_os.path.join(path, "bands"))
+    bands = _read_idx(spark, _os.path.join(path, "bands"))
     per_bucket = bands.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -35,6 +35,18 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _read_idx(spark, path):
+    """Index-table read with the process-cached schema (r11):
+    skips the per-call parquet footer inference (~60-130 ms) for
+    tables whose column set is process-stable — every index table
+    here. Delegates to parquet_lake.read_known_schema."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        read_known_schema,
+    )
+
+    return read_known_schema(spark, path)
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1398,8 +1410,8 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- search phase: ONLY the persisted index + the query vectors ---
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     return _search_index(postings, idx_cents, _query_vectors(e))
 
 
@@ -1448,7 +1460,7 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_cells(old, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
     )
     # --- ingest: new batch vs STORED centroids, appended postings ---
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
     new = e.where(F.col("vec_id") >= IVF_APPEND_SPLIT)
     write_partitioned(
         _assign_cells(new, idx_cents),
@@ -1457,7 +1469,7 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     # --- search over the merged index ---
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     return _search_index(postings, idx_cents, _query_vectors(e))
 
 
@@ -1537,7 +1549,7 @@ def recluster_if_skewed(
     top of this, because ITS DuckDB oracle re-clusters unconditionally
     by construction; library callers running on real drift should call
     this verb directly and accept either outcome."""
-    skew = _index_skew_ratio(spark.read.parquet(_os.path.join(path, "postings")))
+    skew = _index_skew_ratio(_read_idx(spark, _os.path.join(path, "postings")))
     if skew < threshold:
         return False, skew
     _recluster_index(spark, path)
@@ -1557,7 +1569,7 @@ def _recluster_index(spark: SparkSession, path: str) -> None:
         write_partitioned,
     )
 
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     vecs = postings.select("vec_id", "emb", "norm").localCheckpoint(eager=True)
     cents = _update_centroids(postings)  # round 1: stored assignment, free
     for _ in range(KMEANS_ROUNDS - 1):
@@ -1658,7 +1670,7 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_cells(old, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
     )
     # --- append the drifted batch against the STORED centroids ---
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
     write_partitioned(
         _assign_cells(e.where(F.col("vec_id") >= IVF_APPEND_SPLIT), idx_cents),
         _os.path.join(path, "postings"),
@@ -1684,8 +1696,8 @@ def ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index would be a silent hash mismatch"
         )
     # --- search the maintained index ---
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     return _search_index(postings, idx_cents, _query_vectors(e))
 
 
@@ -1757,7 +1769,7 @@ def _compact_deletes(spark: SparkSession, path: str) -> None:
         rewrite_affected_partitions,
     )
 
-    tombs = spark.read.parquet(_os.path.join(path, "tombstones"))
+    tombs = _read_idx(spark, _os.path.join(path, "tombstones"))
     rewrite_affected_partitions(
         spark, _os.path.join(path, "postings"), "cell", tombs, "vec_id"
     )
@@ -1792,8 +1804,8 @@ def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- compaction folds them in ---
     _compact_deletes(spark, path)
 
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     qvec = _query_vectors(e.where(~F.expr(IVF_DELETE_PRED)))
     return _search_index(postings, idx_cents, qvec)
 
@@ -1870,8 +1882,8 @@ def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     if report["rolled_back_batches"] != 1 or report["scrubbed_files"] != 1:
         raise RuntimeError(f"vacuum did not roll back the crashed batch: {report}")
 
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     qvec = _query_vectors(e.where(~F.expr(IVF_DELETE_PRED)))
     return _search_index(postings, idx_cents, qvec)
 
@@ -1979,8 +1991,8 @@ def ivf_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the spared ingest completes: the index now holds the full corpus
     publish_staged_batch(stage78, path, ("postings",), 78)
 
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     return _search_index(postings, idx_cents, _query_vectors(e))
 
 
@@ -2010,7 +2022,7 @@ def ivf_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _seed_cents(e)
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
-    idx_cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    idx_cents = _read_idx(spark, _os.path.join(path, "centroids"))
     write_partitioned(
         _assign_cells(e.where(gen == 0), idx_cents),
         _os.path.join(path, "postings"), ["cell"], dynamic=False,
@@ -2027,7 +2039,7 @@ def ivf_index_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_cells(e.where(gen == 2), idx_cents),
         _os.path.join(path, "postings"), ["cell"], mode="append",
     )
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    postings = _read_idx(spark, _os.path.join(path, "postings"))
     qvec = _query_vectors(e.where(~F.expr(IVF_CRUD_DEAD)))
     return _search_index(postings, idx_cents, qvec)
 
@@ -2084,7 +2096,7 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_cells(e, cents), _os.path.join(path, "postings"), ["cell"], dynamic=False
     )
     occ = (
-        spark.read.parquet(_os.path.join(path, "postings"))
+        _read_idx(spark, _os.path.join(path, "postings"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"))
     )

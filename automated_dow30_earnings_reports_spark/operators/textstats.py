@@ -25,6 +25,18 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _read_idx(spark, path):
+    """Index-table read with the process-cached schema (r11):
+    skips the per-call parquet footer inference (~60-130 ms) for
+    tables whose column set is process-stable — every index table
+    here. Delegates to parquet_lake.read_known_schema."""
+    from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
+        read_known_schema,
+    )
+
+    return read_known_schema(spark, path)
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -2093,12 +2105,12 @@ def _search_text_index(
     q_terms = list(BM25_QUERY)
     q_buckets = sorted({_py_term_bucket(t) for t in q_terms})
     post = (
-        spark.read.parquet(_os.path.join(path, "postings"))
+        _read_idx(spark, _os.path.join(path, "postings"))
         .where(F.col("bucket").isin(q_buckets) & F.col("term").isin(q_terms))
     )
     tombs = None
     if merge_tombstones:
-        tombs = spark.read.parquet(_os.path.join(path, "tombstones")).select(
+        tombs = _read_idx(spark, _os.path.join(path, "tombstones")).select(
             "doc_id"
         )
         post = post.join(F.broadcast(tombs), "doc_id", "left_anti")
@@ -2126,8 +2138,8 @@ def _search_text_index(
             for i in range(len(q_terms))
         ]
     )
-    docstats = spark.read.parquet(_os.path.join(path, "docstats"))
-    stats_partials = spark.read.parquet(_os.path.join(path, "stats"))
+    docstats = _read_idx(spark, _os.path.join(path, "docstats"))
+    stats_partials = _read_idx(spark, _os.path.join(path, "stats"))
     if tombs is not None:
         # fold the victims' exact integers into the partial sums at
         # read time — the same arithmetic the compaction persists.
@@ -2458,12 +2470,12 @@ def _compact_text_index(spark: SparkSession, path: str) -> None:
     # checkpoint-then-overwrite cost two jobs per table and left the
     # live directory torn if the in-place rewrite crashed mid-write
     rewrite_table_atomic(
-        spark.read.parquet(_os.path.join(path, "postings")),
+        _read_idx(spark, _os.path.join(path, "postings")),
         _os.path.join(path, "postings"),
         partition_cols=["bucket"],
     )
     rewrite_table_atomic(
-        spark.read.parquet(_os.path.join(path, "docstats")),
+        _read_idx(spark, _os.path.join(path, "docstats")),
         _os.path.join(path, "docstats"),
     )
     tombstones_standing = _os.path.isdir(_os.path.join(path, "tombstones"))
@@ -2594,7 +2606,7 @@ def _delete_from_text_index(
         stage = _os.path.join(path, f".forget-stage-{request_id}")
         _shutil.rmtree(stage, ignore_errors=True)
         (
-            spark.read.parquet(_os.path.join(path, "docstats"))
+            _read_idx(spark, _os.path.join(path, "docstats"))
             .join(F.broadcast(victims), "doc_id")
             .agg(
                 (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
@@ -2613,7 +2625,7 @@ def _delete_from_text_index(
     # one job, swap-published (r10): checkpoint-then-overwrite cost two
     # jobs and could strand a truncated docstats on a mid-write crash
     rewrite_table_atomic(
-        spark.read.parquet(_os.path.join(path, "docstats")).join(
+        _read_idx(spark, _os.path.join(path, "docstats")).join(
             F.broadcast(victims), "doc_id", "left_anti"
         ),
         _os.path.join(path, "docstats"),
@@ -2704,7 +2716,7 @@ def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     path = _text_index_path(sf_dir) + "_statsq"
     _write_text_index(d, path, "overwrite")
-    post = spark.read.parquet(_os.path.join(path, "postings"))
+    post = _read_idx(spark, _os.path.join(path, "postings"))
     return (
         post.groupBy("bucket")
         .agg(
@@ -2804,7 +2816,7 @@ def _compact_text_tombstones(
     tests/test_round8_ops.py."""
     import shutil as _shutil
 
-    victims = spark.read.parquet(_os.path.join(path, "tombstones")).select(
+    victims = _read_idx(spark, _os.path.join(path, "tombstones")).select(
         "doc_id"
     )
     if request_id is None:

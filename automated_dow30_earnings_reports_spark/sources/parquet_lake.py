@@ -38,31 +38,49 @@ def write_partitioned(
     files_per_partition: int = 1,
     sort_within: list[str] | None = None,
 ) -> None:
-    """Write ``df`` as a hive-partitioned parquet dataset."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if dynamic and mode == "overwrite":
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out = df
-        if files_per_partition == 1:
-            out = out.repartition(*[F.col(c) for c in partition_cols])
-        else:
-            # Salted spread: an explicit partition count is required —
-            # AQE coalesces column-only repartitions back together,
-            # collapsing the salt groups into one task (= one file).
-            n_values = df.select(*partition_cols).distinct().count()
-            salt = (F.abs(F.hash(*df.columns)) % files_per_partition).alias("_salt")
-            out = out.repartition(
-                max(1, n_values * files_per_partition),
-                *[F.col(c) for c in partition_cols],
-                salt,
-            )
-        if sort_within:
-            out = out.sortWithinPartitions(*sort_within)
-        out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    """Write ``df`` as a hive-partitioned parquet dataset.
+
+    The overwrite mode is set per WRITER (``option("partitionOverwriteMode",
+    ...)`` — honored by the parquet source and overriding the session conf),
+    never by mutating the session-global conf: the old set/restore dance
+    raced any concurrent write on the same session (e.g. the dedup index's
+    overlapped shd write) and could silently flip a static overwrite to
+    dynamic mid-write."""
+    out = df
+    if files_per_partition == 1:
+        # EXPLICIT partition count (r11, guide §2.5/§2.4): a column-only
+        # repartition flows through spark.sql.shuffle.partitions and AQE
+        # then coalesces the small exchange by BYTES — measured collapsing
+        # every index-table write stage to ONE task (dedup_index_stats'
+        # bands write: a 965 ms single-task stage computing all band md5s
+        # serially while 31 cores idle). An explicit count pins the
+        # exchange (AQE never coalesces user-specified repartitions), so
+        # the write stage spreads across the partition VALUES — still
+        # exactly one file per value (hash partitioning sends all rows of
+        # a value to one task regardless of the count). Scale-adaptive:
+        # the count is the session's shuffle-partition conf, not a
+        # local[32] constant.
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = out.repartition(n, *[F.col(c) for c in partition_cols])
+    else:
+        # Salted spread: an explicit partition count is required —
+        # AQE coalesces column-only repartitions back together,
+        # collapsing the salt groups into one task (= one file).
+        n_values = df.select(*partition_cols).distinct().count()
+        salt = (F.abs(F.hash(*df.columns)) % files_per_partition).alias("_salt")
+        out = out.repartition(
+            max(1, n_values * files_per_partition),
+            *[F.col(c) for c in partition_cols],
+            salt,
+        )
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    (
+        out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
@@ -70,6 +88,30 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     directory-name inference, and predicates on them become
     PartitionFilters (directory pruning, zero I/O for pruned values)."""
     return spark.read.parquet(path)
+
+
+# Process-lifetime READ-SCHEMA cache (r11, guide §6 plan-time costs):
+# every schema-less spark.read.parquet re-infers the schema from
+# parquet footers — measured 60-130 ms PER CALL on this box, and the
+# index lifecycle verbs read their tables 4-10 times each. An index
+# table's FILE SET mutates (appends, affected-partition rewrites,
+# compactions) but its COLUMN SET never does within a process, so the
+# first inference is cached per absolute path and later reads pass it
+# explicitly. Metadata only — every read still scans the files on disk
+# at call time. NOT for schema-evolving reads: the occ/snapshot paths
+# read explicit file lists (never a bare table root) and don't come
+# through here.
+_READ_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def read_known_schema(spark: SparkSession, path: str) -> DataFrame:
+    ap = _os.path.abspath(path)
+    sch = _READ_SCHEMA_CACHE.get(ap)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _READ_SCHEMA_CACHE[ap] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 BATCH_FILE_PREFIX = "ingest-"  # batch-published data files: ingest-<batch>-<n>.parquet
@@ -442,9 +484,25 @@ def rollback_orphan_publishes(
         elif (
             entry in (".committed-seed-tmp", ".committed-compact-tmp")
             or entry.startswith(".forget-stage-")
+            or (entry.startswith(".") and entry.endswith("-rewrite-tmp"))
         ):
             full = _os.path.join(live_root, entry)
             if _tree_old(full):
+                _shutil.rmtree(full, ignore_errors=True)
+                report["scratch_dirs"] += 1
+            else:
+                report["young_spared"] += 1
+        elif entry.startswith(".") and entry.endswith("-rewrite-old"):
+            # rewrite_table_atomic's parked old table: a RECOVERY source
+            # while the table directory itself is missing (a crash
+            # between the swap's two renames) — restore it; scratch only
+            # once the swapped-in table exists (same rule as
+            # .committed-old below)
+            full = _os.path.join(live_root, entry)
+            table = _os.path.join(live_root, entry[1 : -len("-rewrite-old")])
+            if not _os.path.exists(table):
+                _os.rename(full, table)
+            elif _tree_old(full):
                 _shutil.rmtree(full, ignore_errors=True)
                 report["scratch_dirs"] += 1
             else:
@@ -557,14 +615,29 @@ def rewrite_table_atomic(
     Replaces the checkpoint-then-overwrite pattern, which cost TWO jobs
     (one to materialize the checkpoint so the overwrite couldn't race
     its own source, one to write) and could strand a truncated table if
-    the in-place overwrite crashed mid-write; the swap leaves either the
-    old table or the new one, never a partial."""
+    the in-place overwrite crashed mid-write.
+
+    Crash contract, stated honestly: readers see either the old table
+    or the new one, never a PARTIAL — but the swap is two renames, not
+    one atomic operation, so a crash between them leaves the table
+    directory MISSING with the complete old content parked at
+    ``.{name}-rewrite-old``. Recovery is the ``.committed-old`` pattern
+    (incremental._ensure_committed_ledger): the next entry here — or
+    ``rollback_orphan_publishes``, which recognizes both sidecar names —
+    restores the parked table before doing anything else. A same-
+    filesystem ``os.rename`` is assumed (the local-lake abstraction);
+    an object-store port swaps a manifest pointer instead (the
+    seal_manifest pattern in plans/maintenance.py)."""
     import shutil as _sh
 
     parent = _os.path.dirname(table_path.rstrip("/"))
     name = _os.path.basename(table_path.rstrip("/"))
     tmp = _os.path.join(parent, f".{name}-rewrite-tmp")
     old = _os.path.join(parent, f".{name}-rewrite-old")
+    # a prior rewrite that crashed between its two renames left the
+    # complete old table parked — restore it (it IS the current table)
+    if not _os.path.exists(table_path) and _os.path.isdir(old):
+        _os.rename(old, table_path)
     _sh.rmtree(tmp, ignore_errors=True)
     _sh.rmtree(old, ignore_errors=True)
     if partition_cols:

@@ -31,13 +31,34 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Process-lifetime SCHEMA cache (r11, guide §6 file-listing/plan-time
+# costs): every spark.read.parquet without an explicit schema re-infers
+# the schema from parquet footers — measured ~120-180 ms per load_table
+# call, paid by EVERY query invocation (the bench's 109-query fast tail
+# spends more on this than on some queries' actual compute; at scale
+# it is a per-query driver-side footer read of the table root). The
+# cache holds METADATA ONLY (a StructType — the catalog pattern every
+# production table format uses); all data is still computed from the
+# parquet inputs on every invocation. Keyed by resolved absolute path;
+# the test datasets are immutable for a process's lifetime, and a
+# StructType is session-independent (plain Python), so no session key
+# is needed.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in ALL_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {ALL_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    ap = os.path.abspath(path)
+    sch = _SCHEMA_CACHE.get(ap)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[ap] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -55,25 +76,49 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.types import LongType
     from pyspark.sql.utils import AnalysisException
 
-    try:
-        df = spark.read.parquet(path)
-        # Force schema resolution now so a TIMESTAMP(NANOS) file fails
-        # here (inside the try) instead of later at first action.
-        _ = df.schema
-    except AnalysisException:
-        # Likely PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS): retry with the
-        # legacy nanos-as-long read, then restore the session conf.
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    ck = "events::" + os.path.abspath(path)
+    cached = _SCHEMA_CACHE.get(ck)
+    if cached is not None:
+        # repeat read: the RAW schema (and which read mode produced it)
+        # is process-cached — skip footer inference and, on the nanos
+        # branch, the deliberately-failing first attempt
+        kind, sch = cached
+        if kind == "plain":
+            df = spark.read.schema(sch).parquet(path)
+        else:
+            prev = spark.conf.get(nanos_key, None)
+            spark.conf.set(nanos_key, "true")
+            try:
+                df = spark.read.schema(sch).parquet(path)
+                _ = df.schema
+            finally:
+                if prev is None:
+                    spark.conf.unset(nanos_key)
+                else:
+                    spark.conf.set(nanos_key, prev)
+    else:
+        kind = "plain"
         try:
             df = spark.read.parquet(path)
+            # Force schema resolution now so a TIMESTAMP(NANOS) file fails
+            # here (inside the try) instead of later at first action.
             _ = df.schema
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+        except AnalysisException:
+            # Likely PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS): retry with the
+            # legacy nanos-as-long read, then restore the session conf.
+            kind = "nanos"
+            prev = spark.conf.get(nanos_key, None)
+            spark.conf.set(nanos_key, "true")
+            try:
+                df = spark.read.parquet(path)
+                _ = df.schema
+            finally:
+                if prev is None:
+                    spark.conf.unset(nanos_key)
+                else:
+                    spark.conf.set(nanos_key, prev)
+        _SCHEMA_CACHE[ck] = (kind, df.schema)
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
