@@ -65,24 +65,43 @@ _MODULES = [
 # manual _PRIORITY override below is applied ahead of the LRU order for
 # explicit same-round routing of queries whose rows the artifact scan
 # can't know about yet (e.g. a rename).
-# r10: _PRIORITY stays EMPTY. Slot math at the driver's ~50-query
-# budget: 6 new queries (occ_merge_lifecycle, occ_merge_moved_keys,
-# ivf_vacuum_retention — the r9 verdict's top item: driver rows for
-# occ_merge_upsert / read_snapshot_where, plus the retention-windowed
-# index vacuum — plus incremental_snapshot_read / occ_schema_evolution
-# / occ_compaction_lifecycle, the CDC-style append-range scan, the
-# commit-log schema evolution, and the rewrite_data_files sweep the
-# column-set metadata was built for) auto-lead via the never-attested
-# rule, then plain LRU drains the ENTIRE 40-query r4 cohort with 4
-# slots of slack reaching into r5: 6 + 40 = 46 <= 50, satisfying the
-# r9 criterion (nothing older than r5 remains) without zero-slack
-# risk. Queries whose ENGINE
-# changed this round — the occ/merge/snapshot family (column-set
-# metadata), ivf_index_vacuum / text_index_vacuum (report key added) —
-# are NOT routed ahead: all were re-verified green on current code by
-# the full driver_sim pass this session, and the merge/snapshot
-# lifecycle rows sit in r9's cohort anyway.
-_PRIORITY: list[str] = []
+# r11 (the r10 VERDICT's #2): the r10 optimization round rewrote 30+
+# query paths whose oracle rows were last attested on PRE-rewrite code
+# (the r10 sample was the r4 cohort + the 6 new lifecycle verbs) — the
+# subtlest equivalence arguments (the search-side df-from-pivot fold,
+# the triangle mirror + power-round fold, the one-pass lifecycles) ran
+# only under the builder's driver_sim. Route exactly those names ahead
+# of the LRU order so the DRIVER re-attests them this round. The r11
+# round's own rewrites (native-source arrival tail, write-spread,
+# schema cache) are concentrated in the same streaming/index names, so
+# the one list serves both rounds' re-attestation. 22 slots; LRU fills
+# the remaining ~28 with the stalest cohort.
+_PRIORITY: list[str] = [
+    # r10-rewritten, never driver-attested post-rewrite; all four
+    # streaming verbs are also r11's native-arrival-source rewrite
+    "streaming_ledger_compact",
+    "streaming_text_ingest",
+    "streaming_dedup_ingest",
+    "streaming_ivf_ingest",
+    "dedup_incremental_index",
+    "dedup_index_purge",
+    "dedup_index_purge_mor",
+    "dedup_index_stats",
+    "dedup_index_crud_lifecycle",
+    "text_index_roundtrip",
+    "text_index_append",
+    "text_index_compact",
+    "text_index_delete",
+    "text_index_delete_mor",
+    "text_index_mor_compact",
+    "text_index_vacuum",
+    "text_index_stats",
+    "text_index_crud_lifecycle",
+    "embedding_top_pc",
+    "supplier_hops_bfs",
+    "clustering_coefficient",
+    "recursive_cte_reachability",
+]
 
 
 def _last_attested() -> dict[str, int]:

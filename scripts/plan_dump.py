@@ -34,7 +34,7 @@ def main() -> int:
         names = bench.HEADLINE
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r10")
+    out_dir = os.path.join(here, "plans", os.environ.get("PLAN_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     fails = 0
     for name in names:

@@ -12,6 +12,31 @@ if REPO_ROOT not in sys.path:
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
+# Smoke tier (r11, the r10 VERDICT's process-hole fix): the full suite
+# runs ~38 min — longer than a time-boxed verifier's window — so this
+# curated module set is auto-marked `smoke` and `pytest -m smoke`
+# finishes in minutes while still crossing every layer (lake protocol,
+# custom source, plan budgets, optimization-equivalence pins, scalar
+# goldens, table contracts). The FULL suite remains the merge gate.
+_SMOKE_MODULES = {
+    "test_scalars",
+    "test_normalize",
+    "test_plan_budgets",
+    "test_parquet_lake",
+    "test_kv_datasource",
+    "test_table_contracts",
+    "test_r10_optimization",
+    "test_r11_optimization",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(_pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def spark():
