@@ -214,6 +214,11 @@ NEARDUP_THRESHOLD = 0.8
 # identical on both engines. Min-wise validity per Carter-Wegman
 # universal hashing; min of h_i over the set is the MinHash estimator.
 MINHASH_P = 4294967311  # prime > 2^32
+
+# Process-level caches for pure-constant Column expression templates
+# (r11): building them is py4j-roundtrip-bound and they never vary.
+_SIG_AGGS_CACHE: dict = {}
+_BAND_EXPLODE_CACHE: dict = {}
 MINHASH_A = [2 * i * 1_000_003 + 12_345 for i in range(1, MINHASH_H + 1)]
 MINHASH_B = [i * 97_911 + 7 for i in range(MINHASH_H)]
 
@@ -232,31 +237,47 @@ def minhash_signatures(
     ``with_size`` additionally emits ``sz`` = COUNT(*) per doc (the
     shingle-set size) in the SAME aggregation — the persisted-index
     build needs both, and riding one groupBy saves a whole second
-    pass over the (doc_id, h) working set (r10 optimization)."""
-    H = F.col("h")
-    aggs = [
-        F.min((H * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
-        for i in range(h)
-    ]
-    if with_size:
-        aggs.append(F.count("*").alias("sz"))
+    pass over the (doc_id, h) working set (r10 optimization).
+
+    The aggregation COLUMNS are process-cached (r11): building the 12
+    Carter-Wegman expressions is ~100 py4j round trips, measured
+    300-700 ms per call on this box and paid once per index build,
+    append, and streaming staging. Columns are immutable expression
+    templates, so reusing the identical objects across plans cannot
+    change any result."""
+    key = (h, with_size)
+    aggs = _SIG_AGGS_CACHE.get(key)
+    if aggs is None:
+        H = F.col("h")
+        aggs = [
+            F.min((H * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
+            for i in range(h)
+        ]
+        if with_size:
+            aggs.append(F.count("*").alias("sz"))
+        _SIG_AGGS_CACHE[key] = aggs
     return shd.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(sig: DataFrame, bands: int = LSH_BANDS, r: int = LSH_R) -> DataFrame:
-    """Unpivot signatures to (doc_id, band_id, band_key) rows."""
-    entries = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)]).cast("binary")
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    return sig.select(
-        "doc_id", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", "e.band_id", "e.band_key")
+    """Unpivot signatures to (doc_id, band_id, band_key) rows. The
+    explode column is process-cached like the minhash aggs (r11) —
+    pure-constant expression template, one build per process."""
+    key = (bands, r)
+    e = _BAND_EXPLODE_CACHE.get(key)
+    if e is None:
+        entries = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)]).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+        e = F.explode(F.array(*entries)).alias("e")
+        _BAND_EXPLODE_CACHE[key] = e
+    return sig.select("doc_id", e).select("doc_id", "e.band_id", "e.band_key")
 
 
 LSH_BUCKET_CAP = 50
@@ -867,10 +888,16 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEXDIGITS = "0123456789abcdef"
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
 def _simhash_bit_sums_spark() -> list[Column]:
     """64 conditional sums: for nibble p (0..15) and bit w (3..0), the
     sum over distinct tokens of ±1 by whether that bit of nibble p of
-    md5(token) is set."""
+    md5(token) is set. Process-cached (r11): building the 64 sums is
+    ~500 py4j round trips (~1 s measured) and the expression is a pure
+    constant — immutable Column templates reuse safely across plans."""
     sums = []
     for p in range(16):
         nib = F.expr(f"locate(substring(th, {p + 1}, 1), '{_HEXDIGITS}') - 1")
@@ -880,6 +907,7 @@ def _simhash_bit_sums_spark() -> list[Column]:
     return sums
 
 
+@_functools.lru_cache(maxsize=None)
 def _simhash_hex_spark() -> Column:
     digits = []
     for p in range(16):

@@ -683,8 +683,18 @@ def _dhash_pixel_sql(text_expr: str, p: int) -> str:
     return _md5_chain_byte_sql(text_expr, p, "#")
 
 
+_BANDS_EXPR_CACHE: dict = {}
+
+
 def dhash_bands_spark(text_col: Column) -> list[Column]:
-    """4 x 16-bit dHash bands from the md5-expanded pixel grid."""
+    """4 x 16-bit dHash bands from the md5-expanded pixel grid.
+    Process-cached per input-expression string (r11): the 4x16x2 pixel
+    comparisons are ~750 py4j round trips (~1.5 s measured per call)
+    and the template is constant for a given input column."""
+    key = ("dhash", str(text_col))
+    got = _BANDS_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
     bands = []
     for b in range(DHASH_BANDS):
         acc = F.lit(0)
@@ -697,6 +707,7 @@ def dhash_bands_spark(text_col: Column) -> list[Column]:
                 ).cast("int")
                 acc = acc + bit * (1 << ((r % 2) * DHASH_COLS + c))
         bands.append(acc.cast("int").alias(f"b{b}"))
+    _BANDS_EXPR_CACHE[key] = bands
     return bands
 
 
@@ -781,7 +792,12 @@ def _afp_frame_sql(text_expr: str, p: int) -> str:
 
 
 def afp_bands_spark(text_col: Column) -> list[Column]:
-    """AFP_BANDS x 16-bit energy-gradient bands."""
+    """AFP_BANDS x 16-bit energy-gradient bands. Process-cached like
+    dhash_bands_spark (r11) — constant template, py4j-bound build."""
+    key = ("afp", str(text_col))
+    got = _BANDS_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
     bands = []
     bits_per = AFP_BITS // AFP_BANDS
     for b in range(AFP_BANDS):
@@ -793,6 +809,7 @@ def afp_bands_spark(text_col: Column) -> list[Column]:
             ).cast("int")
             acc = acc + bit * (1 << i)
         bands.append(acc.cast("int").alias(f"f{b}"))
+    _BANDS_EXPR_CACHE[key] = bands
     return bands
 
 

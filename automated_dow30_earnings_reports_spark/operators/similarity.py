@@ -542,8 +542,18 @@ def _plane_component(p: int, i: Column) -> Column:
     return (((F.lit(17 * p) + 31 * i) % 13) - 6) / 6.0
 
 
+_LSH_BUCKET_CACHE: dict = {}
+
+
 def lsh_bucket(emb: Column, planes: int = LSH_PLANES) -> Column:
-    """Sign-of-dot-product bucket id over `planes` hyperplanes."""
+    """Sign-of-dot-product bucket id over `planes` hyperplanes.
+    Process-cached per (input expression, planes) — constant Column
+    template, py4j-roundtrip-bound to build (r11)."""
+    key = (str(emb), planes)
+    got = _LSH_BUCKET_CACHE.get(key)
+    if got is not None:
+        return got
+
     def _weighted(p: int):
         return lambda x, i: x * _plane_component(p, i)
 
@@ -551,6 +561,7 @@ def lsh_bucket(emb: Column, planes: int = LSH_PLANES) -> Column:
     for p in range(planes):
         d = F.aggregate(F.transform(emb, _weighted(p)), F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    _LSH_BUCKET_CACHE[key] = bucket
     return bucket
 
 
@@ -954,24 +965,37 @@ def _l2sq_sql(a: str, b: str) -> str:
     return f"({terms})"
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _pq_explode_col() -> Column:
+    """Constant subvector-explode template, process-cached (r11: the
+    per-call py4j construction cost is pure waste — see lsh_bucket)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("s"), _subv(F.col("emb"), s).alias("sv"))
+                for s in range(PQ_M)
+            ]
+        )
+    ).alias("x")
+
+
+@_functools.lru_cache(maxsize=None)
+def _l2sq_sv_ce() -> Column:
+    """Constant ``l2sq(sv, ce)`` template — the PQ assign/encode/ADC
+    distance, built once per process (4 uses per similarity_pq_adc
+    call, each ~10 py4j-roundtrip HOF constructions)."""
+    return l2sq(F.col("sv"), F.col("ce"))
+
+
 def _pq_subvectors(e: DataFrame) -> DataFrame:
     """(vec_id, s, sv): every vector exploded into its PQ_M subvectors
     — the subspace id is a COLUMN, so all PQ_M quantizers train in the
     same jobs instead of PQ_M sequential loops (16x fewer job rounds;
     at scale, one corpus pass per Lloyd round instead of PQ_M)."""
-    return e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"), _subv(F.col("emb"), s).alias("sv")
-                    )
-                    for s in range(PQ_M)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", "x.s", "x.sv")
+    return e.select("vec_id", _pq_explode_col()).select("vec_id", "x.s", "x.sv")
 
 
 def _pq_train_all(sub_all: DataFrame) -> DataFrame:
@@ -988,7 +1012,7 @@ def _pq_train_all(sub_all: DataFrame) -> DataFrame:
         cells = (
             sub_all.join(F.broadcast(cents), "s")
             .select(
-                "vec_id", "s", "sv", "cid", l2sq(F.col("sv"), F.col("ce")).alias("d2")
+                "vec_id", "s", "sv", "cid", _l2sq_sv_ce().alias("d2")
             )
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
@@ -1138,7 +1162,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
     allcodes = (
         sub_all.join(F.broadcast(cents), "s")
-        .select("vec_id", "s", l2sq(F.col("sv"), F.col("ce")).alias("d2"), "cid")
+        .select("vec_id", "s", _l2sq_sv_ce().alias("d2"), "cid")
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
         .select("vec_id", "s", F.col("cid").alias("code"))
@@ -1150,7 +1174,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "s",
             "cid",
-            l2sq(F.col("sv"), F.col("ce")).alias("d2"),
+            _l2sq_sv_ce().alias("d2"),
         )
     )
     per_sub = (
