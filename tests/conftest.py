@@ -34,7 +34,9 @@ def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
     for item in items:
-        if item.module.__name__ in _SMOKE_MODULES:
+        # tests/ is a package, so module names arrive dotted
+        # ("tests.test_scalars") — match on the last segment
+        if item.module.__name__.rsplit(".", 1)[-1] in _SMOKE_MODULES:
             item.add_marker(_pytest.mark.smoke)
 
 
