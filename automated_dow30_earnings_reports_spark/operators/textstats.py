@@ -2014,7 +2014,23 @@ def _write_text_index(docs, path: str, mode: str) -> None:
 
 def _write_text_index_tokd(tokd: DataFrame, path: str, mode: str) -> None:
     """The three index-table writes from an already-tokenized
-    (doc_id, toks) frame — callers own the caching of ``tokd``."""
+    (doc_id, toks) frame — callers own the caching of ``tokd``.
+
+    The STATS write overlaps the postings write (r11, guide §2.6 —
+    the dedup index's shd-overlap pattern): the docstats write runs
+    first and MATERIALIZES the caller's tokd cache, so the stats agg
+    and the postings build are then two independent read-only
+    consumers of cached blocks targeting different directories;
+    submitting the tiny stats job from a one-thread pool hides its
+    wall (job + driver gap) under the posting write on every build,
+    append, and streaming staging. Contents and the per-table write
+    semantics are identical to the sequential shape; there is no
+    cross-table write-order crash contract here (lifecycles rebuild
+    per invocation, and the streaming path stages + publishes
+    atomically), unlike _delete_from_text_index's stats-FIRST rule
+    which is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
         write_partitioned,
     )
@@ -2023,10 +2039,13 @@ def _write_text_index_tokd(tokd: DataFrame, path: str, mode: str) -> None:
         "doc_id", F.size("toks").cast("bigint").alias("dl")
     )
     per_doc.write.mode(mode).parquet(_os.path.join(path, "docstats"))
-    per_doc.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-    ).write.mode(mode).parquet(_os.path.join(path, "stats"))
+
+    def _write_stats() -> None:
+        per_doc.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode(mode).parquet(_os.path.join(path, "stats"))
+
     postings = (
         tokd.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
@@ -2038,10 +2057,24 @@ def _write_text_index_tokd(tokd: DataFrame, path: str, mode: str) -> None:
             % TEXT_INDEX_BUCKETS,
         )
     )
-    write_partitioned(
-        postings, _os.path.join(path, "postings"), ["bucket"],
-        mode=mode, dynamic=False,
-    )
+    pool = ThreadPoolExecutor(max_workers=1)
+    stats_future = pool.submit(_write_stats)
+    try:
+        write_partitioned(
+            postings, _os.path.join(path, "postings"), ["bucket"],
+            mode=mode, dynamic=False,
+        )
+        stats_future.result()  # surface any stats-write failure loudly
+    finally:
+        pool.shutdown(wait=True)
+        if stats_future.exception() is not None:
+            # the postings write raised FIRST and is propagating: don't
+            # let the overlapped stats write's own failure vanish
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "overlapped stats write failed: %r", stats_future.exception()
+            )
 
 
 def _tombstone_request_id(tombs: DataFrame) -> str:
