@@ -1430,8 +1430,13 @@ def _write_signature_tables(
     frame — already-materialized blocks, disjoint from the sig cache
     the other two writes share — and targets its own directory, so
     running it concurrently cannot race a cache materialization or a
-    commit. Each write's content is identical to the sequential
-    shape; only the wall-clock overlap changes."""
+    commit. The SIZES write overlaps the shd write's tail the same way
+    (r11): once the bands write has materialized the shared sig cache,
+    the sizes projection is a read-only consumer of cached blocks into
+    its own directory, so it rides the pool while the corpus-sized shd
+    write (which always finishes last) drains. Each write's content is
+    identical to the sequential shape; only the wall-clock overlap
+    changes."""
     from concurrent.futures import ThreadPoolExecutor
 
     from automated_dow30_earnings_reports_spark.sources.parquet_lake import (
@@ -1450,7 +1455,8 @@ def _write_signature_tables(
     both = "bands" in tables and "sizes" in tables
     sig = None
     shd_future = None
-    pool = ThreadPoolExecutor(max_workers=1) if "shd" in tables else None
+    sizes_future = None
+    pool = ThreadPoolExecutor(max_workers=2) if "shd" in tables else None
     try:
         if pool is not None:
             shd_future = pool.submit(_write_shd)
@@ -1470,21 +1476,33 @@ def _write_signature_tables(
                 if sig is not None
                 else shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
             )
-            sizes.write.mode(mode).parquet(_os.path.join(path, "sizes"))
+
+            def _write_sizes() -> None:
+                sizes.write.mode(mode).parquet(_os.path.join(path, "sizes"))
+
+            if pool is not None and sig is not None:
+                # sig cache is hot (the bands write above materialized
+                # it): the tiny sizes write overlaps the shd tail
+                sizes_future = pool.submit(_write_sizes)
+            else:
+                _write_sizes()
+        if sizes_future is not None:
+            sizes_future.result()  # surface any write failure loudly
         if shd_future is not None:
-            shd_future.result()  # surface any write failure loudly
+            shd_future.result()
     finally:
         if pool is not None:
             pool.shutdown(wait=True)
-            if shd_future is not None and shd_future.exception() is not None:
-                # the main-thread write raised FIRST and is propagating:
-                # don't let the overlapped shd write's own failure vanish
-                # (result() above was never reached) — record it loudly
-                import logging
+            for fut, name in ((shd_future, "shd"), (sizes_future, "sizes")):
+                if fut is not None and fut.exception() is not None:
+                    # a sibling write raised FIRST and is propagating:
+                    # don't let this overlapped write's own failure
+                    # vanish (its result() was never reached)
+                    import logging
 
-                logging.getLogger(__name__).warning(
-                    "overlapped shd write failed: %r", shd_future.exception()
-                )
+                    logging.getLogger(__name__).warning(
+                        "overlapped %s write failed: %r", name, fut.exception()
+                    )
         if sig is not None:
             sig.unpersist()
 
